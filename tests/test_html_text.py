@@ -1,0 +1,83 @@
+"""Unit tests for the DOM walker text contract (SURVEY.md §7.1 M1)."""
+
+from valere_ocr_ray.extract.html_text import extract_main_text
+
+
+def t(html: str) -> str:
+    return extract_main_text(html.encode())
+
+
+def test_basic_blocks_and_join():
+    assert t("<p>one</p><p>two</p>") == "one\ntwo"
+
+
+def test_whitespace_collapse():
+    assert t("<p>  a \n\t b  </p>") == "a b"
+
+
+def test_script_style_head_dropped():
+    html = "<head><title>T</title></head><body><script>x=1</script><style>.a{}</style><p>keep</p></body>"
+    assert t(html) == "keep"
+
+
+def test_chrome_regions_dropped():
+    html = "<nav><a href='/'>Home</a></nav><p>body text</p><footer>c 2024</footer>"
+    assert t(html) == "body text"
+
+
+def test_link_density_boilerplate_dropped():
+    # short, all-link block → dropped; long link-heavy block → kept
+    assert t("<p><a href='x'>click here now</a></p>") == ""
+    long = "<p><a href='x'>a very long anchor text with more than ten words inside it here</a></p>"
+    assert t(long) != ""
+
+
+def test_dt_dd_kv_pairing():
+    assert t("<dl><dt>Member ID</dt><dd>A123</dd></dl>") == "Member ID: A123"
+
+
+def test_dangling_dt_emitted():
+    assert t("<dl><dt>Lonely</dt></dl>") == "Lonely"
+
+
+def test_two_cell_row_kv():
+    assert t("<table><tr><td>MRN</td><td>99</td></tr></table>") == "MRN: 99"
+
+
+def test_multi_cell_row_space_join():
+    assert t("<table><tr><td>a</td><td>b</td><td>c</td></tr></table>") == "a b c"
+
+
+def test_checkbox_checked_emits_x():
+    out = t("<p><input type='checkbox' checked> Z39.1</p>")
+    assert out == "X Z39.1"
+
+
+def test_checkbox_unchecked_silent():
+    assert t("<p><input type='checkbox'> Z39.1</p>") == "Z39.1"
+
+
+def test_input_value_text():
+    assert t("<p>Name: <input value='Jo'></p>") == "Name: Jo"
+
+
+def test_img_alt_text():
+    assert t("<p><img alt='signature'></p>") == "signature"
+
+
+def test_br_splits_blocks():
+    assert t("<p>a<br>b</p>") == "a\nb"
+
+
+def test_heading_isupper_preserved():
+    assert t("<h2>NEXT STEPS</h2><p>x</p>") == "NEXT STEPS\nx"
+
+
+def test_invalid_bytes_replace():
+    out = extract_main_text(b"<p>ok \xff\xfe</p>")
+    assert "ok" in out
+
+
+def test_idempotent():
+    html = b"<div><p>a</p><nav>x</nav><p>b</p></div>"
+    assert extract_main_text(html) == extract_main_text(html)

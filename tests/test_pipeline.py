@@ -1,0 +1,164 @@
+"""End-to-end Ray Data pipeline tests: golden byte-identity, resume,
+partition invariance, dedup key behavior (SURVEY.md §5.2)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "golden_extracted.parquet")
+
+
+@pytest.fixture(scope="module")
+def extracted_out(ray_session, pages_500, tmp_path_factory):
+    from valere_ocr_ray.pipelines.extract import run_resumable
+
+    out = str(tmp_path_factory.mktemp("out") / "extracted")
+    summary = run_resumable(pages_500, out, concurrency=2, group_size=2)
+    return out, summary
+
+
+def _read_sorted(out_dir):
+    import pandas as pd
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part_id=*", "*.parquet")))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def test_golden_byte_identity(extracted_out):
+    """Every url's extracted_text / doc_type / fields_json / confidence /
+    status byte-identical to the committed single-process goldens."""
+    out_dir, _ = extracted_out
+    got = _read_sorted(out_dir)
+    want = pq.read_table(GOLDEN).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == len(want) == 500
+    assert got["url"].tolist() == want["url"].tolist()
+    for col in ["extracted_text", "doc_type", "fields_json", "status"]:
+        mismatched = got[col].tolist() != want[col].tolist()
+        if mismatched:
+            bad = [
+                (u, g, w)
+                for u, g, w in zip(want["url"], got[col], want[col])
+                if g != w
+            ][:3]
+            raise AssertionError(f"{col} mismatch, first 3: {bad}")
+    assert got["confidence"].tolist() == want["confidence"].tolist()
+
+
+def test_manifests_are_lineage_records(extracted_out):
+    out_dir, summary = extracted_out
+    from valere_ocr_ray.state.manifest import read_all_manifests
+
+    manifests = read_all_manifests(out_dir)
+    assert len(manifests) == summary["n_shards"]
+    total = sum(m["n_in"] for m in manifests)
+    assert total == 500
+    for m in manifests:
+        assert m["n_in"] == m["n_ok"] + m["n_error"] + m["n_skipped"]
+        assert m["bytes_in"] > 0
+        assert m["engine_version"]
+
+
+def test_resume_skips_completed_partitions(ray_session, pages_500, tmp_path):
+    from valere_ocr_ray.pipelines.extract import list_shards, run_resumable
+    from valere_ocr_ray.state.manifest import done_manifest_path
+
+    out = str(tmp_path / "out")
+    shards = list_shards(pages_500)
+    assert len(shards) >= 4
+
+    # first run: only first group completes (simulated crash after group 0)
+    s1 = run_resumable(pages_500, out, concurrency=2, group_size=2)
+    assert s1["n_skipped_complete"] == 0
+
+    # wipe one manifest + leave its partial data → must be cleared and redone
+    victim = os.path.splitext(os.path.basename(shards[0]))[0]
+    os.remove(done_manifest_path(out, victim))
+    part_dir = os.path.join(out, f"part_id={victim}")
+    with open(os.path.join(part_dir, "junk.parquet"), "w") as f:
+        f.write("partial garbage")
+
+    s2 = run_resumable(pages_500, out, concurrency=2, group_size=2)
+    assert s2["n_skipped_complete"] == len(shards) - 1
+    assert not os.path.exists(os.path.join(part_dir, "junk.parquet"))
+
+    # third run: everything complete, no work
+    s3 = run_resumable(pages_500, out, concurrency=2, group_size=2)
+    assert s3["n_skipped_complete"] == len(shards)
+    assert s3["groups"] == []
+
+
+def test_partition_count_invariance(ray_session, tmp_path):
+    """N=1 vs N=8 shards ⇒ identical url-sorted output bytes (guards the
+    shuffle/partitioning machinery, SURVEY.md §5.2.4)."""
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    a_in, b_in = str(tmp_path / "a_in"), str(tmp_path / "b_in")
+    synth_pages(a_in, 120, n_shards=1)
+    synth_pages(b_in, 120, n_shards=8)
+    a_out, b_out = str(tmp_path / "a_out"), str(tmp_path / "b_out")
+    run_resumable(a_in, a_out, concurrency=2)
+    run_resumable(b_in, b_out, concurrency=2, group_size=3)
+    a = _read_sorted(a_out)
+    b = _read_sorted(b_out)
+    for col in ["url", "extracted_text", "doc_type", "fields_json", "status"]:
+        assert a[col].tolist() == b[col].tolist()
+
+
+def test_rerun_is_idempotent_bytes(ray_session, pages_500, tmp_path):
+    from valere_ocr_ray.pipelines.extract import run_resumable
+
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    run_resumable(pages_500, o1, concurrency=2)
+    run_resumable(pages_500, o2, concurrency=2)
+    a, b = _read_sorted(o1), _read_sorted(o2)
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+    assert a["fields_json"].tolist() == b["fields_json"].tolist()
+
+
+def test_size_cap_routes_not_drops(ray_session, tmp_path):
+    """Oversized rows surface as status='skipped_too_large' (F2 guard)."""
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    d = str(tmp_path / "in")
+    synth_pages(d, 60, n_shards=1)
+    out = str(tmp_path / "out")
+    # cap below the normal template size → most rows route to skipped
+    run_resumable(d, out, concurrency=1, max_doc_bytes=400)
+    df = _read_sorted(out)
+    assert len(df) == 60
+    skipped = df[df["status"] == "skipped_too_large"]
+    assert len(skipped) > 0
+    assert (skipped["extracted_text"] == "").all()
+
+
+def test_spans_point_into_text(extracted_out):
+    out_dir, _ = extracted_out
+    df = _read_sorted(out_dir)
+    ok = df[(df["status"] == "ok") & (df["doc_type"] == "INSURANCE_CARD")].head(20)
+    checked = 0
+    for _, row in ok.iterrows():
+        for span in row["spans"]:
+            if span["start"] >= 0:
+                assert (
+                    row["extracted_text"][span["start"] : span["end"]] == span["value"]
+                )
+                checked += 1
+    assert checked > 10
+
+
+def test_pdf_rows_extracted(extracted_out):
+    out_dir, _ = extracted_out
+    df = _read_sorted(out_dir)
+    pdfs = df[df["doc_kind"] == "pdf"]
+    assert len(pdfs) == 5  # i%100==94 of 500
+    assert (pdfs["status"] == "ok").all()
+    assert pdfs["extracted_text"].str.contains("Signed by customer").all()
+    for fj in pdfs["fields_json"]:
+        assert json.loads(fj)["Signature Present"] == "Yes"

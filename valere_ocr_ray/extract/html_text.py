@@ -1,0 +1,246 @@
+"""Deterministic HTML main-content extraction (boilerplate stripping).
+
+A from-scratch DOM walker on stdlib ``html.parser`` (pure python — no
+libxml2 version drift, which is what makes byte-identical goldens
+tractable).  Replaces the reference's Textract block-graph → flat-text
+assembly (``IDD/MiscTestingScripts/S32JSONpdf.py:87-116`` newline-joined
+LINE texts) and its KEY_VALUE_SET graph traversal
+(``S32JSONpdf.py:118-166``) with an HTML-DOM equivalent, plus
+Boilerpipe/Readability-style link-density boilerplate scoring (the
+north-star's stated HTML analog of the reference's keyword/section
+heuristics).
+
+Pinned text contract (golden-relevant; every clause is load-bearing):
+
+1. ``html`` bytes are decoded UTF-8 with ``errors="replace"``.
+2. ``<script> <style> <noscript> <template> <head> <svg> <iframe>``
+   subtrees and comments/declarations are dropped entirely.
+3. ``<nav> <aside> <footer> <header>`` subtrees are *chrome*: their
+   blocks are dropped (boilerplate).
+4. Block boundaries: p, div, h1-h6, li, ul, ol, dl, table, form, pre,
+   blockquote, article, section, main, figure, br, hr.  Text between
+   boundaries is one *block*: whitespace runs collapse to a single
+   space, then strip; empty blocks vanish.
+5. ``<dt>X</dt><dd>Y</dd>`` emits one block ``"X: Y"`` (the KV-pair
+   analog of the reference's KEY_VALUE_SET traversal).
+6. A ``<tr>`` with exactly two cells emits ``"c1: c2"``; otherwise its
+   cells join with a single space.
+7. ``<input>`` contributes its ``value`` attribute as text; a checked
+   checkbox/radio contributes the literal token ``X`` (preserves the
+   reference's SELECTION_ELEMENT SELECTED → ``'X '`` → ``Selected``
+   rule chain, ``IDD/MiscTestingScripts/Ethan_PDFandJPG3.py:331-334``).
+   ``<img>`` contributes its ``alt`` text.
+8. Boilerplate filter: a block whose link-character density is >= 0.5
+   AND word count < 10 is dropped (link-list scoring).
+9. Surviving blocks join with ``"\n"`` (the reference's flat-text
+   ``"\n"``-join contract, ``S32JSONpdf.py:87-93``).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_WS_RE = re.compile(r"\s+")
+
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head", "svg", "iframe"})
+_CHROME_TAGS = frozenset({"nav", "aside", "footer", "header"})
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+        "dl", "table", "form", "pre", "blockquote", "article", "section",
+        "main", "figure", "br", "hr", "body", "html", "tbody", "thead",
+    }
+)
+_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
+
+LINK_DENSITY_MAX = 0.5
+LINK_BLOCK_MIN_WORDS = 10
+
+
+def _norm(pieces: list[str]) -> str:
+    return _WS_RE.sub(" ", "".join(pieces)).strip()
+
+
+class _Walker(HTMLParser):
+    """Single-pass block collector with link/chrome bookkeeping."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._pieces: list[str] = []
+        self._link_pieces: list[str] = []
+        self._skip_depth = 0
+        self._chrome_depth = 0
+        self._a_depth = 0
+        # table-row assembly
+        self._in_row = False
+        self._row_cells: list[str] = []
+        self._in_cell = False
+        # dt/dd pairing
+        self._pending_dt: str | None = None
+        self._in_dt = False
+        self._in_dd = False
+
+    # -- block flushing -------------------------------------------------
+    def _emit(self, text: str) -> None:
+        if text:
+            self.blocks.append(text)
+
+    def _flush(self) -> None:
+        text = _norm(self._pieces)
+        link_text = _norm(self._link_pieces)
+        self._pieces = []
+        self._link_pieces = []
+        if not text:
+            return
+        if self._chrome_depth > 0:
+            return
+        if self._in_cell:
+            self._row_cells.append(text)
+            return
+        if self._in_dt:
+            if self._pending_dt is not None:
+                self._emit(self._pending_dt)
+            self._pending_dt = text
+            return
+        if self._in_dd:
+            if self._pending_dt is not None:
+                text = f"{self._pending_dt}: {text}"
+                self._pending_dt = None
+            self._emit(text)
+            return
+        # link-density boilerplate scoring
+        if link_text:
+            density = len(link_text) / len(text)
+            if density >= LINK_DENSITY_MAX and len(text.split(" ")) < LINK_BLOCK_MIN_WORDS:
+                return
+        self._emit(text)
+
+    def _flush_pending_dt(self) -> None:
+        if self._pending_dt is not None:
+            self._emit(self._pending_dt)
+            self._pending_dt = None
+
+    # -- parser callbacks -----------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if self._skip_depth > 0:
+            if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome_depth += 1
+            return
+        if tag == "a":
+            self._a_depth += 1
+            return
+        if tag == "input":
+            a = dict(attrs)
+            itype = (a.get("type") or "text").lower()
+            if itype in ("checkbox", "radio"):
+                if "checked" in a:
+                    self._pieces.append(" X ")
+            else:
+                val = a.get("value") or ""
+                if val:
+                    self._pieces.append(" " + val + " ")
+            return
+        if tag == "img":
+            alt = dict(attrs).get("alt") or ""
+            if alt:
+                self._pieces.append(" " + alt + " ")
+            return
+        if tag == "tr":
+            self._flush()
+            self._in_row = True
+            self._row_cells = []
+            return
+        if tag in ("td", "th"):
+            self._flush()
+            self._in_cell = True
+            return
+        if tag == "dt":
+            self._flush()
+            self._in_dt = True
+            return
+        if tag == "dd":
+            self._flush()
+            self._in_dd = True
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in ("ul", "ol", "table", "dl", "div", "section", "article"):
+                # entering a container: a pending dt with no dd stays pending
+                pass
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._skip_depth > 0:
+            if tag in _SKIP_TAGS:
+                self._skip_depth -= 1
+            return
+        if tag in _CHROME_TAGS:
+            self._flush()
+            if self._chrome_depth > 0:
+                self._chrome_depth -= 1
+            return
+        if tag == "a":
+            if self._a_depth > 0:
+                self._a_depth -= 1
+            return
+        if tag in ("td", "th"):
+            self._flush()
+            self._in_cell = False
+            return
+        if tag == "tr":
+            self._flush()
+            self._in_cell = False
+            cells = self._row_cells
+            self._row_cells = []
+            self._in_row = False
+            if self._chrome_depth == 0 and cells:
+                if len(cells) == 2:
+                    self._emit(f"{cells[0]}: {cells[1]}")
+                else:
+                    self._emit(" ".join(cells))
+            return
+        if tag == "dt":
+            self._flush()
+            self._in_dt = False
+            return
+        if tag == "dd":
+            self._flush()
+            self._in_dd = False
+            return
+        if tag in ("dl",):
+            self._flush()
+            self._flush_pending_dt()
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth > 0:
+            return
+        self._pieces.append(data)
+        if self._a_depth > 0:
+            self._link_pieces.append(data)
+
+    def close(self) -> None:  # type: ignore[override]
+        super().close()
+        self._flush()
+        self._flush_pending_dt()
+
+
+def extract_main_text(html_bytes: bytes) -> str:
+    """bytes → main-content text per the pinned contract above."""
+    walker = _Walker()
+    walker.feed(html_bytes.decode("utf-8", errors="replace"))
+    walker.close()
+    return "\n".join(walker.blocks)

@@ -1,0 +1,79 @@
+"""Deterministic pure-python PDF text extraction (layout-parse path).
+
+Replaces the reference's PDF paths — PyPDF2 page-loop text reads
+(``IDD/MiscTestingScripts/Ethan_PDFandJPG3.py:64-84``) and the async
+Textract document-analysis flow
+(``IDD/finalcodes/SignedAgreement.py:124-156``) — with a minimal,
+dependency-free parser over PDF content streams (pdfminer/PyPDF2 are
+not available in this environment; an OCR seam for scanned pages is
+left pluggable via :class:`OcrSeam`).
+
+Supported subset (sufficient for the synthetic corpus and any
+uncompressed text-object PDF):
+
+* uncompressed content streams (``stream``/``endstream``, no
+  ``/FlateDecode``) — compressed streams yield no text (→ the caller
+  records a parse-status, never crashes);
+* text objects ``BT … ET`` with ``(…) Tj`` and ``[(…) …] TJ`` show
+  operators; each show operator emits one line;
+* string escapes ``\\( \\) \\\\ \\n \\r \\t`` and 1-3 digit octal.
+
+Pinned contract: lines join with ``"\\n"``; pages (text objects in
+stream order) join with ``"\\n"`` as well — mirroring the reference's
+``"\\n\\n"``-free flat-text join used for pattern matching.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_SHOW_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\[\]\\]|\\.)*\]\s*TJ", re.DOTALL)
+_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.DOTALL)
+_ESC_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.DOTALL)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> bytes:
+    def sub(m: re.Match[bytes]) -> bytes:
+        g = m.group(1)
+        if g.isdigit() and all(c in b"01234567" for c in g):
+            return bytes([int(g, 8) & 0xFF])
+        return _ESCAPES.get(g, g)
+
+    return _ESC_RE.sub(sub, raw)
+
+
+def extract_pdf_text(pdf_bytes: bytes) -> str:
+    """PDF bytes → text per the pinned contract; '' when no text objects."""
+    lines: list[str] = []
+    for textobj in _TEXTOBJ_RE.finditer(pdf_bytes):
+        for show in _SHOW_RE.finditer(textobj.group(1)):
+            parts = [
+                _unescape(s.group(0)[1:-1]) for s in _STR_RE.finditer(show.group(0))
+            ]
+            line = b"".join(parts).decode("utf-8", errors="replace")
+            if line.strip():
+                lines.append(line.strip())
+    return "\n".join(lines)
+
+
+class OcrSeam:
+    """Pluggable OCR hook for image-only PDF pages / raster payloads.
+
+    The OCR engine the reference leans on (AWS Textract) is a network
+    service and no local OCR library ships in this container, so the
+    seam is a clearly-marked stub: the pipeline plumbing (actor
+    signature, batch routing, status columns) is real and tested, the
+    model call is not.
+    """
+
+    def __call__(self, payload: bytes) -> str:
+        raise NotImplementedError(
+            "OCR backend not available in this environment; plug a local "
+            "OCR engine here (e.g. tesseract) for scanned-page payloads."
+        )

@@ -1,0 +1,155 @@
+"""The flagship pipeline: pages → docmeta → parse → fields → parquet.
+
+One streaming Ray Data pipeline (SURVEY.md §3 "engine equivalents" —
+the reference's E1/E2/E3 entry points collapse into this):
+
+    read_parquet(pages shards, include_paths)        # prune at read
+      → map_batches(docmeta_batch)                   # stateless: sniff/size/hash/filters
+      → map_batches(PageExtractor, concurrency=…)    # actor pool: DOM/PDF parse
+      → map_batches(extract_fields_batch)            # classify + field batteries
+      → write_parquet(out, partition_cols=[part_id]) # resumable partitioned sink
+
+No stage materializes the dataset; blocks stream with backpressure.
+Resume = per-input-shard manifests (state/manifest.py): a rerun reads
+only shards whose manifest is missing, clears their partial output,
+reprocesses, then writes data-then-manifest.  At 100 TB the input is
+O(100k) shard files; ``group_size`` bounds how many shards one Dataset
+run covers so a crash forfeits at most one group's work.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from valere_ocr_ray import MAX_DOC_BYTES
+from valere_ocr_ray.stages.docmeta import docmeta_batch
+from valere_ocr_ray.stages.extractor import PageExtractor, extract_fields_batch
+from valere_ocr_ray.state.manifest import pending_shards, write_manifest
+
+# columns the pipeline needs from pages — `text`/`lang` are not read
+# (column pruning at the parquet scan; `text` is the cheap-probe column
+# used only by the probe query, not by extraction)
+_READ_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def _part_id_from_path(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _add_part_id(batch: pa.Table) -> pa.Table:
+    paths = batch["path"].to_pylist()
+    part = pa.array([_part_id_from_path(p) for p in paths], pa.string())
+    return batch.drop_columns(["path"]).append_column("part_id", part)
+
+
+def build_extraction_ds(
+    paths: list[str] | str,
+    *,
+    max_doc_bytes: int = MAX_DOC_BYTES,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Lazy Dataset of extracted rows for the given pages parquet paths."""
+    ds = ray.data.read_parquet(paths, columns=_READ_COLUMNS, include_paths=True)
+    ds = ds.map_batches(_add_part_id, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: docmeta_batch(b, max_doc_bytes=max_doc_bytes),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        PageExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(extract_fields_batch, batch_format="pyarrow")
+    return ds
+
+
+def list_shards(input_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+
+def run_resumable(
+    input_dir: str,
+    out_dir: str,
+    *,
+    group_size: int = 16,
+    max_doc_bytes: int = MAX_DOC_BYTES,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+) -> dict:
+    """Process all pending input shards; returns a run summary.
+
+    Idempotent and killable: completed shards (manifest present) are
+    skipped entirely; partially-written shards are cleared and redone.
+    Output layout: ``out_dir/part_id=<shard>/*.parquet`` +
+    ``out_dir/_done/<shard>.json`` lineage manifests.
+    """
+    shards = list_shards(input_dir)
+    by_part = {_part_id_from_path(p): p for p in shards}
+    todo = pending_shards(out_dir, list(by_part))
+    summary = {"n_shards": len(shards), "n_skipped_complete": len(shards) - len(todo), "groups": []}
+
+    os.makedirs(out_dir, exist_ok=True)
+    for g in range(0, len(todo), group_size):
+        group = todo[g : g + group_size]
+        # clear partial output from a previous crashed run (§7.4.5)
+        for part_id in group:
+            part_dir = os.path.join(out_dir, f"part_id={part_id}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+        t0 = time.perf_counter()
+        ds = build_extraction_ds(
+            [by_part[p] for p in group],
+            max_doc_bytes=max_doc_bytes,
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+        ds.write_parquet(out_dir, partition_cols=["part_id"])
+        wall_s = time.perf_counter() - t0
+
+        # lineage per partition from the written output (cheap columnar
+        # read-back — avoids re-executing the pipeline for the aggregate)
+        for part_id in group:
+            part_dir = os.path.join(out_dir, f"part_id={part_id}")
+            stats = _partition_lineage(part_dir)
+            stats["wall_s_group"] = round(wall_s, 3)
+            stats["group_index"] = g // group_size
+            write_manifest(out_dir, part_id, stats)
+        summary["groups"].append({"shards": group, "wall_s": round(wall_s, 3)})
+    return summary
+
+
+def _partition_lineage(part_dir: str) -> dict:
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    if not files:
+        return {"n_in": 0, "n_ok": 0, "n_error": 0, "n_skipped": 0, "bytes_in": 0, "files": []}
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(f, columns=["status", "size_bytes"]) for f in files]
+    t = pa.concat_tables(tables)
+    status = t["status"]
+    n_ok = pc.sum(pc.equal(status, "ok").cast(pa.int64())).as_py() or 0
+    n_err = (
+        pc.sum(pc.match_substring(status, "error").cast(pa.int64())).as_py() or 0
+    )
+    n_skip = (
+        pc.sum(pc.match_substring(status, "skipped").cast(pa.int64())).as_py() or 0
+    )
+    return {
+        "n_in": len(t),
+        "n_ok": int(n_ok),
+        "n_error": int(n_err),
+        "n_skipped": int(n_skip),
+        "bytes_in": int(pc.sum(t["size_bytes"]).as_py() or 0),
+        "files": [os.path.basename(f) for f in files],
+    }

@@ -1,0 +1,110 @@
+"""Docmeta projection + admission filters (SURVEY.md §2.1 S4, §2.2 F1-F3).
+
+A stateless ``map_batches`` stage (no init cost → plain function, not
+an actor).  Arrow in / Arrow out; the vectorizable parts use
+``pyarrow.compute`` kernels, the md5 hashing loops over zero-copy
+buffer views (no Arrow kernel exists for it — few µs per KB row).
+
+Replaces the reference's per-object ``head_object`` metadata fetch
+(``IDD/finalcodes/InsuranceCard1.py:80-81``), extension gate
+(``:83-84``), 10 MiB size cap (``:23,86-87``) and hard-coded key
+blocklist (``IDD/finalcodes/Prescription2.py:97-101``).  Skipped rows
+are *routed*, not dropped: they carry ``status != 'ok'`` to the sink
+so lineage accounts for every input row (north_rule skew guard).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from valere_ocr_ray import HEAVY_DOC_BYTES, MAX_DOC_BYTES
+from valere_ocr_ray.sources.synth import BLOCKLIST_TOKENS
+
+STATUS_OK = "ok"
+STATUS_BLOCKLISTED = "skipped_blocklisted"
+STATUS_TOO_LARGE = "skipped_too_large"
+STATUS_UNPARSEABLE = "error_unparseable"
+
+KIND_HTML = "html"
+KIND_PDF = "pdf"
+KIND_UNKNOWN = "unknown"
+
+
+def _sniff_kinds(html: pa.BinaryArray) -> pa.Array:
+    """Magic-byte doc-kind sniff (the extension-predicate analog F1)."""
+    kinds = []
+    for v in html:
+        buf = v.as_buffer() if v.is_valid else None
+        if buf is None or buf.size == 0:
+            kinds.append(KIND_UNKNOWN)
+            continue
+        head = buf[: min(8, buf.size)].to_pybytes()
+        if head[:5] == b"%PDF-":
+            kinds.append(KIND_PDF)
+        elif head[:1] in (b"<", b"\xef"):  # markup or UTF-8 BOM
+            kinds.append(KIND_HTML)
+        else:
+            kinds.append(KIND_UNKNOWN)
+    return pa.array(kinds, pa.string())
+
+
+def _md5_hex(html: pa.BinaryArray) -> pa.Array:
+    return pa.array(
+        [
+            hashlib.md5(v.as_buffer()).hexdigest() if v.is_valid else ""
+            for v in html
+        ],
+        pa.string(),
+    )
+
+
+def _url_hash(urls: pa.StringArray) -> pa.Array:
+    # stable 64-bit key for partitioning (md5 prefix, SURVEY.md §7.3)
+    return pa.array(
+        [
+            int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 1
+            for u in urls.to_pylist()
+        ],
+        pa.int64(),
+    )
+
+
+def docmeta_batch(
+    batch: pa.Table,
+    *,
+    max_doc_bytes: int = MAX_DOC_BYTES,
+    heavy_doc_bytes: int = HEAVY_DOC_BYTES,
+    blocklist: tuple[str, ...] = BLOCKLIST_TOKENS,
+) -> pa.Table:
+    html = batch["html"].combine_chunks()
+    urls = batch["url"].combine_chunks()
+
+    size = pc.binary_length(html).cast(pa.int64())
+    kind = _sniff_kinds(html)
+    heavy = pc.greater(size, heavy_doc_bytes)
+
+    # status resolution, cheapest check first; precedence: blocklist >
+    # size cap > kind sniff (mirrors the reference's filter order E1)
+    low_urls = pc.utf8_lower(urls)
+    blocked = pa.array([False] * len(batch), pa.bool_())
+    for token in blocklist:
+        blocked = pc.or_(blocked, pc.match_substring(low_urls, token))
+    too_large = pc.greater(size, max_doc_bytes)
+    unknown = pc.equal(kind, KIND_UNKNOWN)
+
+    status = pa.array([STATUS_OK] * len(batch), pa.string())
+    status = pc.if_else(unknown, STATUS_UNPARSEABLE, status)
+    status = pc.if_else(too_large, STATUS_TOO_LARGE, status)
+    status = pc.if_else(blocked, STATUS_BLOCKLISTED, status)
+
+    return (
+        batch.append_column("size_bytes", size)
+        .append_column("doc_kind", kind)
+        .append_column("heavy", heavy)
+        .append_column("url_hash", _url_hash(urls))
+        .append_column("content_hash", _md5_hex(html))
+        .append_column("status", status)
+    )

@@ -1,0 +1,121 @@
+"""Extraction stages: text parse (actor pool) + field extraction.
+
+``PageExtractor`` is the stateful stage of the north-star — the HTML
+DOM walker / PDF parser held in an actor pool via
+``map_batches(PageExtractor, concurrency=N, batch_format="pyarrow")``.
+It replaces the reference's per-document Textract calls (sync
+``analyze_document``, ``IDD/finalcodes/InsuranceCard1.py:89-109``; async
+``start_document_analysis`` + poll, ``SignedAgreement.py:124-156``)
+with deterministic local parsing.  Per-row data errors become
+``status='error_parse'`` rows — the reference's skip-on-exception
+semantics (``InsuranceCard2.py:164-172``) — never task failures, so Ray
+retries stay idempotent.
+
+``extract_fields_batch`` (classification C1-C3 + field batteries
+F9-F13 + rules §2.8 + confidence A1/A2) is a plain function: its
+regexes compile at module import, once per worker process, so it needs
+no actor state.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from valere_ocr_ray.extract.html_text import extract_main_text
+from valere_ocr_ray.extract.pdf_text import extract_pdf_text
+from valere_ocr_ray.registry.extractors import extract_document
+from valere_ocr_ray.stages.docmeta import KIND_HTML, KIND_PDF, STATUS_OK
+
+STATUS_ERROR_PARSE = "error_parse"
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("field", pa.string()),
+            ("value", pa.string()),
+            ("start", pa.int64()),
+            ("end", pa.int64()),
+        ]
+    )
+)
+
+
+class PageExtractor:
+    """html/pdf binary → ``extracted_text`` (large_string) + parse status.
+
+    One instance per pool actor; routing on ``doc_kind`` happens per
+    row *inside* the batch (single pass over the input — splitting into
+    two filtered sub-pipelines would re-execute the upstream read per
+    branch).  Oversized-but-admitted rows ("heavy") share the batch but
+    are the reason ``batch_size`` stays modest for this stage.
+    """
+
+    def __init__(self, ocr_seam=None) -> None:
+        # seam for scanned-page OCR; None → image-only PDFs yield ''
+        self._ocr = ocr_seam
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = batch["html"].combine_chunks()
+        kinds = batch["doc_kind"].to_pylist()
+        statuses = batch["status"].to_pylist()
+
+        texts: list[str] = []
+        out_status: list[str] = []
+        for i, (kind, status) in enumerate(zip(kinds, statuses)):
+            if status != STATUS_OK:
+                texts.append("")
+                out_status.append(status)
+                continue
+            payload = html[i].as_buffer().to_pybytes()
+            try:
+                if kind == KIND_PDF:
+                    text = extract_pdf_text(payload)
+                    if not text and self._ocr is not None:
+                        text = self._ocr(payload)
+                elif kind == KIND_HTML:
+                    text = extract_main_text(payload)
+                else:
+                    text = ""
+                texts.append(text)
+                out_status.append(STATUS_OK)
+            except Exception:
+                texts.append("")
+                out_status.append(STATUS_ERROR_PARSE)
+
+        out = batch.drop_columns(["html", "status"])  # bytes stop here
+        return out.append_column(
+            "extracted_text", pa.array(texts, pa.large_string())
+        ).append_column("status", pa.array(out_status, pa.string()))
+
+
+def extract_fields_batch(batch: pa.Table) -> pa.Table:
+    """classify + field extraction per row (module-level compiled regexes)."""
+    urls = batch["url"].to_pylist()
+    texts = batch["extracted_text"].to_pylist()
+    statuses = batch["status"].to_pylist()
+
+    doc_types: list[str] = []
+    fields_json: list[str] = []
+    confidences: list[float] = []
+    spans: list[list[dict]] = []
+    for url, text, status in zip(urls, texts, statuses):
+        if status != STATUS_OK:
+            doc_types.append("UNKNOWN")
+            fields_json.append(json.dumps({}))
+            confidences.append(0.0)
+            spans.append([])
+            continue
+        rec = extract_document(url, text)
+        doc_types.append(rec["doc_type"])
+        fields_json.append(rec["fields_json"])
+        confidences.append(float(rec["confidence"]))
+        spans.append(rec["spans"])
+
+    return (
+        batch.append_column("doc_type", pa.array(doc_types, pa.string()))
+        .append_column("fields_json", pa.array(fields_json, pa.string()))
+        .append_column("confidence", pa.array(confidences, pa.float64()))
+        .append_column("spans", pa.array(spans, SPAN_TYPE))
+    )

@@ -1,44 +1,160 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query, with
+matching column names and integer-scaled float aggregates so the
+value-hash comparison is summation-order-proof.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported —
+nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from valere_ocr_ray.pipelines import queries as q  # noqa: E402
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return q.pages_extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # documents: text analysis + dedup (SURVEY §2.2, §2.5-2.7 + ops)
+        "doc_lang_counts": q.doc_lang_counts,
+        "doc_source_stats": q.doc_source_stats,
+        "doc_token_counts": q.doc_token_counts,
+        "doc_quality": q.doc_quality,
+        "doc_exact_dedup": q.doc_exact_dedup,
+        "doc_substring_search": q.doc_substring_search,
+        "doc_head_probe": q.doc_head_probe,
+        "doc_topk_longest": q.doc_topk_longest,
+        "doc_distinct_tokens": q.doc_distinct_tokens,
+        "doc_keyword_score": q.doc_keyword_score,
+        "doc_langid": q.doc_langid,
+        "doc_fingerprint": q.doc_fingerprint,
+        "doc_minhash_pairs": q.doc_minhash_pairs,
+        "doc_simhash": q.doc_simhash,
+        # relational operators (joins/aggregates/sort/limit/window)
+        "lineitem_agg": q.lineitem_agg,
+        "orders_by_nation": q.orders_by_nation,
+        "lineitem_part_join": q.lineitem_part_join,
+        "events_type_agg": q.events_type_agg,
+        "events_user_topk": q.events_user_topk,
+        "events_hourly": q.events_hourly,
+        # embeddings: similarity search + near-dup
+        "emb_label_counts": q.emb_label_counts,
+        "emb_knn_query0": q.emb_knn_query0,
+        "emb_knn_brute": q.emb_knn_brute,
+        "emb_knn_ivf": q.emb_knn_ivf,
+        "emb_dup_pairs": q.emb_dup_pairs,
+        # pages: the flagship extraction surface (engine-synthesized
+        # corpus → rows-only checks) + multimodal plumbing
+        "pages_extract": q.pages_extract,
+        "pages_doc_type_counts": q.pages_doc_type_counts,
+        "pages_exact_dedup": q.pages_exact_dedup,
+        "pages_near_dup_pairs": q.pages_near_dup_pairs,
+        "media_features": q.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "doc_source_stats": (
+            "SELECT source, count(*) AS n, sum(n_chars) AS sum_chars, "
+            "max(n_chars) AS max_chars, min(n_chars) AS min_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "doc_token_counts": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, length(text) AS len_chars, "
+            "(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000) "
+            "// greatest(length(text), 1) AS alpha_ratio, "
+            r"(len(regexp_extract_all(text, '[^\w\s]')) * 1000) "
+            "// greatest(length(text), 1) AS punct_per_kchar, "
+            r"(len(regexp_extract_all(lower(text), '\b(?:the|and|of|a|to|in|is)\b')) * 1000) "
+            r"// greatest(len(regexp_extract_all(text, '\S+')), 1) AS stop_per_ktok "
+            "FROM documents"
+        ),
+        "doc_exact_dedup": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
+            "count(*) AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "doc_substring_search": (
+            "SELECT doc_id, lang FROM documents WHERE contains(lower(text), 'spark')"
+        ),
+        "doc_head_probe": (
+            "SELECT doc_id FROM documents "
+            "WHERE contains(lower(substr(text, 1, 100)), 'data')"
+        ),
+        "doc_topk_longest": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "doc_distinct_tokens": (
+            "SELECT count(DISTINCT tok) AS n_distinct FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
+            "FROM documents) WHERE length(tok) >= 3"
+        ),
+        "doc_keyword_score": (
+            "SELECT doc_id, "
+            "(length(lower(text)) - length(replace(lower(text), 'spark', ''))) // 5 AS n_spark, "
+            "(length(lower(text)) - length(replace(lower(text), 'join', ''))) // 4 AS n_join "
+            "FROM documents"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
+            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_c, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_nation": (
+            "SELECT n.n_name AS nation, "
+            "sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS sum_total_c, "
+            "count(*) AS n_orders FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "lineitem_part_join": (
+            "SELECT p_brand, sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
+            "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"
+        ),
+        "events_type_agg": (
+            "SELECT event_type, sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_m, "
+            "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "events_user_topk": (
+            "SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type, "
+            "sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_m, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "emb_label_counts": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "emb_knn_query0": (
+            "SELECT vec_id, CAST(floor(round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 9) * 1000) AS BIGINT) AS sim_m "
+            "FROM embeddings ORDER BY sim_m DESC, vec_id LIMIT 10"
+        ),
+        # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
+        # emb_knn_brute / emb_knn_ivf / emb_dup_pairs / pages_* /
+        # media_features: heuristic, hash-based or engine-synthesized-input
+        # ops — not SQL-expressible; driver records rows-only checks.
+    }

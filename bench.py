@@ -1,0 +1,142 @@
+"""Benchmark harness: headline extraction pipeline + operator timings.
+
+Plain run: one JSON line
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling``: the headline pipeline at num_cpus=8 and 32 in fresh
+processes on the same (pre-warmed) input; prints both throughputs and
+the scaling efficiency  eff = (t_lo / t_hi) / (32 / 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _run_benchmarks() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from valere_ocr_ray.pipelines import queries as q
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.synth import ensure_pages
+
+    pages_dir = ensure_pages(SF_DIR)  # untimed; also warms the page cache
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship extraction pipeline, cold output dir
+    out_dir = f"/tmp/valere_bench/extract_cpus{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_resumable(
+        pages_dir, out_dir, concurrency=(2, max(2, NUM_CPUS - 4)), group_size=64
+    )
+    headline = time.perf_counter() - t0
+    n_docs = sum(1 for _ in ())  # filled from manifests below
+    from valere_ocr_ray.state.manifest import read_all_manifests
+
+    manifests = read_all_manifests(out_dir)
+    n_docs = sum(m["n_in"] for m in manifests)
+    timings["pages_extract_write"] = round(headline, 3)
+
+    def timed(name: str, fn, *, consume="count"):
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            if consume == "count":
+                res.count()
+            else:
+                res.to_pandas()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    timed("lineitem_agg", q.lineitem_agg)
+    timed("orders_by_nation", q.orders_by_nation)
+    timed("lineitem_part_join", q.lineitem_part_join)
+    timed("doc_exact_dedup", q.doc_exact_dedup)
+    timed("doc_minhash_pairs", q.doc_minhash_pairs)
+    timed("doc_textstats", q.doc_quality)
+    timed("emb_knn_brute", q.emb_knn_brute)
+    timed("events_hourly", q.events_hourly)
+
+    ray.shutdown()
+    return {
+        "metric": "extraction throughput (docs/sec) + operator wall times",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1) if headline > 0 else None,
+        "groups": len(summary.get("groups", [])),
+    }
+
+
+def _scaling() -> None:
+    # pre-generate the corpus once so both runs read a warm input
+    from valere_ocr_ray.sources.synth import ensure_pages
+
+    ensure_pages(SF_DIR)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        print(json.dumps(_run_benchmarks()))

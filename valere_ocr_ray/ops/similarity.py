@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against
+a broadcast query matrix (``ray.put`` once, read per actor), partial
+top-k per batch, tiny final reduce.  Scale path: IVF — seeded k-means
+centroids (built from a bounded sample), cluster assignment as a batch
+transform, probe only ``n_probe`` nearest clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine vs the broadcast query matrix,
+    emitting each batch's local top-k candidate rows (the partial /
+    combiner shape — the final global top-k reduces k·n_batches rows,
+    not the corpus)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:
+        q = ray.get(queries_ref)  # fetched once per actor, zero-copy plasma
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(np.stack(df[self.vec_col].to_numpy()).astype(np.float32))
+        sims = mat @ self.q.T  # (batch, n_queries)
+        n, nq = sims.shape
+        k = min(self.k, n)
+        idx = np.argpartition(-sims, k - 1, axis=0)[:k]  # per-query top-k rows
+        ids = df[self.id_col].to_numpy()
+        out = {"query_id": [], self.id_col: [], "cosine": []}
+        for qi in range(nq):
+            for ri in idx[:, qi]:
+                out["query_id"].append(qi)
+                out[self.id_col].append(ids[ri])
+                out["cosine"].append(float(sims[ri, qi]))
+        return pd.DataFrame(out)
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Global top-k per query (cosine).  Returns a small pandas frame
+    (n_queries × k rows) — the only materialized object."""
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    # final reduce over k·n_batches candidate rows — small by design
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+    return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) scale path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(centroids).T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+class IvfIndex:
+    """IVF over a Dataset: centroids from a bounded sample, assignments
+    as a stored column; query probes ``n_probe`` nearest lists.
+
+    Partitioning note: at scale, write the assigned dataset partitioned
+    by ``ivf_cluster`` so a probe reads only its clusters' files.
+    """
+
+    def __init__(
+        self,
+        ds: ray.data.Dataset,
+        *,
+        n_clusters: int = 16,
+        sample_size: int = 10_000,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.id_col, self.vec_col = id_col, vec_col
+        n = ds.count()
+        frac = min(1.0, sample_size / max(n, 1))
+        sample_rows = ds.select_columns([vec_col]).random_sample(frac, seed=seed).take_all()
+        sample = np.stack([np.asarray(r[vec_col], dtype=np.float32) for r in sample_rows])
+        self.centroids = _kmeans(sample, min(n_clusters, len(sample)), seed=seed)
+        cref = ray.put(_normalize(self.centroids))
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            cents = ray.get(cref)
+            mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float32))
+            df = df.copy()
+            df["ivf_cluster"] = np.argmax(mat @ cents.T, axis=1).astype(np.int64)
+            return df
+
+        self.assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def search(self, queries: np.ndarray, k: int = 10, n_probe: int = 4) -> pd.DataFrame:
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        probe = np.argsort(-(q @ _normalize(self.centroids).T), axis=1)[:, :n_probe]
+        clusters = sorted(set(probe.flatten().tolist()))
+        sub = self.assigned.filter(
+            expr=f"ivf_cluster in {clusters}"
+        )
+        return knn_brute_force(sub, q, k, id_col=self.id_col, vec_col=self.vec_col)

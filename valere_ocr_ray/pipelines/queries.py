@@ -1,0 +1,415 @@
+"""Driver-facing query implementations (SURVEY.md §2 coverage).
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas frame /
+Arrow table.  Numeric aggregates over doubles are integer-scaled
+(``floor(x*100)`` / ``round(x*100)`` in BOTH the Ray code and the
+DuckDB oracle) so value-hash comparison is immune to float summation
+order.  Column names match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from valere_ocr_ray.ops import dedup, similarity, textstats
+from valere_ocr_ray.pipelines.extract import build_extraction_ds
+from valere_ocr_ray.sources.synth import ensure_pages
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# documents — text-analysis + dedup operators (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+def doc_lang_counts(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def doc_source_stats(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_chars", alias_name="max_chars"),
+        Min("n_chars", alias_name="min_chars"),
+    )
+
+
+def doc_token_counts(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(textstats.token_count_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def doc_quality(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(textstats.quality_batch, batch_format="pandas").select_columns(
+        ["doc_id", "len_chars", "alpha_ratio", "punct_per_kchar", "stop_per_ktok"]
+    )
+
+
+def doc_exact_dedup(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.exact_dedup(ds)
+
+
+def doc_substring_search(sf_dir: str):
+    # F4 name/content-substring filter, vectorized
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["text"].str.lower().str.contains("spark", regex=False)][
+            ["doc_id", "lang"]
+        ]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def doc_head_probe(sf_dir: str):
+    # F5 cheap-prefix probe: only the first 100 chars are inspected
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        head = df["text"].str.slice(0, 100).str.lower()
+        return df[head.str.contains("data", regex=False)][["doc_id"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def doc_topk_longest(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def doc_distinct_tokens(sf_dir: str):
+    # F6 tokenizer + A6 distinct: global distinct alpha-token count
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
+        s = s[s.str.len() >= 3].drop_duplicates()
+        return pd.DataFrame({"tok": s})
+
+    n = len(ds.map_batches(toks, batch_format="pandas").unique("tok"))
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def doc_keyword_score(sf_dir: str):
+    # A4 keyword scoring, vectorized occurrence count
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["text"].str.lower()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_spark": low.str.count("spark").astype("int64"),
+                "n_join": low.str.count("join").astype("int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def doc_langid(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(textstats.langid_batch, batch_format="pandas").select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def doc_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(textstats.fingerprint_batch, batch_format="pandas").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def doc_minhash_pairs(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(ds, threshold=0.35)
+
+
+def doc_simhash(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(dedup.simhash_batch, batch_format="pandas").select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operators (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape with partial aggregation: per-batch combine to
+    (key → partial sums), then a small groupby — the input shuffle
+    moves one row per key per block, not every row."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            sum_qty_c=np.floor(df["l_quantity"] * 100).astype("int64"),
+            sum_price_c=np.floor(df["l_extendedprice"] * 100).astype("int64"),
+            n=1,
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty_c", "sum_price_c", "n"]
+            ].sum()
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_price_c", alias_name="sum_price_c"),
+        Sum("n", alias_name="n"),
+    )
+
+
+def orders_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via small-side broadcast (no shuffle
+    join: customer+nation are dimension tables → ``ray.put`` once,
+    dict-merge per batch), then grouped aggregate."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"].to_numpy(),
+            nation.set_index("n_nationkey")["n_name"].reindex(cust["c_nationkey"]).to_numpy(),
+        )
+    )
+    ref = ray.put(cust_to_nation)
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        df = df.assign(
+            nation=df["o_custkey"].map(lookup),
+            sum_total_c=np.floor(df["o_totalprice"] * 100).astype("int64"),
+            n_orders=1,
+        )
+        return df.groupby("nation", as_index=False)[["sum_total_c", "n_orders"]].sum()
+
+    partials = ds.map_batches(join_partial, batch_format="pandas")
+    return partials.groupby("nation").aggregate(
+        Sum("sum_total_c", alias_name="sum_total_c"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+
+
+def lineitem_part_join(sf_dir: str):
+    """A genuinely two-large-sides hash join: Dataset.join on partkey,
+    then grouped aggregate by brand."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(sum_qty_c=np.floor(df["l_quantity"] * 100).astype("int64"), n=1)
+        return df.groupby("p_brand", as_index=False)[["sum_qty_c", "n"]].sum()
+
+    return joined.map_batches(partial, batch_format="pandas").groupby("p_brand").aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"), Sum("n", alias_name="n")
+    )
+
+
+def events_type_agg(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            sum_value_m=np.floor(df["value"] * 1000).astype("int64"), n=1
+        )
+        return df.groupby("event_type", as_index=False)[["sum_value_m", "n"]].sum()
+
+    return ds.map_batches(partial, batch_format="pandas").groupby("event_type").aggregate(
+        Sum("sum_value_m", alias_name="sum_value_m"), Sum("n", alias_name="n")
+    )
+
+
+def events_user_topk(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def events_hourly(sf_dir: str):
+    """Stream-shaped tumbling window over the bounded events log:
+    1-hour event-time buckets (epoch-hour), keyed count+sum."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000
+        ).astype("int64")
+        df = pd.DataFrame(
+            {
+                "hour": hour,
+                "event_type": df["event_type"],
+                "sum_value_m": np.floor(df["value"] * 1000).astype("int64"),
+                "n": 1,
+            }
+        )
+        return df.groupby(["hour", "event_type"], as_index=False)[["sum_value_m", "n"]].sum()
+
+    return ds.map_batches(bucket, batch_format="pandas").groupby(
+        ["hour", "event_type"]
+    ).aggregate(Sum("sum_value_m", alias_name="sum_value_m"), Sum("n", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings — similarity search
+# ---------------------------------------------------------------------------
+
+
+def emb_label_counts(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n"))
+
+
+def emb_knn_query0(sf_dir: str):
+    """Top-10 by cosine against vec_id=0, integer-scaled similarity.
+
+    float64 math on both sides; ``floor(sim*1000)`` tolerates any
+    low-bit summation-order differences vs the DuckDB oracle.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_row = ds.filter(expr="vec_id == 0").take(1)[0]
+    q = np.asarray(q_row["embedding"], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    def sim(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        s = mat @ qv
+        # round-then-floor: the self-pair sims to 1.0-ε here but exactly
+        # 1.0 in the oracle; 9-decimal pre-round removes the boundary
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"],
+                "sim_m": np.floor(np.round(s, 9) * 1000).astype("int64"),
+            }
+        )
+
+    scored = ds.map_batches(sim, batch_format="pandas")
+    return scored.sort(["sim_m", "vec_id"], descending=[True, False]).limit(10)
+
+
+def emb_knn_brute(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = ds.take(3)
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in head])
+    return similarity.knn_brute_force(ds, queries, k=10)
+
+
+def emb_knn_ivf(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = ds.take(3)
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in head])
+    index = similarity.IvfIndex(ds, n_clusters=16, sample_size=4000)
+    return index.search(queries, k=10, n_probe=4)
+
+
+def emb_dup_pairs(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return dedup.embedding_dup_pairs(ds, dim=64, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# pages — the flagship extraction surface (rows-only checks: the pages
+# corpus is engine-synthesized, not one of the driver's DuckDB views)
+# ---------------------------------------------------------------------------
+
+
+def pages_extract(sf_dir: str):
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir, concurrency=(1, 8))
+    return ds.select_columns(
+        ["url", "doc_kind", "doc_type", "status", "confidence", "size_bytes"]
+    )
+
+
+def pages_doc_type_counts(sf_dir: str):
+    return pages_extract(sf_dir).groupby("doc_type").aggregate(Count(alias_name="n"))
+
+
+def pages_exact_dedup(sf_dir: str):
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir, concurrency=(1, 8))
+    return ds.groupby("content_hash").aggregate(
+        Min("url", alias_name="url"), Count(alias_name="n_copies")
+    )
+
+
+def pages_near_dup_pairs(sf_dir: str):
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir, concurrency=(1, 8))
+    texts = ds.filter(expr="status == 'ok'").select_columns(
+        ["url_hash", "extracted_text"]
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["url_hash"], "text": b["extracted_text"].cast(pa.string())})
+
+    return dedup.minhash_lsh_pairs(
+        texts.map_batches(rename, batch_format="pyarrow"), threshold=0.8
+    )
+
+
+def media_features(sf_dir: str):
+    from valere_ocr_ray.ops.multimodal import extract_media_features, synth_media_table
+
+    n = 500 if "0.1" in sf_dir else 200
+    ds = rd.from_arrow(synth_media_table(n))
+    feats = extract_media_features(ds)
+
+    def project(b: pa.Table) -> pa.Table:
+        # scalar projections of the variable-presence list column so the
+        # result survives arrow→pandas conversion on the driver
+        import pyarrow.compute as pc
+
+        dims = [len(f) if f is not None else 0 for f in b["feature"].to_pylist()]
+        l2 = [
+            round(float(np.linalg.norm(f)), 6) if f is not None else 0.0
+            for f in b["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "media_type": b["media_type"],
+                "status": b["status"],
+                "feature_dim": pa.array(dims, pa.int64()),
+                "feature_l2": pa.array(l2, pa.float64()),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")

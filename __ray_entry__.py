@@ -44,14 +44,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.doc_langid,
         "doc_fingerprint": q.doc_fingerprint,
         "doc_minhash_pairs": q.doc_minhash_pairs,
+        "doc_near_dup_verified": q.doc_near_dup_verified,
         "doc_simhash": q.doc_simhash,
+        "doc_simhash_pairs": q.doc_simhash_pairs,
         # relational operators (joins/aggregates/sort/limit/window)
         "lineitem_agg": q.lineitem_agg,
+        "lineitem_filter_agg": q.lineitem_filter_agg,
         "orders_by_nation": q.orders_by_nation,
+        "orders_topk_revenue": q.orders_topk_revenue,
         "lineitem_part_join": q.lineitem_part_join,
+        "lineitem_part_join_shuffle": q.lineitem_part_join_shuffle,
+        "supplier_by_region": q.supplier_by_region,
+        "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
         "events_hourly": q.events_hourly,
+        "events_sessionize": q.events_sessionize,
         # embeddings: similarity search + near-dup
         "emb_label_counts": q.emb_label_counts,
         "emb_knn_query0": q.emb_knn_query0,
@@ -134,6 +142,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"
         ),
+        "lineitem_part_join_shuffle": (
+            "SELECT p_brand, sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
+            "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"
+        ),
         "events_type_agg": (
             "SELECT event_type, sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_m, "
             "count(*) AS n FROM events GROUP BY event_type"
@@ -141,6 +154,39 @@ def oracle_sql() -> dict[str, str]:
         "events_user_topk": (
             "SELECT user_id, count(*) AS n FROM events "
             "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"
+        ),
+        "lineitem_filter_agg": (
+            "SELECT sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) "
+            "AS revenue_c, count(*) AS n FROM lineitem "
+            "WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07"
+        ),
+        "orders_topk_revenue": (
+            "SELECT l_orderkey, "
+            "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+            "AS revenue_c, count(*) AS n FROM lineitem GROUP BY l_orderkey "
+            "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
+        ),
+        "supplier_by_region": (
+            "SELECT r_name AS region, "
+            "sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS sum_bal_c, "
+            "count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "customer_segment_union": (
+            "SELECT c_mktsegment, count(*) AS n FROM ("
+            "SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000 "
+            "UNION ALL SELECT c_mktsegment FROM customer WHERE c_acctbal < 0"
+            ") GROUP BY c_mktsegment"
+        ),
+        "events_sessionize": (
+            "SELECT user_id, count(*) AS n_events, "
+            "sum(CASE WHEN prev_ts IS NULL OR "
+            "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) "
+            "AS n_sessions FROM ("
+            "SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events"
+            ") GROUP BY user_id"
         ),
         "events_hourly": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type, "

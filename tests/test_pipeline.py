@@ -113,9 +113,10 @@ def test_partition_count_invariance(ray_session, tmp_path):
 def test_rerun_is_idempotent_bytes(ray_session, pages_500, tmp_path):
     from valere_ocr_ray.pipelines.extract import run_resumable
 
+    # actor-pool mode vs task-pool mode must produce identical bytes
     o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
     run_resumable(pages_500, o1, concurrency=2)
-    run_resumable(pages_500, o2, concurrency=2)
+    run_resumable(pages_500, o2)
     a, b = _read_sorted(o1), _read_sorted(o2)
     assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
     assert a["fields_json"].tolist() == b["fields_json"].tolist()

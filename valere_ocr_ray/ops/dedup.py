@@ -24,6 +24,7 @@ Pair outputs use ``id_a < id_b`` and are distinct.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -65,22 +66,50 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
-        return np.zeros(1, dtype=np.uint64)
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-            for g in set(grams)
-        ),
-        dtype=np.uint64,
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanches the (linear) crc32 token hash."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Per-token 64-bit hashes: crc32 (C speed) lifted through splitmix64.
+
+    Deterministic across processes (unlike ``hash()``); ~10× faster than
+    per-token md5 — this is the hot inner loop of minhash/simhash."""
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    th = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
     )
-    return out
+    with np.errstate(over="ignore"):
+        return _mix64(th * np.uint64(0x9E3779B97F4A7C15))
+
+
+_SHINGLE_B = np.uint64(0x100000001B3)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-token-shingle hashes, fully vectorized: polynomial
+    combine of consecutive token hashes + avalanche + ``np.unique``
+    (replaces the set-of-strings + per-shingle md5 formulation)."""
+    toks = text.split()
+    th = _token_hashes(toks)
+    if len(toks) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if len(toks) < k:
+            g = np.zeros(1, dtype=np.uint64)
+            for j in range(len(toks)):
+                g = g * _SHINGLE_B + th[j : j + 1]
+        else:
+            n = len(toks) - k + 1
+            g = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                g = g * _SHINGLE_B + th[j : j + n]
+    return np.unique(_mix64(g))
 
 
 class MinHasher:
@@ -157,6 +186,20 @@ def _bucket_pairs(
     return pd.DataFrame(out)
 
 
+_MINHASHER_CACHE: dict[tuple, MinHasher] = {}
+
+
+def _minhash_batch(df: pd.DataFrame, num_perm: int, k: int, seed: int) -> pd.DataFrame:
+    """Task-pool form of ``MinHasher``: permutation tables cached at
+    module level (built once per worker process — actor-``__init__``
+    semantics without per-execution actor spin-up)."""
+    key = (num_perm, k, seed)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASHER_CACHE.setdefault(key, MinHasher(num_perm, k, seed))
+    return mh(df)
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     *,
@@ -169,10 +212,8 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (signature-estimated Jaccard >= threshold)."""
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k_shingle, "seed": seed},
+        lambda df: _minhash_batch(df, num_perm, k_shingle, seed),
         batch_format="pandas",
-        concurrency=(1, 8),
     )
     band_rows = sigs.map_batches(
         lambda df: _explode_bands(df, bands), batch_format="pandas"
@@ -180,9 +221,10 @@ def minhash_lsh_pairs(
     pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: _bucket_pairs(g, threshold, max_bucket), batch_format="pandas"
     )
-    # same pair can surface from several bands → distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # same pair can surface from several bands → distinct (aggregate, not
+    # map_groups: no per-group Python)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
     )
 
 
@@ -192,20 +234,15 @@ def minhash_lsh_pairs(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (md5 token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over whitespace tokens (crc32+splitmix64 token
+    hashes, bit matrix vectorized over all tokens at once)."""
+    th = _token_hashes(text.split())
+    if not len(th):
+        return 0
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in text.split():
-        h = np.uint64(
-            int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
 
 def simhash_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
@@ -229,15 +266,18 @@ def simhash_pairs(
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"band_id": [], "band_val": [], "doc_id": [], "simhash": []}
-        for _, row in df.iterrows():
-            h = int(row["simhash"]) & ((1 << 64) - 1)
-            for b in range(4):
-                out["band_id"].append(b)
-                out["band_val"].append((h >> (16 * b)) & 0xFFFF)
-                out["doc_id"].append(row["doc_id"])
-                out["simhash"].append(row["simhash"])
-        return pd.DataFrame(out)
+        n = len(df)
+        u = df["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        band_val = ((u[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band_id": np.tile(np.arange(4, dtype=np.int64), n),
+                "band_val": band_val.ravel(),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+                "simhash": np.repeat(df["simhash"].to_numpy(), 4),
+            }
+        )
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         n = min(len(g), max_bucket)
@@ -258,8 +298,8 @@ def simhash_pairs(
     pairs = sh.map_batches(explode, batch_format="pandas").groupby(
         ["band_id", "band_val"]
     ).map_groups(bucket, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 

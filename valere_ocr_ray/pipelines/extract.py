@@ -30,7 +30,11 @@ import ray.data
 
 from valere_ocr_ray import MAX_DOC_BYTES
 from valere_ocr_ray.stages.docmeta import docmeta_batch
-from valere_ocr_ray.stages.extractor import PageExtractor, extract_fields_batch
+from valere_ocr_ray.stages.extractor import (
+    PageExtractor,
+    extract_fields_batch,
+    extract_pages_batch,
+)
 from valere_ocr_ray.state.manifest import pending_shards, write_manifest
 
 # columns the pipeline needs from pages — `text`/`lang` are not read
@@ -63,13 +67,21 @@ def build_extraction_ds(
         lambda b: docmeta_batch(b, max_doc_bytes=max_doc_bytes),
         batch_format="pyarrow",
     )
-    ds = ds.map_batches(
-        PageExtractor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is None:
+        # default: task pool — parser state is module-level (built once
+        # per worker process), warm workers are reused across executions
+        ds = ds.map_batches(
+            extract_pages_batch, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        # actor pool: for stages with heavy per-actor state (OCR seam)
+        ds = ds.map_batches(
+            PageExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     ds = ds.map_batches(extract_fields_batch, batch_format="pyarrow")
     return ds
 

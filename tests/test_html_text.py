@@ -81,3 +81,37 @@ def test_invalid_bytes_replace():
 def test_idempotent():
     html = b"<div><p>a</p><nav>x</nav><p>b</p></div>"
     assert extract_main_text(html) == extract_main_text(html)
+
+
+def test_fast_tokenizer_matches_stdlib_parser():
+    """Differential gate: the regex tokenizer front-end must emit
+    byte-identical text to the html.parser front-end over the full
+    template battery + adversarial markup."""
+    from valere_ocr_ray.extract.html_text import (
+        extract_main_text,
+        extract_main_text_reference,
+    )
+    from valere_ocr_ray.sources.synth import synth_row
+
+    for i in range(0, 1500, 3):
+        html = synth_row(i)[2]
+        if html[:1] == b"<" and len(html) < 1_000_000:
+            assert extract_main_text(html) == extract_main_text_reference(html), i
+
+    adversarial = [
+        b"<p>a &amp; b &lt;tag&gt; &#65; &unknown; & lone</p>",
+        b"<p>bro < ken <div>x</p>",
+        b"<script>if (a<b && c>d) {}</script><p>after</p>",
+        b"<style>a>b{color:red}</style><p>s</p>",
+        b"<!-- comment <p>no</p> --><p>yes</p>",
+        b"<p class='x\"y'>quoted</p>",
+        b'<a href="a>b">link text here</a><p>tail</p>',
+        b"<input type=checkbox checked><p>box</p>",
+        b"<img alt='pic &amp; stuff'/><p>t</p>",
+        b"<P>UPPER</P><DIV>case</DIV>",
+        b"<p>unclosed",
+        b"<!DOCTYPE html><?xml version='1.0'?><p>d</p>",
+        "<p>café &eacute;</p>".encode(),
+    ]
+    for case in adversarial:
+        assert extract_main_text(case) == extract_main_text_reference(case), case

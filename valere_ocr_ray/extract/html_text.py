@@ -88,6 +88,9 @@ class _Walker(HTMLParser):
             self.blocks.append(text)
 
     def _flush(self) -> None:
+        if not self._pieces:
+            self._link_pieces = []
+            return
         text = _norm(self._pieces)
         link_text = _norm(self._link_pieces)
         self._pieces = []
@@ -238,8 +241,110 @@ class _Walker(HTMLParser):
         self._flush_pending_dt()
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer front-end
+# ---------------------------------------------------------------------------
+#
+# ``html.parser``'s char-scan loop (goahead/parse_starttag/updatepos) is
+# ~2/3 of per-doc parse time; this regex scanner drives the SAME
+# ``_Walker`` callbacks with the same semantics for well-formed markup:
+# comments/doctype skipped, charrefs unescaped in data, script/style as
+# CDATA until their literal close tag, attributes parsed only for the
+# tags whose attributes the walker reads (input/img).  Byte-identity vs
+# the html.parser front-end is enforced by test_html_text's differential
+# sweep and the golden corpus.
+
+import html as _html_mod
+
+_SCAN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"          # comment (unterminated → to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>"                 # doctype / declaration
+    r"|<\?[^>]*>"                # processing instruction
+    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"       # end tag   (group 1)
+    r"|<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",  # start tag (2,3,4)
+    re.DOTALL,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?"
+)
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+_ATTR_TAGS = frozenset({"input", "img"})  # walker reads these tags' attrs
+_AMP_OR_TAG = re.compile(r"[&<]")
+
+
+def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
+    out: list[tuple[str, str | None]] = []
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            out.append((name, None))
+        else:
+            if val[:1] in ("'", '"'):
+                val = val[1:-1]
+            out.append((name, _html_mod.unescape(val)))
+    return out
+
+
+def _feed_fast(walker: _Walker, doc: str) -> None:
+    pos = 0
+    n = len(doc)
+    while pos < n:
+        m = _SCAN_RE.search(doc, pos)
+        if m is None:
+            data = doc[pos:]
+            if data:
+                walker.handle_data(
+                    _html_mod.unescape(data) if "&" in data else data
+                )
+            break
+        if m.start() > pos:
+            data = doc[pos : m.start()]
+            walker.handle_data(_html_mod.unescape(data) if "&" in data else data)
+        pos = m.end()
+        end_name, start_name, raw_attrs, selfclose = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
+        if end_name is not None:
+            walker.handle_endtag(end_name.lower())
+        elif start_name is not None:
+            tag = start_name.lower()
+            attrs = _parse_attrs(raw_attrs) if tag in _ATTR_TAGS and raw_attrs else []
+            if selfclose:
+                walker.handle_startendtag(tag, attrs)
+            else:
+                walker.handle_starttag(tag, attrs)
+                closer = _RAWTEXT_CLOSE.get(tag)
+                if closer is not None:
+                    # CDATA content model: raw text to the literal close
+                    c = closer.search(doc, pos)
+                    if c is None:
+                        walker.handle_data(doc[pos:])
+                        pos = n
+                    else:
+                        walker.handle_data(doc[pos : c.start()])
+                        gt = doc.find(">", c.start())
+                        pos = n if gt == -1 else gt + 1
+                        walker.handle_endtag(tag)
+        # else: comment/doctype/PI — dropped
+
+
 def extract_main_text(html_bytes: bytes) -> str:
     """bytes → main-content text per the pinned contract above."""
+    walker = _Walker()
+    _feed_fast(walker, html_bytes.decode("utf-8", errors="replace"))
+    walker.close()
+    return "\n".join(walker.blocks)
+
+
+def extract_main_text_reference(html_bytes: bytes) -> str:
+    """The stdlib ``html.parser`` front-end driving the same walker —
+    the slow, obviously-correct oracle for the fast tokenizer (kept for
+    the differential test; not used in the pipeline)."""
     walker = _Walker()
     walker.feed(html_bytes.decode("utf-8", errors="replace"))
     walker.close()

@@ -58,7 +58,7 @@ def build_extraction_ds(
     *,
     max_doc_bytes: int = MAX_DOC_BYTES,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
 ) -> ray.data.Dataset:
     """Lazy Dataset of extracted rows for the given pages parquet paths."""
     ds = ray.data.read_parquet(paths, columns=_READ_COLUMNS, include_paths=True)
@@ -69,7 +69,11 @@ def build_extraction_ds(
     )
     if concurrency is None:
         # default: task pool — parser state is module-level (built once
-        # per worker process), warm workers are reused across executions
+        # per worker process), warm workers are reused across executions.
+        # batch_size=None → whole blocks as batches: blocks are BYTE-
+        # bounded (DataContext.target_max_block_size), so a run of
+        # 10 MiB heavy blobs can't assemble a multi-GB batch the way a
+        # fixed row-count batch would (skew/memory guard, SURVEY §4.2)
         ds = ds.map_batches(
             extract_pages_batch, batch_format="pyarrow", batch_size=batch_size
         )
@@ -97,7 +101,7 @@ def run_resumable(
     group_size: int = 16,
     max_doc_bytes: int = MAX_DOC_BYTES,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
 ) -> dict:
     """Process all pending input shards; returns a run summary.
 

@@ -385,12 +385,34 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
+def _write_shard(args: tuple[str, int, int]) -> None:
+    """Generate + write one shard (top-level for process-pool pickling)."""
+    path, lo, hi = args
+    rows = [synth_row(i) for i in range(lo, hi)]
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    table = pa.table(
+        {
+            "url": pa.array(cols[0], pa.string()),
+            "warc_ts": pa.array(cols[1], pa.timestamp("us")),
+            "html": pa.array(cols[2], pa.binary()),
+            "text": pa.array(cols[3], pa.string()),
+            "lang": pa.array(cols[4], pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(table, path + ".tmp", compression="zstd")
+    os.replace(path + ".tmp", path)
+
+
 def synth_pages(out_dir: str, n_rows: int, n_shards: int | None = None) -> list[str]:
     """Write the corpus as ``pages_{shard:04d}.parquet`` files; returns paths.
 
     Idempotent: a ``_SYNTH_DONE`` marker (with row count) short-circuits
     regeneration.  Each shard holds a contiguous row range — shards are
-    the resume/checkpoint partition unit (SURVEY.md §4.2).
+    the resume/checkpoint partition unit (SURVEY.md §4.2).  Row content
+    is pure in ``(SEED, i)``, so shards generate independently — large
+    corpora fan out over a local process pool (generation is test/bench
+    scaffolding, not engine code, so plain multiprocessing is fine).
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_SYNTH_DONE")
@@ -402,28 +424,23 @@ def synth_pages(out_dir: str, n_rows: int, n_shards: int | None = None) -> list[
             if f.read().strip() == f"{n_rows}:{n_shards}":
                 return paths
     per = (n_rows + n_shards - 1) // n_shards
-    for s, path in enumerate(paths):
-        lo, hi = s * per, min((s + 1) * per, n_rows)
-        rows = [synth_row(i) for i in range(lo, hi)]
-        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
-        table = pa.table(
-            {
-                "url": pa.array(cols[0], pa.string()),
-                "warc_ts": pa.array(cols[1], pa.timestamp("us")),
-                "html": pa.array(cols[2], pa.binary()),
-                "text": pa.array(cols[3], pa.string()),
-                "lang": pa.array(cols[4], pa.string()),
-            },
-            schema=PAGES_SCHEMA,
-        )
-        pq.write_table(table, path + ".tmp", compression="zstd")
-        os.replace(path + ".tmp", path)
+    jobs = [
+        (path, s * per, min((s + 1) * per, n_rows)) for s, path in enumerate(paths)
+    ]
+    if n_rows >= 20_000:
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(8, len(jobs))) as pool:
+            list(pool.map(_write_shard, jobs))
+    else:
+        for job in jobs:
+            _write_shard(job)
     with open(marker, "w") as f:
         f.write(f"{n_rows}:{n_shards}")
     return paths
 
 
-_SF_ROWS = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+_SF_ROWS = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 200_000}
 
 
 def pages_dir_for_sf(sf_dir: str) -> str:

@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_doc_type_counts": q.pages_doc_type_counts,
         "pages_exact_dedup": q.pages_exact_dedup,
         "pages_near_dup_pairs": q.pages_near_dup_pairs,
+        "pages_url_tokens": q.pages_url_tokens,
         "media_features": q.media_features,
     }
 

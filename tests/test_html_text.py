@@ -115,3 +115,49 @@ def test_fast_tokenizer_matches_stdlib_parser():
     ]
     for case in adversarial:
         assert extract_main_text(case) == extract_main_text_reference(case), case
+
+
+def test_fast_tokenizer_fuzz_matches_stdlib():
+    """Property fuzz: the fast tokenizer and the html.parser front-end
+    emit identical text over generated markup — tags (well-formed and
+    soup: bare ``<``/``</``, end-tag junk, unterminated constructs at
+    EOF, comments/CDATA/PI, char/entity refs, quoted ``<``/``>`` in
+    attrs).
+
+    Out of scope (documented divergence): start tags whose *attr area*
+    contains a stray unpaired quote before a ``<`` — the stdlib's
+    malformed-start-tag recovery is emulated only for the cases above;
+    both parsers remain deterministic, and the engine's byte contract
+    is pinned by its own goldens, not by stdlib soup recovery."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from valere_ocr_ray.extract.html_text import (
+        extract_main_text,
+        extract_main_text_reference,
+    )
+
+    fragment = st.one_of(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div>", "</div>", "<li>", "<dt>", "</dt>",
+                "<dd>", "</dd>", "<tr>", "</tr>", "<td>", "</td>", "<br>",
+                "<a href='x'>", "</a>", "<nav>", "</nav>", "<table>",
+                "</table>", "<input type=checkbox checked>", "<img alt='z'>",
+                "<script>", "</script>", "<style>", "</style>", "<!-- c -->",
+                "&amp;", "&lt;", "&#65;", "&bogus;", "& ", "<", ">", "</",
+                "<>", "< p>", "<p/>", "<a b=c>", "<a b='c d'>", "</p attr>",
+                "<!doctype html>", "<?pi?>", "</>", "</ >", "</3>", "</p<q>",
+                "<![CDATA[x]]>", "<!>", '<a href="x<y">', '<a title="a>b">',
+            ]
+        ),
+        st.text(alphabet="ab c:.\n\t>&XYZ09/=!-;#x", min_size=0, max_size=14),
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(fragment, min_size=0, max_size=30))
+    def check(parts):
+        doc = "".join(parts).encode("utf-8", "replace")
+        assert extract_main_text(doc) == extract_main_text_reference(doc)
+
+    check()

@@ -261,10 +261,17 @@ _SCAN_RE = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"                 # doctype / declaration
     r"|<\?[^>]*>"                # processing instruction
-    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"       # end tag   (group 1)
-    r"|<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",  # start tag (2,3,4)
+    r"|(</)"                     # end-tag marker (group 1) — resolved in code
+    # start tag (2,3,4): name charset mirrors html.parser's
+    # tagfind_tolerant ([a-zA-Z][^\t\n\r\f />\x00]*) so tolerant-mode
+    # recovery on tag soup like <a<p> matches the stdlib byte-for-byte
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)\s*(/?)>",
     re.DOTALL,
 )
+# html.parser's endtagfind (strict) and tagfind_tolerant (recovery) —
+# the two-stage end-tag resolution is mirrored in _feed_fast
+_END_STRICT_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_END_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 _ATTR_RE = re.compile(
     r"([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?"
 )
@@ -306,11 +313,30 @@ def _feed_fast(walker: _Walker, doc: str) -> None:
             data = doc[pos : m.start()]
             walker.handle_data(_html_mod.unescape(data) if "&" in data else data)
         pos = m.end()
-        end_name, start_name, raw_attrs, selfclose = (
+        end_marker, start_name, raw_attrs, selfclose = (
             m.group(1), m.group(2), m.group(3), m.group(4),
         )
-        if end_name is not None:
-            walker.handle_endtag(end_name.lower())
+        if end_marker is not None:
+            # html.parser parse_endtag, tolerant mode:
+            i = m.start()
+            sm = _END_STRICT_RE.match(doc, i)
+            if sm:                                  # </name> (ws allowed)
+                walker.handle_endtag(sm.group(1).lower())
+                pos = sm.end()
+            elif doc[i : i + 3] == "</>":           # empty end tag: skipped
+                pos = i + 3
+            else:
+                nm = _END_NAME_RE.match(doc, i + 2)
+                gt_from = nm.end() if nm else i + 2
+                gt = doc.find(">", gt_from)
+                if gt == -1:                        # EOF: '<' + rest as data
+                    walker.handle_data("<")
+                    pos = i + 1
+                elif nm:                            # </name junk> → endtag
+                    walker.handle_endtag(nm.group(0).lower())
+                    pos = gt + 1
+                else:                               # </[^a-z]…> → bogus comment
+                    pos = gt + 1
         elif start_name is not None:
             tag = start_name.lower()
             attrs = _parse_attrs(raw_attrs) if tag in _ATTR_TAGS and raw_attrs else []

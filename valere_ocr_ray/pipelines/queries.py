@@ -571,6 +571,16 @@ def pages_near_dup_pairs(sf_dir: str):
     )
 
 
+def pages_url_tokens(sf_dir: str):
+    """F6 key tokenizer over the pages corpus urls (sorted distinct
+    word tokens per url, vectorized per batch)."""
+    from valere_ocr_ray.ops import urlmeta
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url"])
+    return ds.map_batches(urlmeta.url_tokens_batch, batch_format="pandas")
+
+
 def media_features(sf_dir: str):
     from valere_ocr_ray.ops.multimodal import extract_media_features, synth_media_table
 

@@ -161,8 +161,18 @@ def _explode_bands(df: pd.DataFrame, bands: int) -> pd.DataFrame:
 
 
 def _bucket_pairs(
-    group: pd.DataFrame, threshold: float, max_bucket: int
+    group: pd.DataFrame, threshold: float, max_bucket: int, star: bool = False
 ) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket.
+
+    ``star=False``: full clique (all qualifying pairs) — right for
+    verification-bound flows on corpora without giant near-dup groups.
+    ``star=True``: each doc pairs only with the bucket's min-id doc —
+    output linear in bucket size instead of quadratic; union-find over
+    star pairs still recovers the full clusters through the hub.  This
+    is the scale mode for template-heavy corpora where near-dup cliques
+    reach thousands of members.
+    """
     n = len(group)
     if n < 2:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
@@ -174,6 +184,15 @@ def _bucket_pairs(
     ids = group["doc_id"].to_numpy()
     sigs = np.stack([np.asarray(s) for s in group["sig"]])
     out = {"id_a": [], "id_b": [], "est_jaccard": []}
+    if star:
+        hub = int(np.argmin(ids))
+        eq = (sigs == sigs[hub]).mean(axis=1)
+        for j in range(n):
+            if j != hub and eq[j] >= threshold and ids[j] != ids[hub]:
+                out["id_a"].append(min(ids[hub], ids[j]))
+                out["id_b"].append(max(ids[hub], ids[j]))
+                out["est_jaccard"].append(float(eq[j]))
+        return pd.DataFrame(out)
     for i in range(n):
         eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
         for j_off, est in enumerate(eq):
@@ -209,8 +228,12 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 512,
     seed: int = 42,
+    star: bool = False,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs (signature-estimated Jaccard >= threshold)."""
+    """Near-duplicate pairs (signature-estimated Jaccard >= threshold).
+
+    ``star=True`` bounds output to O(n) pairs-with-representative (see
+    ``_bucket_pairs``) — use for corpora with huge near-dup cliques."""
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
         lambda df: _minhash_batch(df, num_perm, k_shingle, seed),
         batch_format="pandas",
@@ -219,7 +242,7 @@ def minhash_lsh_pairs(
         lambda df: _explode_bands(df, bands), batch_format="pandas"
     )
     pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold, max_bucket), batch_format="pandas"
+        lambda g: _bucket_pairs(g, threshold, max_bucket, star), batch_format="pandas"
     )
     # same pair can surface from several bands → distinct (aggregate, not
     # map_groups: no per-group Python)

@@ -328,8 +328,18 @@ def lineitem_filter_agg(sf_dir: str):
 
 
 def orders_topk_revenue(sf_dir: str):
-    """TPC-H Q3-ish: high-cardinality groupby (l_orderkey) with per-batch
-    partial pre-aggregation before the shuffle, then global top-k."""
+    """TPC-H Q3-ish: high-cardinality (l_orderkey) aggregate + top-k.
+
+    Ray's sort-shuffle groupby pays a per-distinct-key Python cost
+    (~1 ms/key → 15 s for 15k keys here), so the combine is a
+    **tree-reduce of keyed partials**: per-block vectorized pandas
+    groupby → repartition to a handful of blocks → combine again →
+    single block → exact global combine + top-10.  Every stage is a
+    whole-batch pandas kernel; correctness is exact (keys fully
+    co-located at the final combine).  At cluster scale the fan-in
+    widths grow with data (and the final combine stays one task only
+    while distinct keys fit one block — else fall back to the keyed
+    exchange)."""
     ds = rd.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -344,11 +354,18 @@ def orders_topk_revenue(sf_dir: str):
         )
         return df.groupby("l_orderkey", as_index=False)[["revenue_c", "n"]].sum()
 
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
     parts = ds.map_batches(partial, batch_format="pandas")
-    agg = parts.groupby("l_orderkey").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"), Sum("n", alias_name="n")
+    agg = tree_keyed_sum(parts, ["l_orderkey"], ["revenue_c", "n"])
+    final = agg.map_batches(
+        lambda df: df.sort_values(
+            ["revenue_c", "l_orderkey"], ascending=[False, True]
+        ).head(10),
+        batch_format="pandas",
+        batch_size=None,
     )
-    return agg.sort(["revenue_c", "l_orderkey"], descending=[True, False]).limit(10)
+    return final.to_pandas().reset_index(drop=True)
 
 
 def supplier_by_region(sf_dir: str):
@@ -566,8 +583,12 @@ def pages_near_dup_pairs(sf_dir: str):
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["url_hash"], "text": b["extracted_text"].cast(pa.string())})
 
+    # star=True: template-heavy web corpora form near-dup cliques of
+    # thousands; pairs-with-representative keeps output linear (73k
+    # full-clique pairs → ~5k star pairs at sf0.01, same clusters under
+    # union-find)
     return dedup.minhash_lsh_pairs(
-        texts.map_batches(rename, batch_format="pyarrow"), threshold=0.8
+        texts.map_batches(rename, batch_format="pyarrow"), threshold=0.8, star=True
     )
 
 

@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q.doc_fingerprint,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_near_dup_verified": q.doc_near_dup_verified,
+        "doc_dup_clusters": q.doc_dup_clusters,
+        "doc_distinct_tokens_kmv": q.doc_distinct_tokens_kmv,
         "doc_simhash": q.doc_simhash,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         # relational operators (joins/aggregates/sort/limit/window)
@@ -58,8 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
+        "events_user_top_event": q.events_user_top_event,
         "events_hourly": q.events_hourly,
         "events_sessionize": q.events_sessionize,
+        "lineitem_distinct_parts": q.lineitem_distinct_parts,
         # embeddings: similarity search + near-dup
         "emb_label_counts": q.emb_label_counts,
         "emb_knn_query0": q.emb_knn_query0,
@@ -179,6 +183,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000 "
             "UNION ALL SELECT c_mktsegment FROM customer WHERE c_acctbal < 0"
             ") GROUP BY c_mktsegment"
+        ),
+        "lineitem_distinct_parts": (
+            "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem"
+        ),
+        "events_user_top_event": (
+            "SELECT user_id, event_type AS top_event, n FROM ("
+            "SELECT user_id, event_type, count(*) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rk "
+            "FROM events GROUP BY user_id, event_type) WHERE rk = 1"
         ),
         "events_sessionize": (
             "SELECT user_id, count(*) AS n_events, "

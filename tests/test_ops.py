@@ -257,3 +257,40 @@ def test_tree_keyed_sum_exact(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kmv_sketch_exact_below_k_and_bounded_above(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.sketch import (
+        distinct_tokens_kmv,
+        kmv_estimate,
+        kmv_from_hashes,
+        kmv_merge,
+    )
+    from valere_ocr_ray.ops.dedup import _token_hashes
+
+    # exact when distinct < k
+    toks = [f"tok{i:05d}" for i in range(500)]
+    sk = kmv_from_hashes(_token_hashes(toks), k=1024)
+    assert kmv_estimate(sk, 1024) == 500
+
+    # bounded error when distinct >> k (20k distinct, k=1024 → ~3% rse)
+    toks = [f"word{i:06d}" for i in range(20000)]
+    h = _token_hashes(toks)
+    halves = [kmv_from_hashes(h[:12000], 1024), kmv_from_hashes(h[8000:], 1024)]
+    est = kmv_estimate(kmv_merge(halves, 1024), 1024)
+    assert abs(est - 20000) / 20000 < 0.15
+
+    # dataset path agrees with itself across partition counts
+    df = pd.DataFrame({"text": [f"alpha bravo w{i} w{i+1} w{i*3}" for i in range(400)]})
+    a = distinct_tokens_kmv(rd.from_pandas(df).repartition(1), k=4096)
+    b = distinct_tokens_kmv(rd.from_pandas(df).repartition(7), k=4096)
+    assert a == b  # merge associativity ⇒ partition-count invariant
+
+    # and it is exact here (distinct < k)
+    import re
+    exact = len({w for t in df["text"] for w in re.findall(r"[a-z]+", t.lower()) if len(w) >= 3})
+    assert a == exact

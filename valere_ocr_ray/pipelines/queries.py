@@ -457,6 +457,85 @@ def doc_simhash_pairs(sf_dir: str):
     return dedup.simhash_pairs(ds, max_hamming=3)
 
 
+def lineitem_distinct_parts(sf_dir: str):
+    """Exact COUNT(DISTINCT) via per-block unique partials + a global
+    ``Dataset.unique`` (the one column crosses the wire pre-deduped)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey"])
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    n = len(ds.map_batches(uniq, batch_format="pandas").unique("l_partkey"))
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def doc_distinct_tokens_kmv(sf_dir: str):
+    """Approximate distinct-token count via a mergeable KMV bottom-k
+    sketch (ops/sketch.py) — fixed k int64s per block instead of a
+    distinct-shuffle.  Rows-only (approximate by design); the exact
+    twin is the oracled ``doc_distinct_tokens``."""
+    from valere_ocr_ray.ops.sketch import distinct_tokens_kmv
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    n = distinct_tokens_kmv(ds, k=4096)
+    return pa.table({"n_distinct_est": pa.array([n], pa.int64())})
+
+
+def events_user_top_event(sf_dir: str):
+    """Per-group argmax: each user's most frequent event_type (ties →
+    lexicographically smallest).  Keyed partial counts, tree combine,
+    then a vectorized idxmax per user — no per-group Python."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=1)
+        return df.groupby(["user_id", "event_type"], as_index=False)[["n"]].sum()
+
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    counts = tree_keyed_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        ["n"],
+    )
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        )
+        top = df.drop_duplicates("user_id", keep="first")
+        return top.rename(columns={"event_type": "top_event"})[
+            ["user_id", "top_event", "n"]
+        ]
+
+    return counts.map_batches(argmax, batch_format="pandas", batch_size=None)
+
+
+def doc_dup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: MinHash-LSH star pairs → union-find
+    → ``(doc_id, cluster_rep)`` rows (docs in no cluster are absent).
+    The verified-pair volume is linear (star mode), so the union-find
+    is a driver-side fold by design (ops/dedup.connected_components)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.35, star=True)
+    plist = [
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in pairs.select_columns(["id_a", "id_b"]).take_all()
+    ]
+    comp = dedup.connected_components(plist)
+    if not comp:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    ids = sorted(comp)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array([comp[i] for i in ids], pa.int64()),
+        }
+    )
+
+
 def events_user_topk(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))

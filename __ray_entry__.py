@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_stats": q.doc_source_stats,
         "doc_token_counts": q.doc_token_counts,
         "doc_quality": q.doc_quality,
+        "doc_sentences": q.doc_sentences,
+        "doc_hash_sample": q.doc_hash_sample,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_substring_search": q.doc_substring_search,
         "doc_head_probe": q.doc_head_probe,
@@ -62,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_topk": q.events_user_topk,
         "events_user_top_event": q.events_user_top_event,
         "events_hourly": q.events_hourly,
+        "events_sliding": q.events_sliding,
         "events_sessionize": q.events_sessionize,
         "lineitem_distinct_parts": q.lineitem_distinct_parts,
         # embeddings: similarity search + near-dup
@@ -102,6 +105,22 @@ def oracle_sql() -> dict[str, str]:
             r"(len(regexp_extract_all(lower(text), '\b(?:the|and|of|a|to|in|is)\b')) * 1000) "
             r"// greatest(len(regexp_extract_all(text, '\S+')), 1) AS stop_per_ktok "
             "FROM documents"
+        ),
+        "doc_sentences": (
+            "SELECT doc_id, unnest(string_split(text, '. ')) AS sentence "
+            "FROM documents"
+        ),
+        "doc_hash_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+        ),
+        "events_sliding": (
+            "SELECT window_start, event_type, "
+            "sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_m, "
+            "count(*) AS n FROM ("
+            "SELECT (epoch_us(ts) // 1000000 // 900 - j) * 900 AS window_start, "
+            "event_type, value FROM events, (VALUES (0), (1), (2), (3)) t(j)"
+            ") GROUP BY window_start, event_type"
         ),
         "doc_exact_dedup": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "

@@ -125,6 +125,37 @@ def doc_keyword_score(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def doc_sentences(sf_dir: str):
+    """flat_map shape: one row per (doc_id, sentence) — vectorized
+    explode (pandas str.split + explode), no per-row Python."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(sentence=df["text"].str.split(". ", regex=False)).explode(
+            "sentence"
+        )
+        return out[["doc_id", "sentence"]]
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def doc_hash_sample(sf_dir: str):
+    """Deterministic hash-based sampling (the scale-correct sample:
+    reproducible, partition-invariant, no global shuffle): keep docs
+    whose md5(doc_id) hex starts with '0' or '1' (12.5%)."""
+    import hashlib
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()[0]
+        )
+        return df[first.isin(("0", "1"))]
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
 def doc_langid(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(textstats.langid_batch, batch_format="pandas").select_columns(
@@ -438,6 +469,40 @@ def events_sessionize(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_sliding(sf_dir: str):
+    """Sliding windows (1 h length, 15 min slide): each event lands in
+    4 windows — vectorized 4-way explode per batch, keyed partial
+    sums, small final combine."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def explode_partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000 // 900
+        ).to_numpy()
+        vals = np.floor(df["value"].to_numpy() * 1000).astype("int64")
+        frames = []
+        for j in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": (base - j) * 900,
+                        "event_type": df["event_type"].to_numpy(),
+                        "sum_value_m": vals,
+                        "n": 1,
+                    }
+                )
+            )
+        allf = pd.concat(frames, ignore_index=True)
+        return allf.groupby(["window_start", "event_type"], as_index=False)[
+            ["sum_value_m", "n"]
+        ].sum()
+
+    parts = ds.map_batches(explode_partial, batch_format="pandas")
+    return parts.groupby(["window_start", "event_type"]).aggregate(
+        Sum("sum_value_m", alias_name="sum_value_m"), Sum("n", alias_name="n")
+    )
 
 
 def doc_near_dup_verified(sf_dir: str):

@@ -20,7 +20,11 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from valere_ocr_ray import MAX_DOC_BYTES
-from valere_ocr_ray.extract import extract_main_text, extract_pdf_text
+from valere_ocr_ray.extract import extract_pdf_text
+from valere_ocr_ray.extract.html_text import (
+    extract_main_text_reference as extract_main_text,  # stdlib front-end: the
+    # independent slow oracle — NOT the fast tokenizer under test
+)
 from valere_ocr_ray.registry import extract_document
 from valere_ocr_ray.sources.synth import BLOCKLIST_TOKENS, synth_row
 

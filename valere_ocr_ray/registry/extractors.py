@@ -44,10 +44,18 @@ def parse_kv_lines(text: str) -> dict[str, tuple[str, int, int]]:
     return out
 
 
+def _fold_kvs(
+    kvs: dict[str, tuple[str, int, int]],
+) -> dict[str, tuple[str, int, int]]:
+    """Casefolded view, first occurrence winning on fold-collisions
+    (reversed insertion ⇒ the earliest key's value survives).  Built
+    ONCE per document — lookups then are plain dict gets."""
+    return {k.casefold(): v for k, v in reversed(kvs.items())}
+
+
 def _kv_lookup(
-    kvs: dict[str, tuple[str, int, int]], *labels: str
+    by_fold: dict[str, tuple[str, int, int]], *labels: str
 ) -> tuple[str, int, int]:
-    by_fold = {k.casefold(): v for k, v in reversed(kvs.items())}
     for label in labels:
         hit = by_fold.get(label.casefold())
         if hit is not None:
@@ -59,6 +67,12 @@ def _kv_lookup(
 # Query-set extraction (T3) + A1 confidence — card/facesheet classes
 # ---------------------------------------------------------------------------
 
+# field names derived once at import (the per-question split is pure)
+_DERIVED_FIELDS: dict[str, list[tuple[str, tuple[str, ...]]]] = {
+    dt: [(derive_field_name(q), aliases) for q, aliases in specs]
+    for dt, specs in QUERY_SETS.items()
+}
+
 
 def extract_query_fields(
     doc_type: str, text: str
@@ -69,13 +83,12 @@ def extract_query_fields(
     JSON: ``{"confidence": {...}, "document_data": {...}}`` with the
     derived field names; A1 confidence = (keyCount-empty)/keyCount.
     """
-    kvs = parse_kv_lines(text)
+    by_fold = _fold_kvs(parse_kv_lines(text))
     document_data: dict[str, str] = {}
     spans: list[Span] = []
     empty = 0
-    for question, aliases in QUERY_SETS[doc_type]:
-        field = derive_field_name(question)
-        value, start, end = _kv_lookup(kvs, field, *aliases)
+    for field, aliases in _DERIVED_FIELDS[doc_type]:
+        value, start, end = _kv_lookup(by_fold, field, *aliases)
         document_data[field] = value
         if value == "":
             empty += 1

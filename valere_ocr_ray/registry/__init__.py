@@ -8,5 +8,18 @@ A doc type is declarative data: url rules (C1), content-keyword scoring
 
 from valere_ocr_ray.registry.doctypes import classify, classify_content, classify_url
 from valere_ocr_ray.registry.extractors import extract_document
+from valere_ocr_ray.registry.plugins import (
+    DocTypePlugin,
+    register_doc_type,
+    unregister_doc_type,
+)
 
-__all__ = ["classify", "classify_url", "classify_content", "extract_document"]
+__all__ = [
+    "classify",
+    "classify_url",
+    "classify_content",
+    "extract_document",
+    "DocTypePlugin",
+    "register_doc_type",
+    "unregister_doc_type",
+]

@@ -440,6 +440,14 @@ def extract_document(url: str, text: str) -> dict[str, Any]:
     ``{"document label", "data"}`` for medical, flat 3-field form for
     agreements).
     """
+    from valere_ocr_ray.registry import plugins
+
+    ptype = plugins.classify_plugin(url, text)
+    if ptype is not None:
+        rec = plugins.extract_plugin(ptype, text)
+        if rec is not None:
+            return rec
+
     doc_type = doctypes.classify(url, text)
 
     if doc_type in QUERY_SETS:

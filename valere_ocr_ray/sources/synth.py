@@ -253,6 +253,44 @@ def _generic_article(r: _Rand, i: int) -> bytes:
     return _page(body, f"Update on the {topic}")
 
 
+_TOPIC_WORDS = [
+    "council", "river", "library", "transit", "harbor", "festival", "museum",
+    "orchard", "bridge", "market", "garden", "station", "theater", "trail",
+]
+
+
+def _long_article(r: _Rand, i: int) -> bytes:
+    """Common-Crawl-realistic page: tens of KB, long body, link farms.
+
+    Exercises the walker at realistic page sizes (CC bodies are 10-100×
+    the short templates) and the link-density boilerplate scorer on
+    real-shaped chrome (tag clouds, related-article lists)."""
+    n_paras = 40 + r.u32() % 80
+    paras = []
+    for p in range(n_paras):
+        words = [
+            _TOPIC_WORDS[r.u32() % len(_TOPIC_WORDS)] for _ in range(60 + r.u32() % 80)
+        ]
+        paras.append(f"<p>Paragraph {p}: " + " ".join(words) + ".</p>")
+        if p % 7 == 3:
+            paras.append(f"<h2>SECTION {p}</h2>")
+    tag_cloud = "".join(
+        f'<a href="/tag/{w}">{w}</a> ' for w in _TOPIC_WORDS * (2 + r.u32() % 3)
+    )
+    related = "".join(
+        f'<li><a href="/story/{r.u32() % 10000}">Related story {k}</a></li>'
+        for k in range(10 + r.u32() % 10)
+    )
+    body = (
+        f"<article><h1>Long report {i % 100000} on the {r.pick(_TOPIC_WORDS)}</h1>"
+        + "".join(paras)
+        + f'<div class="tags">{tag_cloud}</div>'
+        + f"<aside><h3>More</h3><ul>{related}</ul></aside>"
+        + f"<p>Contact line: {r.phone()}.</p></article>"
+    )
+    return _page(body, f"Long report {i % 100000}")
+
+
 def _ambiguous(r: _Rand) -> bytes:
     variant = r.u32() % 6
     if variant == 0:  # insurance >= 2 wins outright
@@ -360,6 +398,8 @@ def synth_row(i: int) -> tuple[str, int, bytes, str, str]:
             slug, html = "article", _DUP_PAYLOADS[bucket - 90]
         elif bucket == 93:
             slug, html = f"{BLOCKLIST_TOKENS[0]}/asset", _generic_article(r, i)
+        elif bucket >= 96:
+            slug, html = "article", _long_article(r, i)  # CC-realistic size
         else:
             slug, html = "article", _generic_article(r, i)
     ext = ".pdf" if html[:5] == b"%PDF-" else ".html"

@@ -41,8 +41,6 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-_WS_RE = re.compile(r"\s+")
-
 _SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head", "svg", "iframe"})
 _CHROME_TAGS = frozenset({"nav", "aside", "footer", "header"})
 _BLOCK_TAGS = frozenset(
@@ -59,7 +57,10 @@ LINK_BLOCK_MIN_WORDS = 10
 
 
 def _norm(pieces: list[str]) -> str:
-    return _WS_RE.sub(" ", "".join(pieces)).strip()
+    # whitespace-run collapse + strip; str.split() (C loop over Unicode
+    # whitespace) ≈3× faster than the regex sub it replaces — the
+    # collapse definition is pinned as str.split() whitespace
+    return " ".join("".join(pieces).split())
 
 
 class _Walker(HTMLParser):
@@ -300,22 +301,22 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
 def _feed_fast(walker: _Walker, doc: str) -> None:
     pos = 0
     n = len(doc)
+    search = _SCAN_RE.search
+    handle_data = walker.handle_data
+    unescape = _html_mod.unescape
     while pos < n:
-        m = _SCAN_RE.search(doc, pos)
+        m = search(doc, pos)
         if m is None:
             data = doc[pos:]
             if data:
-                walker.handle_data(
-                    _html_mod.unescape(data) if "&" in data else data
-                )
+                handle_data(unescape(data) if "&" in data else data)
             break
-        if m.start() > pos:
-            data = doc[pos : m.start()]
-            walker.handle_data(_html_mod.unescape(data) if "&" in data else data)
+        start = m.start()
+        if start > pos:
+            data = doc[pos:start]
+            handle_data(unescape(data) if "&" in data else data)
         pos = m.end()
-        end_marker, start_name, raw_attrs, selfclose = (
-            m.group(1), m.group(2), m.group(3), m.group(4),
-        )
+        end_marker, start_name, raw_attrs, selfclose = m.groups()
         if end_marker is not None:
             # html.parser parse_endtag, tolerant mode:
             i = m.start()

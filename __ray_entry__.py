@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": q.doc_token_counts,
         "doc_quality": q.doc_quality,
         "doc_sentences": q.doc_sentences,
+        "doc_sections": q.doc_sections,
+        "doc_line_stats": q.doc_line_stats,
         "doc_hash_sample": q.doc_hash_sample,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_substring_search": q.doc_substring_search,
@@ -109,6 +111,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_sentences": (
             "SELECT doc_id, unnest(string_split(text, '. ')) AS sentence "
             "FROM documents"
+        ),
+        "doc_line_stats": (
+            "SELECT doc_id, "
+            r"sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 0 "
+            "WHEN upper(line) = line AND lower(line) <> line THEN 1 ELSE 0 END) "
+            "AS n_heading, "
+            r"sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 1 ELSE 0 END) "
+            "AS n_blank, "
+            r"sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 0 "
+            "WHEN upper(line) = line AND lower(line) <> line THEN 0 ELSE 1 END) "
+            "AS n_body FROM ("
+            "SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+            "FROM documents) GROUP BY doc_id"
         ),
         "doc_hash_sample": (
             "SELECT doc_id, n_chars FROM documents "

@@ -156,6 +156,28 @@ def doc_hash_sample(sf_dir: str):
     return ds.map_batches(sample, batch_format="pandas")
 
 
+def doc_sections(sf_dir: str):
+    """F8 section splitter per document (insertion-ordered JSON map —
+    byte-stable; rows-only since a map column is not hash-comparable)."""
+    from valere_ocr_ray.extract.sections import sections_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(sections_batch, batch_format="pandas").select_columns(
+        ["doc_id", "sections_json"]
+    )
+
+
+def doc_line_stats(sf_dir: str):
+    """F8's per-line classification (heading / blank / body counts) —
+    the SQL-mirrorable projection of the section splitter."""
+    from valere_ocr_ray.extract.sections import line_stats_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(line_stats_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_heading", "n_blank", "n_body"]
+    )
+
+
 def doc_langid(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(textstats.langid_batch, batch_format="pandas").select_columns(

@@ -163,3 +163,59 @@ def test_pdf_rows_extracted(extracted_out):
     assert pdfs["extracted_text"].str.contains("Signed by customer").all()
     for fj in pdfs["fields_json"]:
         assert json.loads(fj)["Signature Present"] == "Yes"
+
+
+def test_poison_shard_quarantine(ray_session, tmp_path):
+    """A corrupt shard file costs exactly that shard: the run completes,
+    quarantines it, and later runs skip it without retrying."""
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.synth import synth_pages
+    from valere_ocr_ray.state.manifest import read_all_manifests, read_quarantine
+
+    d = str(tmp_path / "in")
+    synth_pages(d, 160, n_shards=4)
+    # corrupt one shard in place (copy corpus to keep synth dir pristine)
+    import shutil as sh
+
+    d2 = str(tmp_path / "in2")
+    sh.copytree(d, d2)
+    victim = sorted(n for n in os.listdir(d2) if n.endswith(".parquet"))[1]
+    with open(os.path.join(d2, victim), "wb") as f:
+        f.write(b"not a parquet file at all")
+
+    out = str(tmp_path / "out")
+    s1 = run_resumable(d2, out, group_size=4)
+    assert [os.path.splitext(victim)[0]] == s1["quarantined"]
+    assert len(read_quarantine(out)) == 1
+    manifests = read_all_manifests(out)
+    assert len(manifests) == 3  # the healthy shards all completed
+    assert sum(m["n_in"] for m in manifests) == 120
+
+    # rerun: nothing to do, quarantine persists, no exception
+    s2 = run_resumable(d2, out, group_size=4)
+    assert s2["groups"] == []
+    assert s2["quarantined"] == []
+    assert s2["n_quarantined_prior"] == 1
+
+    # deleting the marker re-admits the shard (after fixing the file)
+    sh.copyfile(os.path.join(d, victim), os.path.join(d2, victim))
+    os.remove(os.path.join(out, "_quarantine", os.path.splitext(victim)[0] + ".json"))
+    s3 = run_resumable(d2, out, group_size=4)
+    assert sum(m["n_in"] for m in read_all_manifests(out)) == 160
+
+
+def test_quarantine_off_raises(ray_session, tmp_path):
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    d = str(tmp_path / "in")
+    synth_pages(d, 80, n_shards=4)
+    victim = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))[0]
+    import shutil as sh
+
+    d2 = str(tmp_path / "in2")
+    sh.copytree(d, d2)
+    with open(os.path.join(d2, victim), "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(Exception):
+        run_resumable(d2, str(tmp_path / "out"), group_size=4, quarantine=False)

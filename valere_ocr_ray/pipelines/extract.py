@@ -35,7 +35,12 @@ from valere_ocr_ray.stages.extractor import (
     extract_fields_batch,
     extract_pages_batch,
 )
-from valere_ocr_ray.state.manifest import pending_shards, write_manifest
+from valere_ocr_ray.state.manifest import (
+    pending_shards,
+    read_quarantine,
+    write_manifest,
+    write_quarantine,
+)
 
 # columns the pipeline needs from pages — `text`/`lang` are not read
 # (column pruning at the parquet scan; `text` is the cheap-probe column
@@ -102,6 +107,7 @@ def run_resumable(
     max_doc_bytes: int = MAX_DOC_BYTES,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
+    quarantine: bool = True,
 ) -> dict:
     """Process all pending input shards; returns a run summary.
 
@@ -109,39 +115,78 @@ def run_resumable(
     skipped entirely; partially-written shards are cleared and redone.
     Output layout: ``out_dir/part_id=<shard>/*.parquet`` +
     ``out_dir/_done/<shard>.json`` lineage manifests.
+
+    Poison-shard isolation (``quarantine=True``): a group whose read or
+    write raises (e.g. a corrupt parquet file — row-level data errors
+    never raise, they become ``status='error_*'`` rows) is retried
+    shard-by-shard; a shard that still fails gets a
+    ``_quarantine/<part>.json`` record (error text + timestamp-free,
+    deterministic) and the run continues — at 100 TB one bad file must
+    cost one shard, not the job.  Quarantined shards are NOT retried by
+    later runs until their marker is deleted.
     """
     shards = list_shards(input_dir)
     by_part = {_part_id_from_path(p): p for p in shards}
-    todo = pending_shards(out_dir, list(by_part))
-    summary = {"n_shards": len(shards), "n_skipped_complete": len(shards) - len(todo), "groups": []}
+    quarantined_before = set(read_quarantine(out_dir))
+    todo = [
+        p
+        for p in pending_shards(out_dir, list(by_part))
+        if p not in quarantined_before
+    ]
+    summary = {
+        "n_shards": len(shards),
+        "n_skipped_complete": len(shards) - len(todo) - len(quarantined_before),
+        "n_quarantined_prior": len(quarantined_before),
+        "quarantined": [],
+        "groups": [],
+    }
 
     os.makedirs(out_dir, exist_ok=True)
-    for g in range(0, len(todo), group_size):
-        group = todo[g : g + group_size]
+
+    def process(parts: list[str], group_index: int) -> None:
         # clear partial output from a previous crashed run (§7.4.5)
-        for part_id in group:
+        for part_id in parts:
             part_dir = os.path.join(out_dir, f"part_id={part_id}")
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
         t0 = time.perf_counter()
         ds = build_extraction_ds(
-            [by_part[p] for p in group],
+            [by_part[p] for p in parts],
             max_doc_bytes=max_doc_bytes,
             concurrency=concurrency,
             batch_size=batch_size,
         )
         ds.write_parquet(out_dir, partition_cols=["part_id"])
         wall_s = time.perf_counter() - t0
-
         # lineage per partition from the written output (cheap columnar
         # read-back — avoids re-executing the pipeline for the aggregate)
-        for part_id in group:
+        for part_id in parts:
             part_dir = os.path.join(out_dir, f"part_id={part_id}")
             stats = _partition_lineage(part_dir)
             stats["wall_s_group"] = round(wall_s, 3)
-            stats["group_index"] = g // group_size
+            stats["group_index"] = group_index
             write_manifest(out_dir, part_id, stats)
-        summary["groups"].append({"shards": group, "wall_s": round(wall_s, 3)})
+        summary["groups"].append({"shards": parts, "wall_s": round(wall_s, 3)})
+
+    for g in range(0, len(todo), group_size):
+        group = todo[g : g + group_size]
+        gi = g // group_size
+        try:
+            process(group, gi)
+        except Exception:
+            if not quarantine:
+                raise
+            # isolate: retry one shard at a time; persistent failures
+            # are quarantined, the rest of the group completes
+            for part_id in group:
+                try:
+                    process([part_id], gi)
+                except Exception as exc:
+                    part_dir = os.path.join(out_dir, f"part_id={part_id}")
+                    if os.path.isdir(part_dir):
+                        shutil.rmtree(part_dir)
+                    write_quarantine(out_dir, part_id, repr(exc)[:500])
+                    summary["quarantined"].append(part_id)
     return summary
 
 

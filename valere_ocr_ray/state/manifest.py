@@ -49,6 +49,37 @@ def pending_shards(out_dir: str, part_ids: list[str]) -> list[str]:
     return [p for p in part_ids if read_manifest(out_dir, p) is None]
 
 
+QUARANTINE_DIR = "_quarantine"
+
+
+def write_quarantine(out_dir: str, part_id: str, error: str) -> None:
+    """Poison-shard record: the shard is excluded from later runs until
+    its marker is deleted (manual operator action by design)."""
+    qdir = os.path.join(out_dir, QUARANTINE_DIR)
+    os.makedirs(qdir, exist_ok=True)
+    path = os.path.join(qdir, f"{part_id}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"part_id": part_id, "error": error, "engine_version": __version__},
+            f,
+            indent=2,
+            sort_keys=True,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_quarantine(out_dir: str) -> list[str]:
+    qdir = os.path.join(out_dir, QUARANTINE_DIR)
+    if not os.path.isdir(qdir):
+        return []
+    return sorted(
+        os.path.splitext(n)[0] for n in os.listdir(qdir) if n.endswith(".json")
+    )
+
+
 def read_all_manifests(out_dir: str) -> list[dict]:
     done = os.path.join(out_dir, DONE_DIR)
     if not os.path.isdir(done):

@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_exact_dedup": q.pages_exact_dedup,
         "pages_near_dup_pairs": q.pages_near_dup_pairs,
         "pages_url_tokens": q.pages_url_tokens,
+        "pages_dedup_corpus": q.pages_dedup_corpus,
         "media_features": q.media_features,
     }
 

@@ -219,3 +219,44 @@ def test_quarantine_off_raises(ray_session, tmp_path):
         f.write(b"garbage")
     with pytest.raises(Exception):
         run_resumable(d2, str(tmp_path / "out"), group_size=4, quarantine=False)
+
+
+def test_dedup_corpus_pipeline(ray_session, pages_500, tmp_path):
+    """extract → exact dedup → near-dup clustering composition:
+    exact dups collapse to one row, near-dup clusters are flagged not
+    dropped, everything is deterministic."""
+    from valere_ocr_ray.pipelines.dedup_corpus import run_dedup_corpus
+
+    out = str(tmp_path / "corpus")
+    counts = run_dedup_corpus(pages_500, out)
+
+    import pandas as pd
+
+    df = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(out, "*.parquet")))
+    )
+    # exact dedup: every content_hash appears exactly once
+    assert df["content_hash"].is_unique
+    # the duplicate_pair templates (3 distinct payloads, many urls each)
+    # each survive as exactly one row
+    dup_rows = df[df["extracted_text"].str.startswith("Shared Notice")]
+    assert len(dup_rows) == 3
+    # canonical flags are consistent with cluster_rep
+    assert ((df["cluster_rep"] == df["url_hash"]) == df["is_canonical"]).all()
+    assert counts["n_rows"] == len(df)
+    assert counts["n_canonical"] + counts["n_near_dup"] == counts["n_rows"]
+    # near-dup clustering found the template families (many non-canonical)
+    assert counts["n_near_dup"] > 50
+
+    # determinism: rerun to a fresh dir gives identical bytes
+    out2 = str(tmp_path / "corpus2")
+    run_dedup_corpus(pages_500, out2)
+    df2 = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(out2, "*.parquet")))
+    )
+    a = df.sort_values("url").reset_index(drop=True)
+    b = df2.sort_values("url").reset_index(drop=True)
+    for col in ["url", "content_hash", "cluster_rep", "is_canonical"]:
+        assert a[col].tolist() == b[col].tolist()

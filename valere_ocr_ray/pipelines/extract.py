@@ -40,6 +40,7 @@ from valere_ocr_ray.state.manifest import (
     read_quarantine,
     write_manifest,
     write_quarantine,
+    write_run_summary,
 )
 
 # columns the pipeline needs from pages — `text`/`lang` are not read
@@ -187,6 +188,7 @@ def run_resumable(
                         shutil.rmtree(part_dir)
                     write_quarantine(out_dir, part_id, repr(exc)[:500])
                     summary["quarantined"].append(part_id)
+    summary["totals"] = write_run_summary(out_dir)
     return summary
 
 

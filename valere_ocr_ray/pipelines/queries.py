@@ -768,6 +768,17 @@ def pages_url_tokens(sf_dir: str):
     return ds.map_batches(urlmeta.url_tokens_batch, batch_format="pandas")
 
 
+def pages_dedup_corpus(sf_dir: str):
+    """The canonical composition: extract → exact dedup → near-dup
+    clustering → flagged corpus (pipelines/dedup_corpus.py)."""
+    from valere_ocr_ray.pipelines.dedup_corpus import build_dedup_corpus_ds
+
+    pages_dir = ensure_pages(sf_dir)
+    return build_dedup_corpus_ds(pages_dir).select_columns(
+        ["url", "content_hash", "doc_type", "cluster_rep", "is_canonical"]
+    )
+
+
 def media_features(sf_dir: str):
     from valere_ocr_ray.ops.multimodal import extract_media_features, synth_media_table
 

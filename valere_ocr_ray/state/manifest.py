@@ -49,6 +49,32 @@ def pending_shards(out_dir: str, part_ids: list[str]) -> list[str]:
     return [p for p in part_ids if read_manifest(out_dir, p) is None]
 
 
+def write_run_summary(out_dir: str) -> dict:
+    """Aggregate all partition manifests into ``_summary.json`` — the
+    reference's ``processing_summary.json`` analog
+    (``Ethan_PDFandJPG3.py:716-725``), derived from lineage instead of
+    driver-local counters.  Idempotent; call after any run."""
+    manifests = read_all_manifests(out_dir)
+    summary = {
+        "n_partitions": len(manifests),
+        "n_in": sum(m.get("n_in", 0) for m in manifests),
+        "n_ok": sum(m.get("n_ok", 0) for m in manifests),
+        "n_error": sum(m.get("n_error", 0) for m in manifests),
+        "n_skipped": sum(m.get("n_skipped", 0) for m in manifests),
+        "bytes_in": sum(m.get("bytes_in", 0) for m in manifests),
+        "n_quarantined": len(read_quarantine(out_dir)),
+        "engine_version": __version__,
+    }
+    path = os.path.join(out_dir, "_summary.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f, indent=2, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return summary
+
+
 QUARANTINE_DIR = "_quarantine"
 
 

@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sections": q.doc_sections,
         "doc_line_stats": q.doc_line_stats,
         "doc_hash_sample": q.doc_hash_sample,
+        "doc_prefix_filter": q.doc_prefix_filter,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_substring_search": q.doc_substring_search,
         "doc_head_probe": q.doc_head_probe,
@@ -129,6 +130,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_sample": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+        ),
+        "doc_prefix_filter": (
+            "SELECT doc_id, source FROM documents WHERE starts_with(source, 'src1')"
         ),
         "events_sliding": (
             "SELECT window_start, event_type, "

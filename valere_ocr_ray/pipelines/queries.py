@@ -178,6 +178,18 @@ def doc_line_stats(sf_dir: str):
     )
 
 
+def doc_prefix_filter(sf_dir: str):
+    """J4 prefix lookup, vectorized (``pc.starts_with`` over Arrow)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.starts_with(b["source"], "src1"))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def doc_langid(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(textstats.langid_batch, batch_format="pandas").select_columns(

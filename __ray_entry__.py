@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
         "events_user_top_event": q.events_user_top_event,
+        "events_orders_asof": q.events_orders_asof,
+        "events_trailing_window": q.events_trailing_window,
         "events_hourly": q.events_hourly,
         "events_sliding": q.events_sliding,
         "events_sessionize": q.events_sessionize,
@@ -232,6 +234,17 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY count(*) DESC, event_type) AS rk "
             "FROM events GROUP BY user_id, event_type) WHERE rk = 1"
+        ),
+        "events_orders_asof": (
+            "SELECT e.event_id, CAST(epoch_us(o.o_orderdate) AS BIGINT) "
+            "AS order_date_us FROM events e ASOF JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "events_trailing_window": (
+            "SELECT e.event_id, count(*) AS n_windows FROM events e "
+            "JOIN events o ON e.user_id = o.user_id "
+            "AND e.ts >= o.ts AND e.ts < o.ts + INTERVAL 1 HOUR "
+            "GROUP BY e.event_id"
         ),
         "events_sessionize": (
             "SELECT user_id, count(*) AS n_events, "

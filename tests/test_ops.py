@@ -294,3 +294,55 @@ def test_kmv_sketch_exact_below_k_and_bounded_above(ray_session):
     import re
     exact = len({w for t in df["text"] for w in re.findall(r"[a-z]+", t.lower()) if len(w) >= 3})
     assert a == exact
+
+
+def test_asof_and_range_join_edges(ray_session):
+    """Edge semantics: exact-timestamp tie matches (ts >= right_ts),
+    no-right-rows keys drop, window boundaries are [start, start+w)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.asof import asof_join, range_count_join
+
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "rts": pd.to_datetime(["2024-01-01", "2024-01-10", "2024-01-05"]),
+        }
+    )
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "id": [10, 11, 12, 13, 14],
+                "k": [1, 1, 1, 2, 3],
+                "ts": pd.to_datetime(
+                    ["2024-01-10",  # exact tie → matches the 01-10 order
+                     "2024-01-09",  # between → matches 01-01
+                     "2023-12-31",  # before all → dropped
+                     "2024-02-01",  # k=2 → matches 01-05
+                     "2024-01-02"]  # k=3 has no right rows → dropped
+                ),
+            }
+        )
+    )
+    out = asof_join(
+        left, right, left_key="k", left_ts="ts", right_key="k", right_ts="rts"
+    ).to_pandas().set_index("id")
+    assert sorted(out.index) == [10, 11, 13]
+    day = 24 * 3600 * 1_000_000
+    e = pd.Timestamp("2024-01-01").value // 1000
+    assert out.loc[10, "matched_ts_us"] == e + 9 * day
+    assert out.loc[11, "matched_ts_us"] == e
+    # range: 7-day windows; id=10 at 01-10 covered by the 01-10 window
+    # only (01-01 window ends 01-08); id=11 at 01-09 covered by none of
+    # k=1? 01-01+7d=01-08 <= 01-09, 01-10 starts later → dropped
+    # range: 7-day windows.  id=10 at 01-10: covered by the 01-10 window
+    # only (01-01 window ends 01-08); id=11 at 01-09: covered by none;
+    # id=13 at 02-01: the k=2 window (01-05..01-12) ended → dropped.
+    r = range_count_join(
+        left, right, left_key="k", left_ts="ts", right_key="k", right_ts="rts",
+        window_us=7 * day,
+    ).to_pandas().set_index("id")
+    assert sorted(r.index) == [10]
+    assert r.loc[10, "n_windows"] == 1

@@ -635,6 +635,47 @@ def doc_dup_clusters(sf_dir: str):
     )
 
 
+def events_orders_asof(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (``ops/asof.py``; right side broadcast as a
+    per-key sorted time index, vectorized searchsorted per batch)."""
+    from valere_ocr_ray.ops.asof import asof_join
+
+    orders = pd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        out_col="order_date_us",
+    )
+    return joined.select_columns(["event_id", "order_date_us"])
+
+
+def events_trailing_window(sf_dir: str):
+    """Self range join: per event, the user's event count in the
+    trailing hour (``ops/asof.range_count_join``; includes the event
+    itself, so the result is never empty — window ``(ts-1h, ts]``
+    expressed as start-coverage ``[start, start+1h) ∋ ts``)."""
+    from valere_ocr_ray.ops.asof import range_count_join
+
+    right = pd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    joined = range_count_join(
+        events,
+        right,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="user_id",
+        right_ts="ts",
+        window_us=3600 * 1_000_000,
+    )
+    return joined.select_columns(["event_id", "n_windows"])
+
+
 def events_user_topk(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))

@@ -51,6 +51,13 @@ def build_dedup_corpus_ds(
     ok = extracted.filter(expr="status == 'ok'").select_columns(
         ["url", "url_hash", "content_hash", "doc_type", "extracted_text"]
     )
+    # the extracted subplan feeds THREE consumers (canonical-hash
+    # aggregate, pair mining, final annotate) and Ray re-executes lazy
+    # DAGs per consumer — materialize once (extracted text only, object
+    # store + spill).  At 100 TB, point this pipeline at the flagship
+    # run's written parquet instead of re-extracting: the same flow
+    # minus this materialize.
+    ok = ok.materialize()
 
     # --- exact dedup: canonical url_hash per content_hash (small keyed
     # aggregate → broadcast map; texts stay where they are)

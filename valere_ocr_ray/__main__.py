@@ -1,0 +1,105 @@
+"""CLI: run the engine's pipelines from the command line.
+
+    python -m valere_ocr_ray extract --input PAGES_DIR --out OUT_DIR
+        [--num-cpus N] [--group-size G] [--actor-pool N] [--no-quarantine]
+    python -m valere_ocr_ray dedup --input PAGES_DIR --out OUT_DIR
+        [--num-cpus N] [--threshold T]
+    python -m valere_ocr_ray summary --out OUT_DIR
+    python -m valere_ocr_ray synth --out DIR --rows N [--shards K]
+
+The CLI owns the Ray session (the library never calls ``ray.init``);
+``--num-cpus`` defaults to all local cores.  ``extract`` is resumable:
+rerunning after a kill continues from the partition manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="valere_ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="resumable extraction run")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--num-cpus", type=int, default=None)
+    ex.add_argument("--group-size", type=int, default=16)
+    ex.add_argument("--actor-pool", type=int, default=None,
+                    help="use an actor pool of this size (default: task pool)")
+    ex.add_argument("--no-quarantine", action="store_true")
+
+    dd = sub.add_parser("dedup", help="extract → dedup corpus run")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--num-cpus", type=int, default=None)
+    dd.add_argument("--threshold", type=float, default=0.8)
+
+    sm = sub.add_parser("summary", help="print an output dir's run summary")
+    sm.add_argument("--out", required=True)
+
+    sy = sub.add_parser("synth", help="generate a deterministic pages corpus")
+    sy.add_argument("--out", required=True)
+    sy.add_argument("--rows", type=int, required=True)
+    sy.add_argument("--shards", type=int, default=None)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "synth":
+        from valere_ocr_ray.sources.synth import synth_pages
+
+        paths = synth_pages(a.out, a.rows, n_shards=a.shards)
+        print(json.dumps({"rows": a.rows, "shards": len(paths), "dir": a.out}))
+        return 0
+
+    if a.cmd == "summary":
+        from valere_ocr_ray.state.manifest import write_run_summary
+
+        print(json.dumps(write_run_summary(a.out), indent=2, sort_keys=True))
+        return 0
+
+    import ray
+
+    _init_ray(a.num_cpus)
+    try:
+        if a.cmd == "extract":
+            from valere_ocr_ray.pipelines.extract import run_resumable
+
+            s = run_resumable(
+                a.input,
+                a.out,
+                group_size=a.group_size,
+                concurrency=a.actor_pool,
+                quarantine=not a.no_quarantine,
+            )
+            print(json.dumps(s, indent=2, sort_keys=True))
+        elif a.cmd == "dedup":
+            from valere_ocr_ray.pipelines.dedup_corpus import run_dedup_corpus
+
+            s = run_dedup_corpus(a.input, a.out, minhash_threshold=a.threshold)
+            print(json.dumps(s, indent=2, sort_keys=True))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Custom hash exchange (ops/exchange.py): key co-location, exactness
+vs pandas, determinism across partition counts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum, hash_exchange
+
+
+@pytest.fixture()
+def keyed_df():
+    n = 30000
+    return pd.DataFrame(
+        {
+            "k": (np.arange(n) * 2654435761) % 4000,
+            "s": [f"g{(i * 7) % 11}" for i in range(n)],
+            "v": np.arange(n, dtype="int64") % 1000,
+        }
+    )
+
+
+def test_exchange_colocates_keys(ray_session, keyed_df):
+    ds = rd.from_pandas(keyed_df).repartition(9)
+    ex = hash_exchange(ds, ["k"], 8)
+    seen = {}
+    for i, ref in enumerate(ex.to_arrow_refs()):
+        import ray as _ray
+
+        t = _ray.get(ref)
+        for k in set(t["k"].to_pylist()):
+            assert k not in seen, f"key {k} in partitions {seen[k]} and {i}"
+            seen[k] = i
+    assert len(seen) == keyed_df["k"].nunique()
+    # nothing lost
+    assert ex.count() == len(keyed_df)
+
+
+def test_grouped_sum_exact(ray_session, keyed_df):
+    ds = rd.from_pandas(keyed_df).repartition(7)
+    got = (
+        grouped_sum(ds, ["k"], ["v"], num_partitions=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        keyed_df.groupby("k", as_index=False)[["v"]]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_sum_string_keys(ray_session, keyed_df):
+    ds = rd.from_pandas(keyed_df).repartition(5)
+    got = (
+        grouped_sum(ds, ["s"], ["v"], num_partitions=4)
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    want = (
+        keyed_df.groupby("s", as_index=False)[["v"]]
+        .sum()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_map_semantics_and_partition_invariance(ray_session, keyed_df):
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["v", "s"], ascending=[False, True]).head(2)[
+            ["k", "s", "v"]
+        ]
+
+    ds = rd.from_pandas(keyed_df).repartition(6)
+    a = (
+        grouped_map(ds, ["k"], top2, num_partitions=8)
+        .to_pandas()
+        .sort_values(["k", "s", "v"])
+        .reset_index(drop=True)
+    )
+    b = (
+        grouped_map(ds, ["k"], top2, num_partitions=3)
+        .to_pandas()
+        .sort_values(["k", "s", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    want = (
+        keyed_df.groupby("k", group_keys=False)
+        .apply(top2)
+        .sort_values(["k", "s", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, want, check_dtype=False)
+
+
+def test_single_partition_path(ray_session, keyed_df):
+    ds = rd.from_pandas(keyed_df.head(100)).repartition(3)
+    got = grouped_sum(ds, ["k"], ["v"], num_partitions=1).to_pandas()
+    want = keyed_df.head(100).groupby("k", as_index=False)[["v"]].sum()
+    assert got.sort_values("k")["v"].tolist() == want.sort_values("k")["v"].tolist()

@@ -32,6 +32,18 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
+def _empty_pairs(value_col: str, dtype: str) -> "pd.DataFrame":
+    """Typed empty pair frame — keeps empty blocks schema-identical to
+    non-empty ones (int64 ids) across the hash exchange."""
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            value_col: pd.Series([], dtype=dtype),
+        }
+    )
+
+
 _MERSENNE = (1 << 61) - 1
 _FNV64_OFFSET = 0xCBF29CE484222325
 _FNV64_PRIME = 0x100000001B3
@@ -175,11 +187,13 @@ def _bucket_pairs(
     """
     n = len(group)
     if n < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        return _empty_pairs("est_jaccard", "float64")
     if n > max_bucket:
         # skew guard: degenerate bucket (hot key) — truncate; at real
-        # scale, salt the band key or exact-dedup first
-        group = group.iloc[:max_bucket]
+        # scale, salt the band key or exact-dedup first.  Sort by id
+        # first so the kept subset is independent of row arrival order
+        # (block boundaries vary run to run).
+        group = group.sort_values("doc_id", kind="stable").iloc[:max_bucket]
         n = max_bucket
     ids = group["doc_id"].to_numpy()
     sigs = np.stack([np.asarray(s) for s in group["sig"]])
@@ -192,6 +206,8 @@ def _bucket_pairs(
                 out["id_a"].append(min(ids[hub], ids[j]))
                 out["id_b"].append(max(ids[hub], ids[j]))
                 out["est_jaccard"].append(float(eq[j]))
+        if not out["id_a"]:
+            return _empty_pairs("est_jaccard", "float64")
         return pd.DataFrame(out)
     for i in range(n):
         eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
@@ -202,6 +218,8 @@ def _bucket_pairs(
                     out["id_a"].append(min(a, b))
                     out["id_b"].append(max(a, b))
                     out["est_jaccard"].append(float(est))
+    if not out["id_a"]:
+        return _empty_pairs("est_jaccard", "float64")
     return pd.DataFrame(out)
 
 
@@ -234,6 +252,8 @@ def minhash_lsh_pairs(
 
     ``star=True`` bounds output to O(n) pairs-with-representative (see
     ``_bucket_pairs``) — use for corpora with huge near-dup cliques."""
+    from valere_ocr_ray.ops.exchange import grouped_agg, grouped_map
+
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
         lambda df: _minhash_batch(df, num_perm, k_shingle, seed),
         batch_format="pandas",
@@ -241,13 +261,19 @@ def minhash_lsh_pairs(
     band_rows = sigs.map_batches(
         lambda df: _explode_bands(df, bands), batch_format="pandas"
     )
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold, max_bucket, star), batch_format="pandas"
+    # bucket pairing + pair-dedup over the custom hash exchange —
+    # Dataset.groupby's sort-reduce costs ~1 ms/key, fatal at bucket
+    # cardinality (ops/exchange.py)
+    pairs = grouped_map(
+        band_rows,
+        ["band_id", "band_hash"],
+        lambda g: _bucket_pairs(g, threshold, max_bucket, star),
+        num_partitions=8,
+        min_group_size=2,
     )
-    # same pair can surface from several bands → distinct (aggregate, not
-    # map_groups: no per-group Python)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
+    # same pair can surface from several bands → distinct
+    return grouped_agg(
+        pairs, ["id_a", "id_b"], ["est_jaccard"], how="min", num_partitions=4
     )
 
 
@@ -304,6 +330,9 @@ def simhash_pairs(
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         n = min(len(g), max_bucket)
+        if len(g) > max_bucket:
+            # deterministic truncation (see _bucket_pairs)
+            g = g.sort_values("doc_id", kind="stable")
         out = {"id_a": [], "id_b": [], "hamming": []}
         ids = g["doc_id"].to_numpy()[:n]
         hs = g["simhash"].to_numpy()[:n]
@@ -316,13 +345,21 @@ def simhash_pairs(
                     out["id_a"].append(min(ids[i], ids[j]))
                     out["id_b"].append(max(ids[i], ids[j]))
                     out["hamming"].append(d)
+        if not out["id_a"]:
+            return _empty_pairs("hamming", "int64")
         return pd.DataFrame(out)
 
-    pairs = sh.map_batches(explode, batch_format="pandas").groupby(
-        ["band_id", "band_val"]
-    ).map_groups(bucket, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    from valere_ocr_ray.ops.exchange import grouped_agg, grouped_map
+
+    pairs = grouped_map(
+        sh.map_batches(explode, batch_format="pandas"),
+        ["band_id", "band_val"],
+        bucket,
+        num_partitions=8,
+        min_group_size=2,
+    )
+    return grouped_agg(
+        pairs, ["id_a", "id_b"], ["hamming"], how="min", num_partitions=4
     )
 
 
@@ -432,7 +469,9 @@ def embedding_dup_pairs(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         n = min(len(g), max_bucket)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _empty_pairs("cosine", "float64")
+        if len(g) > max_bucket:
+            g = g.sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()[:n]
         mat = np.stack(g["vec"].to_numpy()[:n])
         sims = mat @ mat.T
@@ -443,12 +482,18 @@ def embedding_dup_pairs(
             out["id_a"].append(min(ids[i], ids[j]))
             out["id_b"].append(max(ids[i], ids[j]))
             out["cosine"].append(float(sims[i, j]))
+        if not out["id_a"]:
+            return _empty_pairs("cosine", "float64")
         return pd.DataFrame(out)
+
+    from valere_ocr_ray.ops.exchange import grouped_map
 
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
         bucketize, batch_format="pandas"
     )
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return grouped_map(
+        bucketed, ["bucket"], bucket_pairs, num_partitions=8, min_group_size=2
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""Custom hash exchange on raw Ray tasks (SURVEY.md custom-operator
+path (c) — used ONLY where the Dataset API is the bottleneck).
+
+``Dataset.groupby(...)`` in Ray 2.49 runs a sort-based shuffle whose
+reduce costs ~1 ms per distinct key (measured: 16 s for a 15k-key
+aggregate of 60k rows), which makes high-cardinality grouped ops —
+LSH bucket pairing, big keyed aggregates — shuffle-bound.  This module
+implements the keyed exchange directly:
+
+    split: one task per input block → P sub-tables by key hash
+    gather: one task per partition  → concat its P_i sub-tables
+
+After the exchange every key lives in exactly ONE output block, so any
+grouped computation becomes a whole-block pandas/Arrow kernel (C-speed
+``df.groupby``), no per-group framework overhead.
+
+Hashing is deterministic across processes (splitmix64 for integer
+keys, crc32 for strings — same primitives as ops/dedup), so results
+are reproducible and partition-count-invariant.  Memory: the exchange
+materializes the input (it IS a barrier); each gather holds one
+partition — pick ``num_partitions`` so the largest partition fits a
+worker (same contract as any hash shuffle; salt hot keys upstream).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _key_hash(table: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Deterministic uint64 hash of the key column(s), vectorized for
+    integer keys; strings via crc32 (C loop)."""
+    acc = np.zeros(table.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = table[k]
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            else:
+                v = np.fromiter(
+                    (zlib.crc32(str(s).encode()) for s in col.to_pylist()),
+                    dtype=np.uint64,
+                    count=table.num_rows,
+                )
+            acc = _mix64(acc * np.uint64(0x9E3779B97F4A7C15) ^ _mix64(v))
+    return acc
+
+
+@ray.remote
+def _split(table: pa.Table, keys: list[str], p: int) -> list[pa.Table]:
+    part = (_key_hash(table, keys) % np.uint64(p)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(p + 1))
+    return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(p)]
+
+
+@ray.remote
+def _probe(table: pa.Table) -> tuple[int, pa.Schema]:
+    return table.num_rows, table.schema
+
+
+@ray.remote
+def _gather(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
+    live = [t for t in parts if t.num_rows]
+    if not live:
+        return schema.empty_table()
+    return pa.concat_tables(live).combine_chunks()
+
+
+def hash_exchange(
+    ds: ray.data.Dataset, keys: Sequence[str], num_partitions: int
+) -> ray.data.Dataset:
+    """Key-partitioned Dataset: every value of ``keys`` lands in exactly
+    one output block (block i = hash(key) % num_partitions == i)."""
+    keys = list(keys)
+    if num_partitions < 2:
+        return ds.repartition(1)  # one block == one partition, trivially keyed
+    block_refs = list(ds.to_arrow_refs())
+    # normalize: Ray emits schema-less EMPTY blocks for empty inputs —
+    # probe (rows, schema) remotely (schemas are tiny), split only the
+    # non-empty blocks, and stamp every gathered partition with the
+    # canonical schema so empty partitions stay consistent
+    metas = ray.get([_probe.remote(r) for r in block_refs])
+    nonempty = [r for r, (n, _) in zip(block_refs, metas) if n > 0]
+    if not nonempty:
+        return ds.repartition(1)
+    schema = next(s for n, s in metas if n > 0)
+    splits = [
+        _split.options(num_returns=num_partitions).remote(ref, keys, num_partitions)
+        for ref in nonempty
+    ]
+    gathered = [
+        _gather.remote(schema, *[s[i] for s in splits])
+        for i in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(gathered)
+
+
+def grouped_map(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    num_partitions: int = 16,
+    min_group_size: int = 1,
+) -> ray.data.Dataset:
+    """``groupby(keys).map_groups(fn)`` semantics at hash-exchange speed:
+    after the exchange, each block holds complete key groups, so ``fn``
+    runs under a single in-block ``pandas.groupby`` (deterministic
+    group order = sorted keys).
+
+    ``min_group_size``: vectorized pre-filter dropping smaller groups
+    BEFORE the per-group loop — pass 2 for pairing-style fns where
+    singleton groups cannot contribute output (LSH buckets are mostly
+    singletons, so this turns a 30k-group loop into a hundreds-group
+    loop).  Only valid when fn(group) is empty for dropped sizes."""
+    keys = list(keys)
+    ex = hash_exchange(ds, keys, num_partitions)
+
+    # contract: fn(empty frame) must return an empty frame with fn's
+    # OUTPUT columns (so empty partitions keep a consistent schema)
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) and min_group_size > 1:
+            sizes = df.groupby(keys)[keys[0]].transform("size")
+            df = df[sizes >= min_group_size]
+        if not len(df):
+            return fn(df)
+        outs = [fn(g) for _, g in df.groupby(keys, sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return fn(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return ex.map_batches(per_block, batch_format="pandas", batch_size=None)
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    *,
+    how: str = "sum",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact keyed algebraic aggregate (sum/min/max) at hash-exchange
+    speed — the high-cardinality alternative to ``Dataset.groupby()``
+    (measured 145 s → 1.2 s on a 147k-key sum of 600k rows).  Partial
+    per input block, exchange, vectorized final combine per partition."""
+    if how not in ("sum", "min", "max"):
+        raise ValueError(f"unsupported how={how!r}")
+    keys, cols = list(keys), list(cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return getattr(df.groupby(keys, as_index=False)[cols], how)()
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    ex = hash_exchange(pre, keys, num_partitions)
+    return ex.map_batches(partial, batch_format="pandas", batch_size=None)
+
+
+def grouped_sum(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    sums: Sequence[str],
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    return grouped_agg(ds, keys, sums, how="sum", num_partitions=num_partitions)

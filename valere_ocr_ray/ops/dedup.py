@@ -62,15 +62,30 @@ def exact_dedup(
 
     Reference analog: ETag/MD5 as document identity, SURVEY.md §2.6 O4
     (``S3LookThrough_Final.py:40-46``).  Columns: content_hash, doc_id,
-    n_copies.
+    n_copies.  content_hash cardinality ≈ corpus size, so the combine
+    runs over the custom hash exchange (ops/exchange.py) — per-block
+    partials, keyed exchange, vectorized final fold.
     """
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
     hashed = ds.map_batches(
         lambda b: _add_md5(b, text_col), batch_format="pyarrow"
     ).select_columns(["content_hash", id_col])
-    agg = hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
-    )
-    return agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
+        )
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": ("n_copies", "sum")}
+        )
+
+    pre = hashed.map_batches(partial, batch_format="pandas")
+    ex = hash_exchange(pre, ["content_hash"], 16)
+    return ex.map_batches(combine, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

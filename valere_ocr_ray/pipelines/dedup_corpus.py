@@ -59,14 +59,19 @@ def build_dedup_corpus_ds(
     # minus this materialize.
     ok = ok.materialize()
 
-    # --- exact dedup: canonical url_hash per content_hash (small keyed
-    # aggregate → broadcast map; texts stay where they are)
-    canon = ok.select_columns(["content_hash", "url_hash"]).groupby(
-        "content_hash"
-    ).aggregate(Min("url_hash", alias_name="canon_url_hash"))
-    canon_map = {
-        r["content_hash"]: r["canon_url_hash"] for r in canon.take_all()
-    }
+    # --- exact dedup: canonical url_hash per content_hash (hash-
+    # exchange keyed min — content_hash cardinality ≈ corpus size —
+    # then broadcast map; texts stay where they are)
+    from valere_ocr_ray.ops.exchange import grouped_agg
+
+    canon = grouped_agg(
+        ok.select_columns(["content_hash", "url_hash"]),
+        ["content_hash"],
+        ["url_hash"],
+        how="min",
+        num_partitions=8,
+    )
+    canon_map = {r["content_hash"]: r["url_hash"] for r in canon.take_all()}
     canon_ref = ray.put(canon_map)
 
     def keep_exact_canonical(df: pd.DataFrame) -> pd.DataFrame:

@@ -785,11 +785,26 @@ def pages_doc_type_counts(sf_dir: str):
 
 
 def pages_exact_dedup(sf_dir: str):
+    """O4 exact dedup over the pages corpus — content_hash cardinality
+    ≈ corpus size, so the combine runs on the hash exchange."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
     pages_dir = ensure_pages(sf_dir)
-    ds = build_extraction_ds(pages_dir)
-    return ds.groupby("content_hash").aggregate(
-        Min("url", alias_name="url"), Count(alias_name="n_copies")
-    )
+    ds = build_extraction_ds(pages_dir).select_columns(["content_hash", "url"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_hash", as_index=False).agg(
+            url=("url", "min"), n_copies=("url", "size")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_hash", as_index=False).agg(
+            url=("url", "min"), n_copies=("n_copies", "sum")
+        )
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    ex = hash_exchange(pre, ["content_hash"], 16)
+    return ex.map_batches(combine, batch_format="pandas", batch_size=None)
 
 
 def pages_near_dup_pairs(sf_dir: str):

@@ -1,21 +1,24 @@
 """Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
-Shuffle discipline (the part that matters at 100 TB):
+Shuffle discipline (the part that matters at 100 TB): every keyed
+combine here runs over the custom hash exchange (ops/exchange.py —
+Dataset.groupby's sort-reduce costs ~1 ms/key, fatal at
+content-hash/bucket cardinality):
 
-* exact: ONE hash-partitioned ``groupby(content_hash)`` with
-  ``Min``/``Count`` aggregates — no ``map_groups``, no second pass.
+* exact: per-block (hash → min-id, count) partials → ONE keyed
+  exchange → vectorized fold.
 * MinHash-LSH: signatures computed batch-local (vectorized numpy),
-  exploded to ``(band_id, band_hash)`` rows, ONE groupby over band
-  buckets; candidate verification uses the signatures carried in the
-  band rows (signature-estimated Jaccard), so no join back to the
-  corpus is needed.  Bucket size is capped (``max_bucket``) — a
-  degenerate band (all-identical docs) otherwise produces O(n²) pairs
-  in one reducer; capped groups report truncation instead of hanging
-  (skew guard; salt-note in docstring).
+  exploded to ``(band_id, band_hash)`` rows; bucket pairing via
+  ``grouped_map(min_group_size=2)`` (singleton buckets skipped
+  vectorized); candidate verification uses the signatures carried in
+  the band rows, so no join back to the corpus is needed.  Bucket
+  size is capped (``max_bucket``) with deterministic sorted
+  truncation — a degenerate band otherwise produces O(n²) pairs in
+  one reducer (skew guard; salt hot keys upstream at real scale).
 * SimHash: 64-bit signature, 4×16-bit band explode → same
-  bucket-groupby shape, hamming-distance verify.
-* embedding: seeded random-hyperplane LSH → bucket groupby →
+  bucket-exchange shape, hamming-distance verify.
+* embedding: seeded random-hyperplane LSH → bucket exchange →
   within-bucket pairwise cosine.
 
 Pair outputs use ``id_a < id_b`` and are distinct.
@@ -30,7 +33,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min
 
 def _empty_pairs(value_col: str, dtype: str) -> "pd.DataFrame":
     """Typed empty pair frame — keeps empty blocks schema-identical to

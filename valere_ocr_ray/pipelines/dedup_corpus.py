@@ -34,7 +34,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 from valere_ocr_ray.ops import dedup
 from valere_ocr_ray.pipelines.extract import build_extraction_ds

@@ -105,3 +105,47 @@ def test_single_partition_path(ray_session, keyed_df):
     got = grouped_sum(ds, ["k"], ["v"], num_partitions=1).to_pandas()
     want = keyed_df.head(100).groupby("k", as_index=False)[["v"]].sum()
     assert got.sort_values("k")["v"].tolist() == want.sort_values("k")["v"].tolist()
+
+
+def test_grouped_sum_fuzz_matches_pandas(ray_session):
+    """Property fuzz: grouped_sum == pandas groupby-sum for arbitrary
+    int/string keys (negatives, unicode, empty) and partition counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        keys=st.lists(
+            st.one_of(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.text(min_size=0, max_size=6),
+            ),
+            min_size=0,
+            max_size=200,
+        ),
+        nparts=st.integers(min_value=1, max_value=5),
+        nblocks=st.integers(min_value=1, max_value=4),
+    )
+    def check(keys, nparts, nblocks):
+        # homogeneous key dtype per draw (mixed int/str columns are not
+        # a supported Arrow schema)
+        keys = [str(k) for k in keys] if any(isinstance(k, str) for k in keys) else keys
+        df = pd.DataFrame({"k": pd.Series(keys), "v": np.arange(len(keys), dtype="int64")})
+        if df.empty:
+            return
+        ds = rd.from_pandas(df).repartition(nblocks)
+        got = (
+            grouped_sum(ds, ["k"], ["v"], num_partitions=nparts)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k", as_index=False)[["v"]]
+            .sum()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()

@@ -66,3 +66,43 @@ def test_read_warc_feeds_extraction(ray_session, tmp_path):
     assert rows["https://a.example/x"]["extracted_text"] == "Hello world"
     assert rows["https://a.example/x"]["doc_kind"] == "html"
     assert rows["https://c.example/z.pdf"]["doc_kind"] == "pdf"
+
+
+def test_convert_warc_dir_feeds_resumable(ray_session, tmp_path):
+    """WARC archives → parquet shards → the resumable flagship, with the
+    file == partition mapping preserved."""
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.warc import convert_warc_dir
+
+    wdir = str(tmp_path / "crawl")
+    os.makedirs(wdir)
+    write_warc(_sample_records(), os.path.join(wdir, "seg-00000.warc.gz"))
+    write_warc(
+        [("https://d.example/w", "2024-07-02T00:00:00Z",
+          b"<html><body><p>Second archive page</p></body></html>")],
+        os.path.join(wdir, "seg-00001.warc"),
+    )
+
+    pdir = str(tmp_path / "pages")
+    outs = convert_warc_dir(wdir, pdir)
+    assert [os.path.basename(o) for o in outs] == [
+        "seg-00000.parquet", "seg-00001.parquet",
+    ]
+    # idempotent
+    assert convert_warc_dir(wdir, pdir) == outs
+
+    out = str(tmp_path / "extracted")
+    s = run_resumable(pdir, out, group_size=1)
+    assert s["totals"]["n_in"] == 4
+    assert s["totals"]["n_partitions"] == 2
+    import pandas as pd
+    import pyarrow.parquet as pqt
+    import glob as g
+
+    df = pd.concat(
+        pqt.read_table(f).to_pandas()
+        for f in sorted(g.glob(os.path.join(out, "part_id=*", "*.parquet")))
+    )
+    by_url = df.set_index("url")
+    assert by_url.loc["https://d.example/w", "extracted_text"] == "Second archive page"
+    assert by_url.loc["https://c.example/z.pdf", "doc_kind"] == "pdf"

@@ -162,6 +162,47 @@ def read_warc(paths: list[str] | str) -> ray.data.Dataset:
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
 
 
+def convert_warc_dir(
+    warc_dir: str, pages_dir: str, *, compression: str = "zstd"
+) -> list[str]:
+    """WARC archive directory → pages parquet shards, one per WARC file
+    (preserving the file == resume-partition mapping), so
+    ``run_resumable`` consumes crawls directly:
+
+        convert_warc_dir("crawl/", "pages/")
+        run_resumable("pages/", "out/")
+
+    Conversion runs as one Ray task per archive (the same parallelism
+    unit as ``read_warc``); idempotent via atomic per-file rename —
+    rerunning skips already-converted archives.
+    """
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(warc_dir, "*.warc"))
+        + glob.glob(os.path.join(warc_dir, "*.warc.gz"))
+    )
+    os.makedirs(pages_dir, exist_ok=True)
+
+    @ray.remote
+    def convert(path: str, out_path: str) -> str:
+        if not os.path.exists(out_path):
+            table = warc_file_to_table(path)
+            pq.write_table(table, out_path + ".tmp", compression=compression)
+            os.replace(out_path + ".tmp", out_path)
+        return out_path
+
+    outs = []
+    for f in files:
+        base = os.path.basename(f)
+        for suf in (".warc.gz", ".warc"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+                break
+        outs.append(os.path.join(pages_dir, f"{base}.parquet"))
+    return ray.get([convert.remote(f, o) for f, o in zip(files, outs)])
+
+
 def write_warc(records: list[tuple[str, str, bytes]], path: str) -> None:
     """Minimal WARC/1.0 writer (response records) — test scaffolding.
 

@@ -30,3 +30,43 @@ def test_compressed_stream_yields_empty_not_crash():
 def test_octal_escape():
     raw = b"%PDF-1.4 BT (A\\101B) Tj ET"
     assert extract_pdf_text(raw) == "AAB"
+
+
+def test_flate_compressed_stream_extracted():
+    """Real-world PDFs compress content streams with /FlateDecode —
+    the parser inflates them via stdlib zlib."""
+    import zlib
+
+    from valere_ocr_ray.extract.pdf_text import extract_pdf_text
+
+    stream = b"BT /F1 10 Tf 50 742 Td\n(Compressed hello) Tj 0 -14 Td\n(line two) Tj\nET"
+    comp = zlib.compress(stream)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "Compressed hello\nline two"
+
+
+def test_flate_garbage_stream_skipped_not_raised():
+    from valere_ocr_ray.extract.pdf_text import extract_pdf_text
+
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 10 /Filter /FlateDecode >>\nstream\n"
+        b"\x00\x01garbage!\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 20 >>\nstream\nBT (ok) Tj ET\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "ok"
+
+
+def test_mixed_plain_and_flate_order():
+    import zlib
+
+    from valere_ocr_ray.extract.pdf_text import extract_pdf_text
+
+    comp = zlib.compress(b"BT (from flate) Tj ET")
+    pdf = (
+        b"%PDF-1.4\nBT (plain first) Tj ET\n"
+        b"<< /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "plain first\nfrom flate"

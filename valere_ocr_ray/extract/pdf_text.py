@@ -26,6 +26,14 @@ stream order) join with ``"\\n"`` as well — mirroring the reference's
 from __future__ import annotations
 
 import re
+import zlib
+
+# /FlateDecode stream: dict immediately preceding the stream keyword —
+# real-world PDFs compress content streams; stdlib zlib inflates them
+_FLATE_STREAM_RE = re.compile(
+    rb"<<[^>]*?/Filter\s*(?:\[\s*)?/FlateDecode[^>]*?>>\s*stream\r?\n(.*?)endstream",
+    re.DOTALL,
+)
 
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _SHOW_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\[\]\\]|\\.)*\]\s*TJ", re.DOTALL)
@@ -48,10 +56,8 @@ def _unescape(raw: bytes) -> bytes:
     return _ESC_RE.sub(sub, raw)
 
 
-def extract_pdf_text(pdf_bytes: bytes) -> str:
-    """PDF bytes → text per the pinned contract; '' when no text objects."""
-    lines: list[str] = []
-    for textobj in _TEXTOBJ_RE.finditer(pdf_bytes):
+def _collect_text(data: bytes, lines: list[str]) -> None:
+    for textobj in _TEXTOBJ_RE.finditer(data):
         for show in _SHOW_RE.finditer(textobj.group(1)):
             parts = [
                 _unescape(s.group(0)[1:-1]) for s in _STR_RE.finditer(show.group(0))
@@ -59,6 +65,31 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
             line = b"".join(parts).decode("utf-8", errors="replace")
             if line.strip():
                 lines.append(line.strip())
+
+
+def extract_pdf_text(pdf_bytes: bytes) -> str:
+    """PDF bytes → text per the pinned contract; '' when no text objects.
+
+    Text objects are scanned both in plain content (uncompressed
+    streams) and inside inflated ``/FlateDecode`` streams (stdlib
+    ``zlib``; undecodable streams are skipped, never raised) — plain
+    content first, then Flate streams in document order."""
+    lines: list[str] = []
+    flate = list(_FLATE_STREAM_RE.finditer(pdf_bytes))
+    if flate:
+        # blank compressed bodies out of the plain scan: random deflate
+        # bytes can coincidentally match BT…ET and yield junk lines
+        plain = bytearray(pdf_bytes)
+        for m in flate:
+            plain[m.start(1) : m.end(1)] = b" " * (m.end(1) - m.start(1))
+        _collect_text(bytes(plain), lines)
+        for m in flate:
+            try:
+                _collect_text(zlib.decompress(m.group(1)), lines)
+            except zlib.error:
+                continue
+    else:
+        _collect_text(pdf_bytes, lines)
     return "\n".join(lines)
 
 

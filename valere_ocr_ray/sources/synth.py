@@ -26,6 +26,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
+# bump when any template changes — forces cached corpora to regenerate
+# (the _SYNTH_DONE marker embeds this)
+CORPUS_VERSION = 3
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -315,21 +318,35 @@ _DUP_PAYLOADS = [
 ]
 
 
-def build_pdf_bytes(lines: list[str]) -> bytes:
-    """Minimal uncompressed single-page PDF with one text object —
-    the shape `extract_pdf_text` parses (and a real PDF viewer opens)."""
+def build_pdf_bytes(lines: list[str], *, flate: bool = False) -> bytes:
+    """Minimal single-page PDF with one text object — the shape
+    `extract_pdf_text` parses (and a real PDF viewer opens).
+    ``flate=True`` compresses the content stream with /FlateDecode
+    (the real-world common case)."""
+    import zlib as _zlib
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
     shows = "\n".join(f"({esc(line)}) Tj 0 -14 Td" for line in lines)
     stream = f"BT /F1 10 Tf 50 742 Td\n{shows}\nET".encode("latin-1", "replace")
+    if flate:
+        stream = _zlib.compress(stream)
+        len_obj = (
+            b"<< /Length " + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream"
+        )
+    else:
+        len_obj = (
+            b"<< /Length " + str(len(stream)).encode()
+            + b" >>\nstream\n" + stream + b"\nendstream"
+        )
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R "
         b"/Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n" + stream + b"\nendstream",
+        len_obj,
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
@@ -347,7 +364,7 @@ def build_pdf_bytes(lines: list[str]) -> bytes:
     return bytes(out)
 
 
-def _pdf_agreement(r: _Rand) -> bytes:
+def _pdf_agreement(r: _Rand, i: int = 0) -> bytes:
     name, date = r.name(), r.date()
     return build_pdf_bytes(
         [
@@ -357,7 +374,10 @@ def _pdf_agreement(r: _Rand) -> bytes:
             f"Signed by customer: {name}",
             f"Date : {date} 10:30 CMT",
             "signature",
-        ]
+        ],
+        # half the PDFs use /FlateDecode streams (the real-world common
+        # case) — extracted text is identical, so goldens are unchanged
+        flate=(i // 100) % 2 == 1,
     )
 
 
@@ -377,7 +397,7 @@ def synth_row(i: int) -> tuple[str, int, bytes, str, str]:
     elif i % _GARBAGE_EVERY == 199:
         slug, html = "article", _digest(i) * 8  # undecodable, no magic
     elif i % 100 == _PDF_SLOT:
-        slug, html = "signed_agreement", _pdf_agreement(r)
+        slug, html = "signed_agreement", _pdf_agreement(r, i)
     else:
         bucket = i % 100
         if bucket < 25:
@@ -459,9 +479,10 @@ def synth_pages(out_dir: str, n_rows: int, n_shards: int | None = None) -> list[
     if n_shards is None:
         n_shards = max(4, min(64, n_rows // 2048))
     paths = [os.path.join(out_dir, f"pages_{s:04d}.parquet") for s in range(n_shards)]
+    stamp = f"{n_rows}:{n_shards}:v{CORPUS_VERSION}"
     if os.path.exists(marker):
         with open(marker) as f:
-            if f.read().strip() == f"{n_rows}:{n_shards}":
+            if f.read().strip() == stamp:
                 return paths
     per = (n_rows + n_shards - 1) // n_shards
     jobs = [
@@ -476,7 +497,7 @@ def synth_pages(out_dir: str, n_rows: int, n_shards: int | None = None) -> list[
         for job in jobs:
             _write_shard(job)
     with open(marker, "w") as f:
-        f.write(f"{n_rows}:{n_shards}")
+        f.write(stamp)
     return paths
 
 

@@ -1,4 +1,35 @@
 """Large-scale training-data operations (beyond the reference's own
-operators): deduplication families, similarity search, text analysis,
-multimodal plumbing.  All are Dataset→Dataset transforms built on
-``map_batches`` / ``groupby`` — no driver-side row loops."""
+operators): deduplication families (``dedup``), similarity search
+(``similarity``), text analysis (``textstats``), sectioning + URL
+projections (``urlmeta``), approximate distinct sketches (``sketch``),
+multimodal plumbing (``multimodal``), as-of/range joins (``asof``),
+and the keyed-combine machinery for high-cardinality groupbys
+(``exchange`` — custom hash exchange; ``combine`` — tree reduce).
+
+All are Dataset→Dataset transforms built on ``map_batches`` plus the
+custom exchange — no driver-side row loops.
+"""
+
+from valere_ocr_ray.ops import (  # noqa: F401
+    asof,
+    combine,
+    dedup,
+    exchange,
+    multimodal,
+    similarity,
+    sketch,
+    textstats,
+    urlmeta,
+)
+
+__all__ = [
+    "asof",
+    "combine",
+    "dedup",
+    "exchange",
+    "multimodal",
+    "similarity",
+    "sketch",
+    "textstats",
+    "urlmeta",
+]

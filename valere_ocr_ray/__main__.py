@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--rows", type=int, required=True)
     sy.add_argument("--shards", type=int, default=None)
 
+    wc = sub.add_parser(
+        "warc-convert", help="WARC archives → pages parquet shards (1:1)"
+    )
+    wc.add_argument("--input", required=True)
+    wc.add_argument("--out", required=True)
+    wc.add_argument("--num-cpus", type=int, default=None)
+
     a = p.parse_args(argv)
 
     if a.cmd == "synth":
@@ -96,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
 
             s = run_dedup_corpus(a.input, a.out, minhash_threshold=a.threshold)
             print(json.dumps(s, indent=2, sort_keys=True))
+        elif a.cmd == "warc-convert":
+            from valere_ocr_ray.sources.warc import convert_warc_dir
+
+            outs = convert_warc_dir(a.input, a.out)
+            print(json.dumps({"n_archives": len(outs), "out": a.out}))
     finally:
         ray.shutdown()
     return 0

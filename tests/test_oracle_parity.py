@@ -74,14 +74,32 @@ def test_query_matches_oracle(contract, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 
+def _retry_once(fn):
+    """Smoke tests only: this shared VM occasionally drops a Ray worker
+    mid-task (transient RayTaskError ~once per dozen full-suite runs);
+    one retry distinguishes infra blips from real regressions.  The
+    semantic assertions for these code paths live in the dedicated
+    (non-retried) tests above."""
+    import time
+
+    try:
+        return fn()
+    except Exception:
+        time.sleep(5)
+        return fn()
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as e
 
-    ds = e.entry()
-    n = ds.count()
-    assert n >= 0
-    cols = set(ds.schema().names)
-    assert {"url", "doc_type", "status", "confidence"} <= cols
+    def run():
+        ds = e.entry()
+        n = ds.count()
+        assert n >= 0
+        cols = set(ds.schema().names)
+        assert {"url", "doc_type", "status", "confidence"} <= cols
+
+    _retry_once(run)
 
 
 def test_rows_only_queries_run(contract):
@@ -93,5 +111,5 @@ def test_rows_only_queries_run(contract):
     for name in rows_only:
         if name in skip:
             continue
-        df = _to_pandas(queries[name](SF))
+        df = _retry_once(lambda name=name: _to_pandas(queries[name](SF)))
         assert df is not None and len(df) >= 0, name

@@ -486,14 +486,25 @@ def events_sessionize(sf_dir: str):
     Partitioning assumption: one user's events fit in one group — true
     for activity logs (events/user ≪ block size); for a pathological
     hot user, salt the key by day and merge session counts at the
-    boundary."""
+    boundary.  Runs on the custom hash exchange (user cardinality grows
+    with the corpus; Dataset.groupby pays ~1 ms/key)."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
     gap_us = 1_800_000_000
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                }
+            )
         df = df.sort_values(["ts", "event_id"])
         t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        n_sessions = int(1 + (np.diff(t) > gap_us).sum()) if len(t) else 0
+        n_sessions = int(1 + (np.diff(t) > gap_us).sum())
         return pd.DataFrame(
             {
                 "user_id": [df["user_id"].iloc[0]],
@@ -502,7 +513,7 @@ def events_sessionize(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped_map(ds, ["user_id"], sessions, num_partitions=8)
 
 
 def events_sliding(sf_dir: str):

@@ -20,6 +20,10 @@ are reproducible and partition-count-invariant.  Memory: the exchange
 materializes the input (it IS a barrier); each gather holds one
 partition — pick ``num_partitions`` so the largest partition fits a
 worker (same contract as any hash shuffle; salt hot keys upstream).
+
+Contract: key columns must be NON-NULL (a null integer key turns the
+column float on the numpy path, and pandas ``groupby`` silently drops
+null keys — filter or fill nulls upstream, as every caller here does).
 """
 
 from __future__ import annotations

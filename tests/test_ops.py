@@ -131,6 +131,43 @@ def test_connected_components():
     assert comp[7] == comp[8] != comp[1]
 
 
+def test_cluster_labels_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find, including
+    a chain (multi-round propagation) and a star component."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import cluster_labels, connected_components
+
+    plist = [(1, 2), (2, 3), (3, 4), (7, 8), (10, 20), (10, 30), (10, 40)]
+    pairs = rd.from_items([{"id_a": a, "id_b": b} for a, b in plist])
+    got = (
+        cluster_labels(pairs, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = connected_components(plist)
+    assert dict(zip(got["doc_id"], got["cluster"])) == want
+    # chain 1-2-3-4 collapses to min label 1 (needs >1 round)
+    assert set(got[got["cluster"] == 1]["doc_id"]) == {1, 2, 3, 4}
+
+
+def test_cluster_labels_empty(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import cluster_labels
+
+    pairs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+    )
+    assert cluster_labels(pairs, num_partitions=2).count() == 0
+
+
 # -- embeddings ---------------------------------------------------------
 def test_embedding_dup_pairs(ray_session):
     import ray.data as rd

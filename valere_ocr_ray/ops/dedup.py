@@ -197,10 +197,13 @@ def _bucket_pairs(
     ``star=False``: full clique (all qualifying pairs) — right for
     verification-bound flows on corpora without giant near-dup groups.
     ``star=True``: each doc pairs only with the bucket's min-id doc —
-    output linear in bucket size instead of quadratic; union-find over
-    star pairs still recovers the full clusters through the hub.  This
-    is the scale mode for template-heavy corpora where near-dup cliques
-    reach thousands of members.
+    output linear in bucket size instead of quadratic.  Clique
+    assumption: clusters are recovered only when the hub is
+    above-threshold vs every member (true for template cliques, the
+    target shape); chain-shaped similarity (A~B~C with A!~C) loses the
+    below-threshold-vs-hub members, so star mode trades recall for
+    linear output.  This is the scale mode for template-heavy corpora
+    where near-dup cliques reach thousands of members.
     """
     n = len(group)
     if n < 2:
@@ -518,13 +521,160 @@ def embedding_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def cluster_labels(
+    pairs: ray.data.Dataset,
+    *,
+    num_partitions: int = 8,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Distributed connected components over a pair Dataset
+    ``(id_a, id_b)`` → Dataset ``(doc_id, cluster)`` where ``cluster``
+    is the minimum node id of the component — same output as
+    union-find, with NO driver-side pair list (the scale path the
+    round-1 driver fold could not be).
+
+    Algorithm: iterative **min-label propagation** as hash-exchange
+    rounds.  State is a labels Dataset (node → label, init label=node,
+    one row per node appearing in any pair; object store, never the
+    driver).  Per round:
+
+      1. exchange ``labels ∪ directed-edges`` keyed by node; inside
+         each partition every node's current label is co-located with
+         its outgoing edges, so one vectorized merge emits
+         ``(dst, label_of_src)`` messages plus the node's own
+         ``(node, label)`` self-row (flagged);
+      2. exchange messages keyed by receiving node; vectorized
+         ``groupby(node).min`` gives the new label, and comparing it
+         to the flagged self-row's label gives a per-node ``changed``
+         bit whose dataset-level sum is the convergence test.
+
+    Rounds until fixpoint = graph diameter (star/clique duplicate
+    clusters: ≤2; for long-chain graphs switch to pointer-jumping,
+    which this data shape does not need).  Per round the driver holds
+    ONE scalar (the changed count); everything else is exchanged
+    blocks proportional to the pair volume.
+    """
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    # directed edges both ways, tagged kind=1; label rows are kind=0.
+    # One unified schema (node,other,lab,kind) keeps the exchange's
+    # concat trivially schema-stable.
+    def both_ways(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([a, b]),
+                "other": np.concatenate([b, a]),
+                "lab": np.zeros(2 * len(df), dtype=np.int64),
+                "kind": np.ones(2 * len(df), dtype=np.int64),
+            }
+        )
+
+    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        both_ways, batch_format="pandas"
+    ).materialize()
+
+    # init labels: distinct nodes, label = node
+    def uniq_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["node"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "node": n.to_numpy(dtype=np.int64),
+                "other": n.to_numpy(dtype=np.int64),
+                "lab": n.to_numpy(dtype=np.int64),
+                "kind": np.zeros(len(n), dtype=np.int64),
+            }
+        )
+
+    pre = edges.map_batches(uniq_nodes, batch_format="pandas")
+    labels = (
+        hash_exchange(pre, ["node"], num_partitions)
+        .map_batches(
+            lambda df: df.drop_duplicates("node"),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .materialize()
+    )
+
+    def send(df: pd.DataFrame) -> pd.DataFrame:
+        """Partition holds each node's label row + its outgoing edges:
+        emit (dst ← label_of_src) messages and the flagged self-row."""
+        lab_rows = df[df["kind"] == 0]
+        edge_rows = df[df["kind"] == 1]
+        lab_map = lab_rows.set_index("node")["lab"]
+        msgs = pd.DataFrame(
+            {
+                "node": edge_rows["other"].to_numpy(dtype=np.int64),
+                "cand": edge_rows["node"].map(lab_map).to_numpy(dtype=np.int64),
+                "is_self": np.zeros(len(edge_rows), dtype=np.int64),
+            }
+        )
+        selfs = pd.DataFrame(
+            {
+                "node": lab_rows["node"].to_numpy(dtype=np.int64),
+                "cand": lab_rows["lab"].to_numpy(dtype=np.int64),
+                "is_self": np.ones(len(lab_rows), dtype=np.int64),
+            }
+        )
+        return pd.concat([selfs, msgs], ignore_index=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        """New label = min candidate per node; changed vs the self-row."""
+        new = df.groupby("node", as_index=False)["cand"].min()
+        old = df[df["is_self"] == 1].set_index("node")["cand"]
+        new["changed"] = (
+            new["cand"].to_numpy()
+            < new["node"].map(old).to_numpy(dtype=np.int64)
+        ).astype(np.int64)
+        return new.rename(columns={"cand": "lab"})
+
+    for _ in range(max_rounds):
+        mixed = hash_exchange(labels.union(edges), ["node"], num_partitions)
+        msgs = mixed.map_batches(send, batch_format="pandas", batch_size=None)
+        folded = (
+            hash_exchange(msgs, ["node"], num_partitions)
+            .map_batches(fold, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+        n_changed = folded.sum("changed")
+        labels = (
+            folded.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "node": df["node"].to_numpy(dtype=np.int64),
+                        "other": df["node"].to_numpy(dtype=np.int64),
+                        "lab": df["lab"].to_numpy(dtype=np.int64),
+                        "kind": np.zeros(len(df), dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+                batch_size=None,
+            )
+            .materialize()
+        )
+        if not n_changed:
+            break
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy(dtype=np.int64),
+                "cluster": df["lab"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return labels.map_batches(project, batch_format="pandas")
+
+
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find over verified duplicate pairs → {id: cluster_rep}.
 
-    Driver-side by design: the verified-pair set is small relative to
-    the corpus (guarded upstream by thresholds + bucket caps).  For a
-    pathological pair volume, switch to iterative min-label
-    propagation via groupby rounds.
+    Driver-side convenience for SMALL pair lists (unit tests, bounded
+    candidate sets).  The scale path is :func:`cluster_labels` —
+    min-label propagation as hash-exchange rounds, no driver
+    materialization of the pairs.
     """
     parent: dict[int, int] = {}
 

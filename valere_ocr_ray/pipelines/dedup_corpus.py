@@ -6,14 +6,16 @@ curation run actually executes:
 
 1. extraction (``build_extraction_ds``): html/pdf → ``extracted_text``,
    ``content_hash``, ``url_hash`` (+ status routing);
-2. **exact dedup** (O4): keep rows whose ``url_hash`` is the minimum of
-   their ``content_hash`` group — one keyed aggregate builds the
-   (small) canonical-hash map, broadcast via ``ray.put`` for the
-   filter, so the full text never shuffles;
+2. **exact dedup** (O4): ONE hash exchange keyed by ``content_hash``
+   co-locates each content group, then a vectorized in-block
+   ``transform('min')`` keeps exactly the rows whose ``url_hash`` is
+   the group minimum — **zero driver state** (round 1 broadcast a
+   corpus-sized canonical map; this is its scale-safe replacement);
 3. **near dedup**: MinHash-LSH star pairs over the surviving texts →
-   union-find clusters (driver-side fold over the linear pair list) →
-   broadcast cluster map; each row gets ``cluster_rep`` (its own
-   ``url_hash`` when unclustered) and ``is_canonical`` (it IS the rep);
+   **distributed min-label propagation** (``ops/dedup.cluster_labels``,
+   hash-exchange rounds — no driver-side pair list) → cluster labels;
+   each row gets ``cluster_rep`` (its own ``url_hash`` when
+   unclustered) and ``is_canonical`` (it IS the rep);
 4. write the corpus partitioned by input shard; non-canonical rows are
    kept with flags, not dropped — downstream decides (flag-don't-drop,
    same principle as the status columns).
@@ -21,11 +23,17 @@ curation run actually executes:
 Determinism: every step is a pure function of the input corpus (seeded
 hashes, min-based tie-breaks), so reruns are byte-identical.
 
-Partitioning notes at scale: step 2's aggregate moves (hash, url_hash)
-pairs only; step 3's pair list is linear in docs (star mode).  The one
-driver-side structure is the cluster map — proportional to *duplicate*
-docs, not corpus size; for adversarial duplicate rates shard it by
-hash range and repeat per shard.
+Partitioning notes at scale: step 2 is the classic dedup shuffle — the
+corpus crosses the exchange exactly once, keyed by content hash (the
+same movement any hash-partitioned dedup performs; no broadcast, no
+driver materialization).  Step 3's pair list is linear in duplicate
+docs (star mode) and its clustering state lives in exchanged blocks.
+The ONE remaining broadcast is the final cluster-label map —
+proportional to *duplicate* docs (docs appearing in ≥1 verified pair),
+not corpus size; if even that outgrows worker memory (adversarial
+duplicate rates), replace the broadcast with a second
+``content``-style exchange of ``(url_hash ∪ label rows)`` keyed by
+``url_hash`` and annotate in-block.
 """
 
 from __future__ import annotations
@@ -46,42 +54,35 @@ def build_dedup_corpus_ds(
     num_perm: int = 64,
 ) -> ray.data.Dataset:
     """Lazy Dataset of the deduplicated corpus rows (see module doc)."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
     extracted = build_extraction_ds(pages_dir)
     ok = extracted.filter(expr="status == 'ok'").select_columns(
         ["url", "url_hash", "content_hash", "doc_type", "extracted_text"]
     )
-    # the extracted subplan feeds THREE consumers (canonical-hash
-    # aggregate, pair mining, final annotate) and Ray re-executes lazy
-    # DAGs per consumer — materialize once (extracted text only, object
-    # store + spill).  At 100 TB, point this pipeline at the flagship
-    # run's written parquet instead of re-extracting: the same flow
-    # minus this materialize.
-    ok = ok.materialize()
 
-    # --- exact dedup: canonical url_hash per content_hash (hash-
-    # exchange keyed min — content_hash cardinality ≈ corpus size —
-    # then broadcast map; texts stay where they are)
-    from valere_ocr_ray.ops.exchange import grouped_agg
-
-    canon = grouped_agg(
-        ok.select_columns(["content_hash", "url_hash"]),
-        ["content_hash"],
-        ["url_hash"],
-        how="min",
-        num_partitions=8,
-    )
-    canon_map = {r["content_hash"]: r["url_hash"] for r in canon.take_all()}
-    canon_ref = ray.put(canon_map)
+    # --- exact dedup on the exchange: co-locate each content_hash
+    # group, keep the min-url_hash row per group.  The exchange is the
+    # pipeline's one barrier (it materializes the extracted rows into
+    # the object store); downstream consumers re-read those refs, so
+    # extraction runs exactly once.
+    ex = hash_exchange(ok, ["content_hash"], 16)
 
     def keep_exact_canonical(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(canon_ref)
-        keep = df["content_hash"].map(m) == df["url_hash"]
-        return df[keep]
+        if not len(df):
+            return df
+        is_min = (
+            df.groupby("content_hash")["url_hash"].transform("min")
+            == df["url_hash"]
+        )
+        return df[is_min]
 
-    uniq = ok.map_batches(keep_exact_canonical, batch_format="pandas")
+    uniq = ex.map_batches(
+        keep_exact_canonical, batch_format="pandas", batch_size=None
+    )
 
-    # --- near dedup: star pairs over surviving texts → union-find →
-    # broadcast cluster map
+    # --- near dedup: star pairs over surviving texts → distributed
+    # min-label propagation → cluster-label map (O(duplicate docs))
     def as_pair_input(b: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -96,12 +97,14 @@ def build_dedup_corpus_ds(
         num_perm=num_perm,
         star=True,
     )
-    plist = [
-        (int(r["id_a"]), int(r["id_b"]))
-        for r in pairs.select_columns(["id_a", "id_b"]).take_all()
-    ]
-    clusters = dedup.connected_components(plist)
-    cluster_ref = ray.put(clusters)
+    labels = dedup.cluster_labels(pairs, num_partitions=8)
+    # broadcast contract: |labels| = docs in ≥1 verified pair — the
+    # duplicate subset, NOT the corpus (see module doc for the
+    # exchange-based fallback if that ever outgrows worker memory)
+    cluster_map = {
+        int(r["doc_id"]): int(r["cluster"]) for r in labels.take_all()
+    }
+    cluster_ref = ray.put(cluster_map)
 
     def annotate(df: pd.DataFrame) -> pd.DataFrame:
         cm = ray.get(cluster_ref)

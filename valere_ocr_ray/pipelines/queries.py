@@ -622,26 +622,23 @@ def events_user_top_event(sf_dir: str):
 
 
 def doc_dup_clusters(sf_dir: str):
-    """Near-dup cluster assignment: MinHash-LSH star pairs → union-find
-    → ``(doc_id, cluster_rep)`` rows (docs in no cluster are absent).
-    The verified-pair volume is linear (star mode), so the union-find
-    is a driver-side fold by design (ops/dedup.connected_components)."""
+    """Near-dup cluster assignment: MinHash-LSH star pairs →
+    distributed min-label propagation (``ops/dedup.cluster_labels`` —
+    hash-exchange rounds, no driver-side pair list) →
+    ``(doc_id, cluster)`` rows (docs in no cluster are absent)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = dedup.minhash_lsh_pairs(ds, threshold=0.35, star=True)
-    plist = [
-        (int(r["id_a"]), int(r["id_b"]))
-        for r in pairs.select_columns(["id_a", "id_b"]).take_all()
-    ]
-    comp = dedup.connected_components(plist)
-    if not comp:
+    labels = dedup.cluster_labels(pairs, num_partitions=8)
+    df = labels.to_pandas()
+    if not len(df):
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
         )
-    ids = sorted(comp)
+    df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster": pa.array([comp[i] for i in ids], pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "cluster": pa.array(df["cluster"].to_numpy(), pa.int64()),
         }
     )
 

@@ -51,3 +51,31 @@ def tree_keyed_sum(
             combine, batch_format="pandas", batch_size=None
         )
     return out
+
+
+def tree_topk(
+    ds: ray.data.Dataset,
+    sort_cols: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+    *,
+    widths: Sequence[int] = (4, 1),
+) -> ray.data.Dataset:
+    """Exact global top-k WITHOUT an all-to-all sort shuffle: top-k is
+    mergeable (top-k of unioned top-k's == global top-k), so each block
+    keeps only its k best rows and a small tree combines them — the
+    data crossing the wire is ``k × n_blocks`` rows, not the dataset.
+    ``sort_cols``/``ascending`` must produce a total order (include a
+    unique tiebreak column) for run-to-run determinism."""
+    sort_cols = list(sort_cols)
+    ascending = list(ascending)
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending, kind="stable").head(k)
+
+    out = ds.map_batches(head, batch_format="pandas")
+    for w in widths:
+        out = out.repartition(w).map_batches(
+            head, batch_format="pandas", batch_size=None
+        )
+    return out

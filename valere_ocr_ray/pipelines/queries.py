@@ -91,8 +91,13 @@ def doc_head_probe(sf_dir: str):
 
 
 def doc_topk_longest(sf_dir: str):
+    """O2 global top-k without a sort shuffle: per-block partial top-10
+    → tree combine (``ops/combine.tree_topk``) — k·n_blocks rows cross
+    the wire, not the table."""
+    from valere_ocr_ray.ops.combine import tree_topk
+
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+    return tree_topk(ds, ["n_chars", "doc_id"], [False, True], 10)
 
 
 def doc_distinct_tokens(sf_dir: str):
@@ -252,31 +257,75 @@ def lineitem_agg(sf_dir: str):
 
 
 def orders_by_nation(sf_dir: str):
-    """orders ⋈ customer ⋈ nation via small-side broadcast (no shuffle
-    join: customer+nation are dimension tables → ``ray.put`` once,
-    dict-merge per batch), then grouped aggregate."""
-    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    """orders ⋈ customer ⋈ nation.  ``customer`` SCALES WITH THE FACT
+    SIDE (150k × SF in TPC-H), so it is NOT broadcast (round 1 shipped
+    a corpus-scaling python dict — driver OOM at 100×): the
+    orders→customer hop is resolved **on the hash exchange** — orders
+    pre-aggregated per custkey (one row per custkey per block), customer
+    rows exchanged by the same key, vectorized in-block map → nationkey
+    partials.  Only the 25-row nation table is broadcast.  Final
+    combine: 25-key ``Dataset.groupby`` (trivially small)."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
     nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    cust_to_nation = dict(
-        zip(
-            cust["c_custkey"].to_numpy(),
-            nation.set_index("n_nationkey")["n_name"].reindex(cust["c_nationkey"]).to_numpy(),
-        )
+    nmap_ref = ray.put(
+        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].to_numpy()))
     )
-    ref = ray.put(cust_to_nation)
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
 
-    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
+    # unified exchange schema: (custkey, nationkey, sum_total_c,
+    # n_orders, is_dim) — dim rows carry the nationkey, fact rows the
+    # per-custkey partial sums
+    def fact_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
-            nation=df["o_custkey"].map(lookup),
             sum_total_c=np.floor(df["o_totalprice"] * 100).astype("int64"),
             n_orders=1,
         )
-        return df.groupby("nation", as_index=False)[["sum_total_c", "n_orders"]].sum()
+        g = df.groupby("o_custkey", as_index=False)[["sum_total_c", "n_orders"]].sum()
+        return pd.DataFrame(
+            {
+                "custkey": g["o_custkey"].to_numpy(dtype=np.int64),
+                "nationkey": np.zeros(len(g), dtype=np.int64),
+                "sum_total_c": g["sum_total_c"].to_numpy(dtype=np.int64),
+                "n_orders": g["n_orders"].to_numpy(dtype=np.int64),
+                "is_dim": np.zeros(len(g), dtype=np.int64),
+            }
+        )
 
-    partials = ds.map_batches(join_partial, batch_format="pandas")
+    def dim_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["c_custkey"].to_numpy(dtype=np.int64),
+                "nationkey": df["c_nationkey"].to_numpy(dtype=np.int64),
+                "sum_total_c": np.zeros(len(df), dtype=np.int64),
+                "n_orders": np.zeros(len(df), dtype=np.int64),
+                "is_dim": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    mixed = orders.map_batches(fact_rows, batch_format="pandas").union(
+        cust.map_batches(dim_rows, batch_format="pandas")
+    )
+    ex = hash_exchange(mixed, ["custkey"], 16)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        dim = df[df["is_dim"] == 1].set_index("custkey")["nationkey"]
+        fact = df[df["is_dim"] == 0]
+        nk = fact["custkey"].map(dim)
+        out = pd.DataFrame(
+            {
+                "nation": nk.map(nmap),
+                "sum_total_c": fact["sum_total_c"].to_numpy(),
+                "n_orders": fact["n_orders"].to_numpy(),
+            }
+        )
+        out = out[out["nation"].notna()]
+        return out.groupby("nation", as_index=False)[["sum_total_c", "n_orders"]].sum()
+
+    partials = ex.map_batches(fold, batch_format="pandas", batch_size=None)
     return partials.groupby("nation").aggregate(
         Sum("sum_total_c", alias_name="sum_total_c"),
         Sum("n_orders", alias_name="n_orders"),
@@ -286,26 +335,42 @@ def orders_by_nation(sf_dir: str):
 def lineitem_part_join(sf_dir: str):
     """lineitem ⋈ part by partkey → grouped aggregate by brand.
 
-    ``part`` is a dimension table (1/30 the fact side, and it stays
-    small even when lineitem is 100 TB), so the join is a map-side
-    broadcast: key→brand array shipped once via ``ray.put``, probed
-    vectorized per batch.  Measured 45 s → <2 s vs ``Dataset.join`` at
-    sf0.1; the genuine two-large-sides shuffle join is kept as
-    ``lineitem_part_join_shuffle``."""
+    Memory contract (documented, per SURVEY §2.4): ``part`` scales at
+    1/30 the fact side (200k × SF rows), so the broadcast side is a
+    pair of numpy arrays — sorted int64 keys + a brand code array +
+    the (tiny) code→brand table — ≈17 bytes/row: ~3.4 GB at SF=1000
+    (100 TB corpus), within a worker's heap and shipped ONCE per node
+    via the object store, not per batch.  If the small side ever
+    outgrows that contract, use ``lineitem_part_join_shuffle`` (the
+    two-large-sides hash-shuffle fallback below).  Probe is a
+    vectorized ``searchsorted`` per batch — no python dict (round 1's
+    dict of python objects was ~10× the footprint).  Measured 45 s →
+    <2 s vs ``Dataset.join`` at sf0.1."""
     part = pd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
-    lookup = dict(zip(part["p_partkey"].to_numpy(), part["p_brand"].to_numpy()))
-    ref = ray.put(lookup)
+    order = np.argsort(part["p_partkey"].to_numpy())
+    keys_sorted = part["p_partkey"].to_numpy(dtype=np.int64)[order]
+    brand_cat = pd.Categorical(part["p_brand"].to_numpy()[order])
+    brand_codes = brand_cat.codes.astype(np.int32)
+    brand_names = np.asarray(brand_cat.categories)
+    ref = ray.put((keys_sorted, brand_codes, brand_names))
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
 
     def join_partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        df = df.assign(
-            p_brand=df["l_partkey"].map(m),
-            sum_qty_c=np.floor(df["l_quantity"] * 100).astype("int64"),
-            n=1,
-        )
-        df = df[df["p_brand"].notna()]
+        keys, codes, names = ray.get(ref)
+        lk = df["l_partkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == lk
+        df = pd.DataFrame(
+            {
+                "p_brand": names[codes[pos_c]],
+                "sum_qty_c": np.floor(df["l_quantity"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+                "n": 1,
+            }
+        )[hit]
         return df.groupby("p_brand", as_index=False)[["sum_qty_c", "n"]].sum()
 
     parts = li.map_batches(join_partial, batch_format="pandas")
@@ -685,9 +750,22 @@ def events_trailing_window(sf_dir: str):
 
 
 def events_user_topk(sf_dir: str):
+    """Top-10 users by event count.  user_id cardinality grows with the
+    corpus, so the count avoids ``Dataset.groupby``'s ~1 ms/key
+    sort-shuffle reduce: per-block partial counts → ``tree_keyed_sum``
+    → partial top-k tree combine (no global sort)."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum, tree_topk
+
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
-    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
-    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=1)
+        return df.groupby("user_id", as_index=False)[["n"]].sum()
+
+    counts = tree_keyed_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], ["n"]
+    )
+    return tree_topk(counts, ["n", "user_id"], [False, True], 10)
 
 
 def events_hourly(sf_dir: str):

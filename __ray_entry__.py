@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keyword_score": q.doc_keyword_score,
         "doc_langid": q.doc_langid,
         "doc_fingerprint": q.doc_fingerprint,
+        "doc_contacts": q.doc_contacts,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_near_dup_verified": q.doc_near_dup_verified,
         "doc_dup_clusters": q.doc_dup_clusters,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_exact_dedup": q.pages_exact_dedup,
         "pages_near_dup_pairs": q.pages_near_dup_pairs,
         "pages_url_tokens": q.pages_url_tokens,
+        "pages_contacts": q.pages_contacts,
         "pages_dedup_corpus": q.pages_dedup_corpus,
         "media_features": q.media_features,
     }
@@ -147,6 +149,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "doc_contacts": (
+            r"SELECT doc_id, 'name' AS kind, unnest(regexp_extract_all(text, "
+            r"'\b(?:Mr\.|Mrs\.|Ms\.|Dr\.)?\s*[A-Z][a-z]*\s*[A-Z][a-z]*\b')) AS contact "
+            "FROM documents "
+            r"UNION ALL SELECT doc_id, 'phone' AS kind, unnest(regexp_extract_all(text, "
+            r"'\b(?:\(\d{3}\)\s*|\d{3}[-.\s]?)\d{3}[-.\s]??\d{4}\b')) AS contact "
+            "FROM documents"
         ),
         "doc_substring_search": (
             "SELECT doc_id, lang FROM documents WHERE contains(lower(text), 'spark')"

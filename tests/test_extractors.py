@@ -209,3 +209,30 @@ def test_dispatch_unknown_goes_medical():
     rec = extract_document("https://x/article/1.html", "plain words only")
     assert rec["doc_type"] == "UNKNOWN"
     assert "document label" in json.loads(rec["fields_json"])
+
+
+# -- F10 generic contact battery ----------------------------------------
+def test_generic_contacts_battery():
+    from valere_ocr_ray.registry.extractors import extract_contacts
+
+    text = (
+        "Call 713.555.1234 or 832-555-9876 today.\n"
+        "Mr. John Smith met Dr. Jane Doe and Alice Jones."
+    )
+    got = extract_contacts(text)
+    assert "713.555.1234" in got["phone_numbers"]
+    assert "832-555-9876" in got["phone_numbers"]
+    assert any("John Smith" in n for n in got["names"])
+    assert any("Jane Doe" in n for n in got["names"])
+    assert any("Alice Jones" in n for n in got["names"])
+    # reference quirk pinned verbatim: the leading \b cannot match
+    # before '(' (non-word/non-word), so parenthesized numbers are
+    # missed exactly as in data_extract_kailey.py
+    assert extract_contacts("(713) 555-1234")["phone_numbers"] == []
+
+
+def test_generic_contacts_no_false_phone():
+    from valere_ocr_ray.registry.extractors import extract_contacts
+
+    got = extract_contacts("order 12345 qty 99 code A12.3 total 1234567")
+    assert got["phone_numbers"] == []

@@ -161,3 +161,57 @@ def test_fast_tokenizer_fuzz_matches_stdlib():
         assert extract_main_text(doc) == extract_main_text_reference(doc)
 
     check()
+
+
+# -- C4 signature DOM tiers ---------------------------------------------
+def _tier(html: str) -> int:
+    from valere_ocr_ray.extract.html_text import extract_main_text_meta
+
+    return extract_main_text_meta(html.encode())[1]
+
+
+def test_sig_tier1_img_attrs():
+    assert _tier('<p><img src="sig.png" alt="signature"></p>') == 1
+    assert _tier('<p><img src="/img/signature_block.png"></p>') == 1
+    assert _tier('<p><img class="signature-pad" src="x.png"></p>') == 1
+
+
+def test_sig_tier1_canvas_and_input():
+    assert _tier('<div><canvas id="signatureCanvas"></canvas></div>') == 1
+    assert _tier('<form><input name="customer_signature" type="text"></form>') == 1
+
+
+def test_sig_tier2_geometry_analog():
+    # wide short text-less image = Textract w>0.2/h<0.05 no-Text LINE
+    assert _tier('<p><img src="scan_17.png" width="400" height="40"></p>') == 2
+    # too tall / too narrow / has alt text -> not geometry tier
+    assert _tier('<p><img src="a.png" width="400" height="300"></p>') == 0
+    assert _tier('<p><img src="a.png" width="100" height="40"></p>') == 0
+    assert _tier('<p><img src="a.png" alt="logo" width="400" height="40"></p>') == 0
+
+
+def test_sig_tier_priority_and_chrome_excluded():
+    # element tier wins over geometry tier
+    html = (
+        '<p><img src="x.png" width="400" height="40">'
+        '<img src="signature.png"></p>'
+    )
+    assert _tier(html) == 1
+    # chrome (footer/nav) signature imagery does not count
+    assert _tier('<footer><img src="signature.png"></footer>') == 0
+
+
+def test_sig_tiers_do_not_change_text():
+    from valere_ocr_ray.extract.html_text import extract_main_text
+
+    html = b'<p>Terms here.</p><p><img src="sig.png" width="400" height="40"></p>'
+    assert extract_main_text(html) == "Terms here."
+
+
+def test_detect_signature_three_tier_fallback():
+    from valere_ocr_ray.registry.extractors import detect_signature
+
+    assert detect_signature("no indicators at all", dom_sig_tier=1)
+    assert detect_signature("no indicators at all", dom_sig_tier=2)
+    assert not detect_signature("no indicators at all", dom_sig_tier=0)
+    assert detect_signature("signed by customer", dom_sig_tier=0)

@@ -55,6 +55,22 @@ _VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
 LINK_DENSITY_MAX = 0.5
 LINK_BLOCK_MIN_WORDS = 10
 
+# C4 signature-detection DOM tiers (Ethan_PDFandJPG3.py:487-519 analogs)
+SIG_TIER_NONE = 0
+SIG_TIER_ELEMENT = 1   # explicit signature element (SIGNATURE block analog)
+SIG_TIER_GEOMETRY = 2  # wide short text-less image (bbox-geometry analog)
+
+_SIG_GEOM_MIN_W = 200  # px — Textract Width > 0.2 of a ~1000px page
+_SIG_GEOM_MAX_H = 50   # px — Textract Height < 0.05
+
+
+def _dim_px(v: str | None) -> int:
+    """width/height attr → int px (leading digits; -1 when absent)."""
+    if not v:
+        return -1
+    m = re.match(r"\d+", v.strip())
+    return int(m.group()) if m else -1
+
 
 def _norm(pieces: list[str]) -> str:
     # whitespace-run collapse + strip; str.split() (C loop over Unicode
@@ -82,6 +98,13 @@ class _Walker(HTMLParser):
         self._pending_dt: str | None = None
         self._in_dt = False
         self._in_dd = False
+        # C4 signature DOM tier (0 none / 1 element / 2 geometry);
+        # detection never alters the pinned text contract
+        self.sig_tier = SIG_TIER_NONE
+
+    def _sig_mark(self, tier: int) -> None:
+        if self.sig_tier == SIG_TIER_NONE or tier < self.sig_tier:
+            self.sig_tier = tier
 
     # -- block flushing -------------------------------------------------
     def _emit(self, text: str) -> None:
@@ -144,6 +167,12 @@ class _Walker(HTMLParser):
             return
         if tag == "input":
             a = dict(attrs)
+            if self._chrome_depth == 0:
+                ident = " ".join(
+                    filter(None, (a.get("name"), a.get("id"), a.get("class")))
+                )
+                if "signature" in ident.lower():
+                    self._sig_mark(SIG_TIER_ELEMENT)
             itype = (a.get("type") or "text").lower()
             if itype in ("checkbox", "radio"):
                 if "checked" in a:
@@ -154,9 +183,30 @@ class _Walker(HTMLParser):
                     self._pieces.append(" " + val + " ")
             return
         if tag == "img":
-            alt = dict(attrs).get("alt") or ""
+            a = dict(attrs)
+            alt = a.get("alt") or ""
+            if self._chrome_depth == 0:
+                ident = " ".join(
+                    filter(None, (alt, a.get("src"), a.get("class"), a.get("id")))
+                )
+                if "signature" in ident.lower():
+                    self._sig_mark(SIG_TIER_ELEMENT)
+                elif not alt:
+                    # geometry tier: wide, short, contributes no text —
+                    # the DOM analog of Textract's w>0.2/h<0.05 no-Text
+                    # LINE (a drawn/scanned signature strip)
+                    w, h = _dim_px(a.get("width")), _dim_px(a.get("height"))
+                    if w >= _SIG_GEOM_MIN_W and 0 < h <= _SIG_GEOM_MAX_H:
+                        self._sig_mark(SIG_TIER_GEOMETRY)
             if alt:
                 self._pieces.append(" " + alt + " ")
+            return
+        if tag == "canvas":
+            if self._chrome_depth == 0:
+                a = dict(attrs)
+                ident = " ".join(filter(None, (a.get("class"), a.get("id"))))
+                if "signature" in ident.lower():
+                    self._sig_mark(SIG_TIER_ELEMENT)
             return
         if tag == "tr":
             self._flush()
@@ -280,7 +330,7 @@ _RAWTEXT_CLOSE = {
     "script": re.compile(r"</\s*script", re.IGNORECASE),
     "style": re.compile(r"</\s*style", re.IGNORECASE),
 }
-_ATTR_TAGS = frozenset({"input", "img"})  # walker reads these tags' attrs
+_ATTR_TAGS = frozenset({"input", "img", "canvas"})  # walker reads these tags' attrs
 _AMP_OR_TAG = re.compile(r"[&<]")
 
 
@@ -362,10 +412,17 @@ def _feed_fast(walker: _Walker, doc: str) -> None:
 
 def extract_main_text(html_bytes: bytes) -> str:
     """bytes → main-content text per the pinned contract above."""
+    return extract_main_text_meta(html_bytes)[0]
+
+
+def extract_main_text_meta(html_bytes: bytes) -> tuple[str, int]:
+    """``(text, sig_tier)`` — text per the pinned contract, plus the C4
+    DOM signature tier (0 none / 1 element / 2 geometry) collected
+    during the same walk at zero extra passes."""
     walker = _Walker()
     _feed_fast(walker, html_bytes.decode("utf-8", errors="replace"))
     walker.close()
-    return "\n".join(walker.blocks)
+    return "\n".join(walker.blocks), walker.sig_tier
 
 
 def extract_main_text_reference(html_bytes: bytes) -> str:

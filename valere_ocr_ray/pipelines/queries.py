@@ -209,6 +209,79 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_contacts(sf_dir: str):
+    """F10 generic regex battery as a vectorized span-matcher: one row
+    per (doc_id, kind, contact) match — pandas ``str.findall`` with the
+    module-compiled verbatim patterns, exploded (no per-row Python)."""
+    from valere_ocr_ray.registry.extractors import (
+        GENERIC_NAME_PATTERN,
+        GENERIC_PHONE_PATTERN,
+    )
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("kind", pa.string()), ("contact", pa.string())]
+    )
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        frames = []
+        for kind, pat in (
+            ("name", GENERIC_NAME_PATTERN),
+            ("phone", GENERIC_PHONE_PATTERN),
+        ):
+            m = (
+                df.assign(contact=df["text"].str.findall(pat))[
+                    ["doc_id", "contact"]
+                ]
+                .explode("contact")
+                .dropna(subset=["contact"])
+            )
+            m.insert(1, "kind", kind)
+            frames.append(m)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+                "kind": out["kind"].astype(str).tolist(),
+                "contact": out["contact"].astype(str).tolist(),
+            },
+            schema=schema,
+        )
+
+    # final result = the match set (output-sized); materialize it with
+    # an imposed schema — Ray strips schema from all-empty blocks, and
+    # a corpus with zero contacts must still return typed columns
+    rows = ds.map_batches(f, batch_format="pandas").take_all()
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def pages_contacts(sf_dir: str):
+    """F10 battery over the extracted pages corpus (where phones/names
+    actually occur — the documents table is lowercase-only)."""
+    from valere_ocr_ray.registry.extractors import (
+        GENERIC_NAME_PATTERN,
+        GENERIC_PHONE_PATTERN,
+    )
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir).filter(expr="status == 'ok'").select_columns(
+        ["url_hash", "extracted_text"]
+    )
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["extracted_text"].astype("str")
+        out = pd.DataFrame(
+            {
+                "url_hash": df["url_hash"].to_numpy(dtype=np.int64),
+                "n_phones": text.str.count(GENERIC_PHONE_PATTERN).astype("int64"),
+                "n_names": text.str.count(GENERIC_NAME_PATTERN).astype("int64"),
+            }
+        )
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def doc_minhash_pairs(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return dedup.minhash_lsh_pairs(ds, threshold=0.35)

@@ -140,6 +140,25 @@ _BPD_CHECKBOX_RE = re.compile(r"[✓X]\s*\d+\.\s*([^\n]+)")
 # generic ICD probe (Lauren_RX__JPG_Reader.py:314-318)
 _GENERIC_ICD_RE = re.compile(r"[A-Z]\d+\.\d+")
 
+# F10 generic contact battery (data_extract_kailey.py:41-54) — the
+# standalone phone + naive Mr/Mrs name patterns, pinned VERBATIM
+# (including the lazy `??` on the second phone separator)
+GENERIC_PHONE_PATTERN = r"\b(?:\(\d{3}\)\s*|\d{3}[-.\s]?)\d{3}[-.\s]??\d{4}\b"
+GENERIC_NAME_PATTERN = r"\b(?:Mr\.|Mrs\.|Ms\.|Dr\.)?\s*[A-Z][a-z]*\s*[A-Z][a-z]*\b"
+_GENERIC_PHONE_RE = re.compile(GENERIC_PHONE_PATTERN)
+_GENERIC_NAME_RE = re.compile(GENERIC_NAME_PATTERN)
+
+
+def extract_contacts(text: str) -> dict[str, list[str]]:
+    """F10 generic regex battery (``data_extract_kailey.py:41-54``):
+    all phone numbers + naive title-case name candidates, in document
+    order — the contact-info extraction a generic (non-classified)
+    document hits first."""
+    return {
+        "names": _GENERIC_NAME_RE.findall(text),
+        "phone_numbers": _GENERIC_PHONE_RE.findall(text),
+    }
+
 # N8 doctor-NPI split (Ethan_PDFandJPG3.py:345-361)
 _DOCTOR_NPI_RE = re.compile(r"(.+?),?\s+MD\s+-\s+(\d+)")
 
@@ -369,17 +388,30 @@ _EXCLUDED_PHRASES = (
 _SIGNATURE_INDICATORS = ("signature", "signed", "/s/")
 
 
-def detect_signature(text: str) -> bool:
-    """C4 signature detection, text-indicator tier
-    (``Ethan_PDFandJPG3.py:510-519``).  The reference's two other tiers
-    (Textract SIGNATURE block type, bbox geometry) have no HTML analog
-    in flat text; the DOM walker surfaces ``<img alt="signature">`` as
-    the literal token ``signature`` which this tier then catches."""
+def detect_signature(text: str, dom_sig_tier: int = 0) -> bool:
+    """C4 signature detection, 3-tier fallback in the reference's
+    priority order (``Ethan_PDFandJPG3.py:487-519``):
+
+    - tier 1 — explicit signature ELEMENT (Textract SIGNATURE-block
+      analog): img/canvas/input whose alt/src/class/id/name contains
+      ``signature`` (detected by the DOM walker,
+      ``extract/html_text.py`` ``SIG_TIER_ELEMENT``);
+    - tier 2 — GEOMETRY analog: a wide, short, text-less image (the
+      walker's ``SIG_TIER_GEOMETRY`` — Textract's w>0.2 / h<0.05
+      no-Text LINE);
+    - tier 3 — text indicators (``signature``/``signed``/``/s/``).
+
+    ``dom_sig_tier`` carries tiers 1-2 from the parse stage; flat-text
+    callers (PDF path, unit tests) pass 0 and get tier 3 only."""
+    if dom_sig_tier in (1, 2):
+        return True
     low = text.lower()
     return any(ind in low for ind in _SIGNATURE_INDICATORS)
 
 
-def extract_agreement(text: str) -> tuple[dict[str, Any], float, list[Span]]:
+def extract_agreement(
+    text: str, dom_sig_tier: int = 0
+) -> tuple[dict[str, Any], float, list[Span]]:
     """Signed-agreement extraction (``Ethan_PDFandJPG3.py:420-485``) +
     A2 3-point confidence (``SignedAgreementFinalDB:180-206,271-272``)."""
     info: dict[str, str] = {
@@ -413,7 +445,9 @@ def extract_agreement(text: str) -> tuple[dict[str, Any], float, list[Span]]:
         if found:
             break
 
-    info["Signature Present"] = "Yes" if detect_signature(text) else "No"
+    info["Signature Present"] = (
+        "Yes" if detect_signature(text, dom_sig_tier) else "No"
+    )
 
     points = 0
     if info["Customer/Patient Name"] != "Not present":
@@ -431,7 +465,7 @@ def extract_agreement(text: str) -> tuple[dict[str, Any], float, list[Span]]:
 # ---------------------------------------------------------------------------
 
 
-def extract_document(url: str, text: str) -> dict[str, Any]:
+def extract_document(url: str, text: str, sig_tier: int = 0) -> dict[str, Any]:
     """Classify + extract one document; returns flat columns for Arrow.
 
     ``fields_json`` is the canonical 4-space-indent JSON byte format;
@@ -453,7 +487,7 @@ def extract_document(url: str, text: str) -> dict[str, Any]:
     if doc_type in QUERY_SETS:
         payload, confidence, spans = extract_query_fields(doc_type, text)
     elif doc_type in (doctypes.SIGNED_AGREEMENT, doctypes.POSSIBLE_AGREEMENT):
-        payload, confidence, spans = extract_agreement(text)
+        payload, confidence, spans = extract_agreement(text, dom_sig_tier=sig_tier)
     else:
         # PRESCRIPTION / POSSIBLE_PRESCRIPTION / UNKNOWN → medical
         # extraction (unknown→medical fallback, Lauren_RX:589-706)

@@ -23,7 +23,7 @@ import json
 
 import pyarrow as pa
 
-from valere_ocr_ray.extract.html_text import extract_main_text
+from valere_ocr_ray.extract.html_text import extract_main_text_meta
 from valere_ocr_ray.extract.pdf_text import extract_pdf_text
 from valere_ocr_ray.registry.extractors import extract_document
 from valere_ocr_ray.stages.docmeta import KIND_HTML, KIND_PDF, STATUS_OK
@@ -63,31 +63,38 @@ class PageExtractor:
 
         texts: list[str] = []
         out_status: list[str] = []
+        sig_tiers: list[int] = []
         for i, (kind, status) in enumerate(zip(kinds, statuses)):
             if status != STATUS_OK:
                 texts.append("")
                 out_status.append(status)
+                sig_tiers.append(0)
                 continue
             payload = html[i].as_buffer().to_pybytes()
             try:
+                sig_tier = 0
                 if kind == KIND_PDF:
                     text = extract_pdf_text(payload)
                     if not text and self._ocr is not None:
                         text = self._ocr(payload)
                 elif kind == KIND_HTML:
-                    text = extract_main_text(payload)
+                    text, sig_tier = extract_main_text_meta(payload)
                 else:
                     text = ""
                 texts.append(text)
                 out_status.append(STATUS_OK)
+                sig_tiers.append(sig_tier)
             except Exception:
                 texts.append("")
                 out_status.append(STATUS_ERROR_PARSE)
+                sig_tiers.append(0)
 
         out = batch.drop_columns(["html", "status"])  # bytes stop here
-        return out.append_column(
-            "extracted_text", pa.array(texts, pa.large_string())
-        ).append_column("status", pa.array(out_status, pa.string()))
+        return (
+            out.append_column("extracted_text", pa.array(texts, pa.large_string()))
+            .append_column("sig_tier", pa.array(sig_tiers, pa.int32()))
+            .append_column("status", pa.array(out_status, pa.string()))
+        )
 
 
 _TASK_EXTRACTOR: PageExtractor | None = None
@@ -117,19 +124,23 @@ def extract_fields_batch(batch: pa.Table) -> pa.Table:
     urls = batch["url"].to_pylist()
     texts = batch["extracted_text"].to_pylist()
     statuses = batch["status"].to_pylist()
+    if "sig_tier" in batch.column_names:
+        sig_tiers = batch["sig_tier"].to_pylist()
+    else:  # callers feeding bare (url, text) rows, e.g. tests
+        sig_tiers = [0] * len(urls)
 
     doc_types: list[str] = []
     fields_json: list[str] = []
     confidences: list[float] = []
     spans: list[list[dict]] = []
-    for url, text, status in zip(urls, texts, statuses):
+    for url, text, status, sig_tier in zip(urls, texts, statuses, sig_tiers):
         if status != STATUS_OK:
             doc_types.append("UNKNOWN")
             fields_json.append(json.dumps({}))
             confidences.append(0.0)
             spans.append([])
             continue
-        rec = extract_document(url, text)
+        rec = extract_document(url, text, sig_tier=sig_tier or 0)
         doc_types.append(rec["doc_type"])
         fields_json.append(rec["fields_json"])
         confidences.append(float(rec["confidence"]))

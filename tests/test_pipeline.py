@@ -22,10 +22,13 @@ def extracted_out(ray_session, pages_500, tmp_path_factory):
 
 
 def _read_sorted(out_dir):
-    import pandas as pd
+    import pyarrow.dataset as pads
 
-    files = sorted(glob.glob(os.path.join(out_dir, "part_id=*", "*.parquet")))
-    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    # hive layout: part_id=…/doc_type=…/*.parquet ('_done'/'_quarantine'
+    # are skipped by pyarrow's default '_'/'.' ignore prefixes)
+    df = pads.dataset(out_dir, partitioning="hive").to_table().to_pandas()
+    df["doc_type"] = df["doc_type"].astype(str)
+    df["part_id"] = df["part_id"].astype(str)
     return df.sort_values("url").reset_index(drop=True)
 
 

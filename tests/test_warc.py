@@ -95,14 +95,9 @@ def test_convert_warc_dir_feeds_resumable(ray_session, tmp_path):
     s = run_resumable(pdir, out, group_size=1)
     assert s["totals"]["n_in"] == 4
     assert s["totals"]["n_partitions"] == 2
-    import pandas as pd
-    import pyarrow.parquet as pqt
-    import glob as g
+    import pyarrow.dataset as pads
 
-    df = pd.concat(
-        pqt.read_table(f).to_pandas()
-        for f in sorted(g.glob(os.path.join(out, "part_id=*", "*.parquet")))
-    )
+    df = pads.dataset(out, partitioning="hive").to_table().to_pandas()
     by_url = df.set_index("url")
     assert by_url.loc["https://d.example/w", "extracted_text"] == "Second archive page"
     assert by_url.loc["https://c.example/z.pdf", "doc_kind"] == "pdf"

@@ -114,8 +114,9 @@ def run_resumable(
 
     Idempotent and killable: completed shards (manifest present) are
     skipped entirely; partially-written shards are cleared and redone.
-    Output layout: ``out_dir/part_id=<shard>/*.parquet`` +
-    ``out_dir/_done/<shard>.json`` lineage manifests.
+    Output layout: ``out_dir/part_id=<shard>/doc_type=<class>/*.parquet``
+    (S5 per-class Hive layout — a consumer of one class scans only its
+    directories) + ``out_dir/_done/<shard>.json`` lineage manifests.
 
     Poison-shard isolation (``quarantine=True``): a group whose read or
     write raises (e.g. a corrupt parquet file — row-level data errors
@@ -157,7 +158,11 @@ def run_resumable(
             concurrency=concurrency,
             batch_size=batch_size,
         )
-        ds.write_parquet(out_dir, partition_cols=["part_id"])
+        # S5 per-class sink layout (reference per-class tables,
+        # IDD/finalcodes/Facesheet.py:195-196): part_id keeps resume
+        # granularity, doc_type gives downstream per-class consumers a
+        # pruned scan (out_dir/part_id=…/doc_type=…/*.parquet)
+        ds.write_parquet(out_dir, partition_cols=["part_id", "doc_type"])
         wall_s = time.perf_counter() - t0
         # lineage per partition from the written output (cheap columnar
         # read-back — avoids re-executing the pipeline for the aggregate)
@@ -193,7 +198,9 @@ def run_resumable(
 
 
 def _partition_lineage(part_dir: str) -> dict:
-    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(part_dir, "**", "*.parquet"), recursive=True)
+    )
     if not files:
         return {"n_in": 0, "n_ok": 0, "n_error": 0, "n_skipped": 0, "bytes_in": 0, "files": []}
     import pyarrow.parquet as pq
@@ -214,5 +221,5 @@ def _partition_lineage(part_dir: str) -> dict:
         "n_error": int(n_err),
         "n_skipped": int(n_skip),
         "bytes_in": int(pc.sum(t["size_bytes"]).as_py() or 0),
-        "files": [os.path.basename(f) for f in files],
+        "files": [os.path.relpath(f, part_dir) for f in files],
     }

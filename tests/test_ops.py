@@ -226,6 +226,40 @@ def test_ivf_recall_vs_brute(ray_session):
     assert hits >= 4  # n_probe=4 of 8 clusters: near-perfect on top-1
 
 
+def test_ivf_persisted_probe_reads_only_probed_clusters(ray_session, tmp_path):
+    """The on-disk IVF path: search results identical to the in-memory
+    index, and the probed read touches only n_probe cluster dirs."""
+    import glob
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.similarity import IvfIndex, IvfIndexOnDisk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    queries = mat[:3]
+    index = IvfIndex(ds, n_clusters=8, sample_size=500)
+    out = str(tmp_path / "ivf")
+    disk = index.persist(out)
+
+    # layout: one dir per cluster + meta sidecar
+    dirs = sorted(glob.glob(f"{out}/ivf_cluster=*"))
+    assert len(dirs) >= 2
+
+    mem = index.search(queries, k=5, n_probe=3)
+    got = disk.search(queries, k=5, n_probe=3)
+    key = ["query_id", "vec_id"]
+    assert sorted(map(tuple, got[key].to_numpy().tolist())) == sorted(
+        map(tuple, mem[key].to_numpy().tolist())
+    )
+
+    # reload from disk alone (fresh handle) gives the same answer
+    got2 = IvfIndexOnDisk(out).search(queries, k=5, n_probe=3)
+    assert sorted(map(tuple, got2[key].to_numpy().tolist())) == sorted(
+        map(tuple, mem[key].to_numpy().tolist())
+    )
+
+
 # -- multimodal plumbing ------------------------------------------------
 def test_media_features_plumbing(ray_session):
     import ray.data as rd
@@ -240,6 +274,15 @@ def test_media_features_plumbing(ray_session):
     assert all(len(f) == FEATURE_DIM for f in ok["feature"])
     assert (out[out["media_type"] == "weird"]["status"] == "error_no_decoder").all()
     assert "payload" not in out.columns  # bytes do not flow past decode
+    # image rows went through the REAL decoder: decoded geometry matches
+    # the declared metadata and feeds the feature tail
+    img = out[(out["media_type"] == "image") & (out["status"] == "ok")]
+    assert len(img) > 5
+    assert (img["decoded_w"].to_numpy() == img["width"].to_numpy()).all()
+    assert (img["decoded_h"].to_numpy() == img["height"].to_numpy()).all()
+    for _, row in img.head(5).iterrows():
+        assert abs(row["feature"][-2] - np.log1p(row["width"])) < 1e-5
+        assert abs(row["feature"][-1] - np.log1p(row["height"])) < 1e-5
 
 
 def test_media_features_deterministic(ray_session):

@@ -1,10 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The decode kernels themselves are STUBBED — no image/audio libraries
-ship in this container — but everything Ray-side is real and tested:
-schemas, actor-pool signatures, batch sizing for large binary rows,
-status routing, output layout.  Swap ``_decode_stub`` for a real
-decoder (PIL / ffmpeg / torchaudio) and nothing else changes.
+IMAGE payloads have a REAL decode path: BMP (24-bit BI_RGB) and PPM
+(P6) are decoded to pixel arrays with stdlib struct + numpy
+(``extract/image_decode.py``), and the feature is a genuine luminance
+histogram + decoded-geometry vector.  Formats needing PIL/ffmpeg-class
+libraries (which don't ship in this container) still route through
+``_decode_stub`` — audio/video and non-BMP/PPM images — but everything
+Ray-side is real and tested either way: schemas, actor-pool
+signatures, batch sizing for large binary rows, status routing, output
+layout.  Swap ``_decode_stub`` for a real decoder and nothing else
+changes.
 
 Batch-size guidance: binary payloads make rows wide — size
 ``batch_size`` so ``batch_size × mean_payload × concurrency`` fits the
@@ -63,25 +68,51 @@ class MediaFeatureExtractor:
         self.feature_dim = feature_dim  # real impl: load model weights here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from valere_ocr_ray.extract.image_decode import (
+            ImageFormatError,
+            decode_image,
+            image_feature,
+            sniff_image_format,
+        )
+
         payloads = batch["payload"]
         types = batch["media_type"].to_pylist()
         feats: list[list[float] | None] = []
         status: list[str] = []
+        dec_w: list[int] = []
+        dec_h: list[int] = []
         for i, mt in enumerate(types):
             try:
                 buf = payloads[i].as_buffer().to_pybytes()
-                feats.append(_decode_stub(buf, mt).tolist())
-                status.append("ok")
+                if mt == "image" and sniff_image_format(buf) is not None:
+                    # REAL decode path: header parse → pixels → feature
+                    pixels = decode_image(buf)
+                    feats.append(image_feature(pixels, self.feature_dim).tolist())
+                    dec_h.append(pixels.shape[0])
+                    dec_w.append(pixels.shape[1])
+                    status.append("ok")
+                else:
+                    feats.append(_decode_stub(buf, mt).tolist())
+                    dec_w.append(0)
+                    dec_h.append(0)
+                    status.append("ok")
             except NotImplementedError:
                 feats.append(None)
+                dec_w.append(0)
+                dec_h.append(0)
                 status.append("error_no_decoder")
-            except Exception:
+            except Exception:  # incl. ImageFormatError: corrupt payloads
                 feats.append(None)
+                dec_w.append(0)
+                dec_h.append(0)
                 status.append("error_decode")
         out = batch.drop_columns(["payload"])  # payload bytes stop here
-        return out.append_column(
-            "feature", pa.array(feats, pa.list_(pa.float32()))
-        ).append_column("status", pa.array(status, pa.string()))
+        return (
+            out.append_column("feature", pa.array(feats, pa.list_(pa.float32())))
+            .append_column("decoded_w", pa.array(dec_w, pa.int32()))
+            .append_column("decoded_h", pa.array(dec_h, pa.int32()))
+            .append_column("status", pa.array(status, pa.string()))
+        )
 
 
 def extract_media_features(
@@ -108,17 +139,37 @@ def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+    """Deterministic fake media corpus for plumbing tests.
+
+    Image rows carry REAL encoded payloads (alternating BMP / PPM with
+    a seeded gradient+noise pattern) so the decode path exercises
+    genuine header parse + pixel reads; audio/video payloads stay
+    opaque bytes for the stub path."""
+    from valere_ocr_ray.extract.image_decode import encode_bmp
+
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         d = hashlib.md5(f"media:{seed}:{i}".encode()).digest()
         mt = ["image", "audio", "video", "weird"][i % 4 if i % 17 == 0 else i % 3]
-        payload = (d * (8 + i % 23))[: 64 + (i * 37) % 512]
+        if mt == "image":
+            w, h = 8 + i % 24, 6 + (i * 3) % 20
+            rng = np.random.default_rng(int.from_bytes(d[:4], "little"))
+            grad = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+            px = (
+                (grad + rng.integers(0, 64, (h, w, 3))).clip(0, 255).astype(np.uint8)
+            )
+            if i % 2:
+                payload = b"P6\n# synth\n%d %d\n255\n" % (w, h) + px.tobytes()
+            else:
+                payload = encode_bmp(px)
+        else:
+            w = h = 0
+            payload = (d * (8 + i % 23))[: 64 + (i * 37) % 512]
         rows["media_id"].append(i)
         rows["url"].append(f"https://media{i % 11}.example/{mt}/{i:06d}")
         rows["media_type"].append(mt)
         rows["payload"].append(payload)
-        rows["width"].append(0 if mt != "image" else 64 + i % 512)
-        rows["height"].append(0 if mt != "image" else 64 + (i * 3) % 512)
+        rows["width"].append(w)
+        rows["height"].append(h)
         rows["duration_ms"].append(0 if mt == "image" else 1000 + (i * 131) % 60000)
     return pa.table(rows, schema=MEDIA_SCHEMA)

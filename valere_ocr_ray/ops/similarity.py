@@ -98,8 +98,10 @@ class IvfIndex:
     """IVF over a Dataset: centroids from a bounded sample, assignments
     as a stored column; query probes ``n_probe`` nearest lists.
 
-    Partitioning note: at scale, write the assigned dataset partitioned
-    by ``ivf_cluster`` so a probe reads only its clusters' files.
+    Scale path: ``persist(out_dir)`` writes the assigned dataset
+    partitioned by ``ivf_cluster`` (+ centroids sidecar); a
+    :class:`IvfIndexOnDisk` then reads ONLY the probed clusters' files
+    per search — probe I/O scales with ``n_probe``, not the corpus.
     """
 
     def __init__(
@@ -136,4 +138,54 @@ class IvfIndex:
         sub = self.assigned.filter(
             expr=f"ivf_cluster in {clusters}"
         )
+        return knn_brute_force(sub, q, k, id_col=self.id_col, vec_col=self.vec_col)
+
+    def persist(self, out_dir: str) -> "IvfIndexOnDisk":
+        """Write the assigned dataset Hive-partitioned by ``ivf_cluster``
+        plus a ``_meta`` sidecar (centroids + column names); returns the
+        on-disk handle whose searches read only probed clusters."""
+        import json
+        import os
+
+        self.assigned.write_parquet(out_dir, partition_cols=["ivf_cluster"])
+        os.makedirs(os.path.join(out_dir, "_meta"), exist_ok=True)
+        np.save(os.path.join(out_dir, "_meta", "centroids.npy"), self.centroids)
+        with open(os.path.join(out_dir, "_meta", "meta.json"), "w") as f:
+            json.dump({"id_col": self.id_col, "vec_col": self.vec_col}, f)
+        return IvfIndexOnDisk(out_dir)
+
+
+class IvfIndexOnDisk:
+    """The finished IVF scale path: cluster-partitioned parquet on disk;
+    each search reads ONLY the ``n_probe`` probed clusters' files (the
+    read is pruned at the filesystem level, so probe I/O is
+    ``n_probe/n_clusters`` of the corpus, not a full scan + filter)."""
+
+    def __init__(self, path: str) -> None:
+        import json
+        import os
+
+        self.path = path
+        self.centroids = np.load(os.path.join(path, "_meta", "centroids.npy"))
+        with open(os.path.join(path, "_meta", "meta.json")) as f:
+            meta = json.load(f)
+        self.id_col, self.vec_col = meta["id_col"], meta["vec_col"]
+
+    def search(self, queries: np.ndarray, k: int = 10, n_probe: int = 4) -> pd.DataFrame:
+        import glob
+        import os
+
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        probe = np.argsort(-(q @ _normalize(self.centroids).T), axis=1)[:, :n_probe]
+        clusters = sorted(set(probe.flatten().tolist()))
+        files = [
+            f
+            for c in clusters
+            for f in sorted(
+                glob.glob(os.path.join(self.path, f"ivf_cluster={c}", "*.parquet"))
+            )
+        ]
+        if not files:
+            return pd.DataFrame({"query_id": [], self.id_col: [], "cosine": []})
+        sub = ray.data.read_parquet(files, columns=[self.id_col, self.vec_col])
         return knn_brute_force(sub, q, k, id_col=self.id_col, vec_col=self.vec_col)

@@ -149,3 +149,23 @@ def test_grouped_sum_fuzz_matches_pandas(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
     check()
+
+
+def test_exchange_tolerates_schema_drift(ray_session):
+    """One block whose pandas-inferred dtype diverges (all-null string
+    column -> Arrow null type; int -> float) must not fail the gather:
+    parts are cast to the canonical probed schema."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    good = pd.DataFrame({"k": [1, 2, 3], "v": [1, 2, 3], "s": ["a", "b", "c"]})
+    drifted = pd.DataFrame(
+        {"k": [4, 5], "v": np.array([4.0, 5.0]), "s": pd.Series([None, None])}
+    )
+    ds = rd.from_pandas([good, drifted])
+    out = hash_exchange(ds, ["k"], 4).to_pandas()
+    assert len(out) == 5
+    assert sorted(out["k"].tolist()) == [1, 2, 3, 4, 5]

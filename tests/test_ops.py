@@ -426,3 +426,31 @@ def test_asof_and_range_join_edges(ray_session):
     ).to_pandas().set_index("id")
     assert sorted(r.index) == [10]
     assert r.loc[10, "n_windows"] == 1
+
+
+def test_asof_pre_epoch_matches_and_key_validation(ray_session):
+    """Negative epoch-µs right timestamps are legitimate matches (no -1
+    sentinel), and non-integer keys fail fast with a clear error."""
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.asof import asof_join, build_time_index
+
+    right = pd.DataFrame(
+        {"k": [1], "rts": pd.to_datetime(["1960-06-01"])}
+    )
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {"id": [1], "k": [1], "ts": pd.to_datetime(["1961-01-01"])}
+        )
+    )
+    out = asof_join(
+        left, right, left_key="k", left_ts="ts", right_key="k", right_ts="rts"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["matched_ts_us"].iloc[0] == pd.Timestamp("1960-06-01").value // 1000
+    assert out["matched_ts_us"].iloc[0] < 0
+
+    bad = pd.DataFrame({"k": ["a"], "rts": pd.to_datetime(["2024-01-01"])})
+    with pytest.raises(TypeError, match="must be integer"):
+        build_time_index(bad, "k", "rts")

@@ -70,3 +70,54 @@ def test_mixed_plain_and_flate_order():
         b"<< /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == "plain first\nfrom flate"
+
+
+def test_flate_nested_decodeparms_dict():
+    """A dict containing nested <<…>> (DecodeParms) and hex strings
+    breaks a flat [^>]* regex; the bracket-aware scanner handles it."""
+    import zlib
+
+    from valere_ocr_ray.extract.pdf_text import extract_pdf_text
+
+    stream = b"BT (Nested params ok) Tj ET"
+    comp = zlib.compress(stream)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+        + b" /ID <4f3c> >>\nstream\n" + comp + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "Nested params ok"
+
+
+def test_flate_embedded_endstream_bytes_not_truncating():
+    """With a correct /Length, a coincidental 'endstream' byte sequence
+    INSIDE the compressed body must not truncate the stream (zlib
+    level-0 stored blocks embed the raw text, including the marker)."""
+    import zlib
+
+    from valere_ocr_ray.extract.pdf_text import extract_pdf_text
+
+    stream = b"BT (before endstream after) Tj ET"
+    comp = zlib.compress(stream, 0)  # stored block: raw bytes inside
+    assert b"endstream" in comp
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "before endstream after"
+
+
+def test_flate_indirect_length_falls_back_to_endstream():
+    """'/Length 5 0 R' is an indirect reference, not a byte count —
+    the scanner must ignore it and use the literal endstream search."""
+    import zlib
+
+    from valere_ocr_ray.extract.pdf_text import extract_pdf_text
+
+    stream = b"BT (Indirect length) Tj ET"
+    comp = zlib.compress(stream)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 0 R /Filter /FlateDecode >>\n"
+        b"stream\n" + comp + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "Indirect length"

@@ -28,12 +28,73 @@ from __future__ import annotations
 import re
 import zlib
 
-# /FlateDecode stream: dict immediately preceding the stream keyword —
-# real-world PDFs compress content streams; stdlib zlib inflates them
-_FLATE_STREAM_RE = re.compile(
-    rb"<<[^>]*?/Filter\s*(?:\[\s*)?/FlateDecode[^>]*?>>\s*stream\r?\n(.*?)endstream",
-    re.DOTALL,
+# /FlateDecode stream location: the stream keyword's preceding dict is
+# parsed with a small <<…>>-depth-aware backward scanner (a flat regex
+# breaks on any '>' inside the dict — nested <<…>> DecodeParms, hex
+# strings, arrays — silently losing text; ADVICE r1), and the body end
+# comes from /Length when present (a coincidental 'endstream' byte
+# sequence inside compressed data cannot truncate it), falling back to
+# the literal endstream search only when /Length is absent or stale.
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+_FLATE_IN_FILTER_RE = re.compile(
+    rb"/Filter\s*(?:\[[^\]]*/FlateDecode|/FlateDecode)"
 )
+# direct /Length only — '/Length 5 0 R' is an indirect reference
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s*\d+\s*R)")
+_ENDSTREAM_RE = re.compile(rb"\s*endstream")
+
+
+def _dict_before(data: bytes, pos: int) -> tuple[int, int] | None:
+    """Span of the ``<<…>>`` dict whose close immediately precedes
+    ``pos`` (skipping whitespace), tracking << / >> nesting depth so
+    nested dicts and single ``<``/``>`` (hex strings) don't confuse
+    the match.  Returns None when no well-formed dict is there."""
+    i = pos
+    while i > 0 and data[i - 1 : i] in (b" ", b"\t", b"\r", b"\n"):
+        i -= 1
+    if data[i - 2 : i] != b">>":
+        return None
+    depth = 0
+    j = i
+    while j >= 2:
+        two = data[j - 2 : j]
+        if two == b">>":
+            depth += 1
+            j -= 2
+        elif two == b"<<":
+            depth -= 1
+            j -= 2
+            if depth == 0:
+                return (j, i)
+        else:
+            j -= 1
+    return None
+
+
+def _find_flate_spans(data: bytes) -> list[tuple[int, int]]:
+    """(body_start, body_end) spans of FlateDecode stream bodies."""
+    spans: list[tuple[int, int]] = []
+    for m in _STREAM_KW_RE.finditer(data):
+        d = _dict_before(data, m.start())
+        if d is None:
+            continue
+        dct = data[d[0] : d[1]]
+        if not _FLATE_IN_FILTER_RE.search(dct):
+            continue
+        start = m.end()
+        end = -1
+        lm = _LENGTH_RE.search(dct)
+        if lm:
+            cand = start + int(lm.group(1))
+            if cand <= len(data) and _ENDSTREAM_RE.match(data, cand):
+                end = cand
+        if end < 0:  # /Length absent or stale → literal search
+            es = data.find(b"endstream", start)
+            if es == -1:
+                continue
+            end = es
+        spans.append((start, end))
+    return spans
 
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _SHOW_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\[\]\\]|\\.)*\]\s*TJ", re.DOTALL)
@@ -75,17 +136,17 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
     ``zlib``; undecodable streams are skipped, never raised) — plain
     content first, then Flate streams in document order."""
     lines: list[str] = []
-    flate = list(_FLATE_STREAM_RE.finditer(pdf_bytes))
+    flate = _find_flate_spans(pdf_bytes)
     if flate:
         # blank compressed bodies out of the plain scan: random deflate
         # bytes can coincidentally match BT…ET and yield junk lines
         plain = bytearray(pdf_bytes)
-        for m in flate:
-            plain[m.start(1) : m.end(1)] = b" " * (m.end(1) - m.start(1))
+        for s, e in flate:
+            plain[s:e] = b" " * (e - s)
         _collect_text(bytes(plain), lines)
-        for m in flate:
+        for s, e in flate:
             try:
-                _collect_text(zlib.decompress(m.group(1)), lines)
+                _collect_text(zlib.decompress(pdf_bytes[s:e]), lines)
             except zlib.error:
                 continue
     else:

@@ -27,7 +27,16 @@ import ray.data
 def build_time_index(
     right: pd.DataFrame, key_col: str, ts_col: str
 ) -> dict[int, np.ndarray]:
-    """{key → sorted int64-epoch-us timestamps} (duplicates kept)."""
+    """{key → sorted int64-epoch-us timestamps} (duplicates kept).
+
+    Keys must be an integer dtype — validated up front with a clear
+    error (a float key would silently truncate through ``int()``, a
+    string key would raise deep inside the exchange)."""
+    if not pd.api.types.is_integer_dtype(right[key_col]):
+        raise TypeError(
+            f"asof/range join key {key_col!r} must be integer, got "
+            f"{right[key_col].dtype} — cast or factorize keys upstream"
+        )
     out: dict[int, np.ndarray] = {}
     ts = right[ts_col].astype("datetime64[us]").astype("int64")
     for key, g in ts.groupby(right[key_col].to_numpy()):
@@ -55,7 +64,10 @@ def asof_join(
         idx = ray.get(ref)
         ts = df[left_ts].astype("datetime64[us]").astype("int64").to_numpy()
         keys = df[left_key].to_numpy()
-        matched = np.full(len(df), -1, dtype=np.int64)
+        # separate boolean mask, NOT a -1 sentinel: pre-1970 right
+        # timestamps are legitimate negative epoch-µs matches (ADVICE r1)
+        matched = np.zeros(len(df), dtype=np.int64)
+        hit = np.zeros(len(df), dtype=bool)
         order = np.argsort(keys, kind="stable")
         i = 0
         while i < len(order):
@@ -69,9 +81,10 @@ def asof_join(
                 pos = np.searchsorted(dates, ts[rows], side="right") - 1
                 ok = pos >= 0
                 matched[rows[ok]] = dates[pos[ok]]
+                hit[rows[ok]] = True
             i = j
         df = df.assign(**{out_col: matched})
-        return df[df[out_col] >= 0]
+        return df[hit]
 
     return left.map_batches(match, batch_format="pandas")
 

@@ -104,10 +104,16 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
-    """Per-token 64-bit hashes: crc32 (C speed) lifted through splitmix64.
+    """Per-token hashes: crc32 (C speed) lifted through splitmix64.
 
-    Deterministic across processes (unlike ``hash()``); ~10× faster than
-    per-token md5 — this is the hot inner loop of minhash/simhash."""
+    Deterministic across processes (unlike ``hash()``); ~10× faster
+    than per-token md5 — this is the hot inner loop of minhash/simhash,
+    where the 2^32 base space is sufficient (signatures compare
+    per-permutation minima over whole documents, so rare token
+    collisions only nudge similarity estimates).  For estimators whose
+    math ASSUMES uniform 63/64-bit hashes (KMV distinct counting), use
+    :func:`_token_hashes64` instead — a 32-bit base saturates near
+    4.3e9 distinct tokens."""
     if not toks:
         return np.zeros(0, dtype=np.uint64)
     th = np.fromiter(
@@ -115,6 +121,27 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     )
     with np.errstate(over="ignore"):
         return _mix64(th * np.uint64(0x9E3779B97F4A7C15))
+
+
+def _token_hashes64(toks: list[str]) -> np.ndarray:
+    """Genuinely 64-bit-entropy per-token hashes: two independent
+    crc32 streams (token bytes; token bytes + salt) packed into the
+    high/low words, then splitmix64-finalized.  Still C-speed crc32 —
+    no per-token md5 — but the base space is 2^64, as the KMV
+    estimator requires (ADVICE r1)."""
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    n = len(toks)
+    lo = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=n
+    )
+    hi = np.fromiter(
+        (zlib.crc32(t.encode() + b"\x01kmv") for t in toks),
+        dtype=np.uint64,
+        count=n,
+    )
+    with np.errstate(over="ignore"):
+        return _mix64((hi << np.uint64(32)) | lo)
 
 
 _SHINGLE_B = np.uint64(0x100000001B3)

@@ -83,7 +83,25 @@ def _gather(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
     live = [t for t in parts if t.num_rows]
     if not live:
         return schema.empty_table()
-    return pa.concat_tables(live).combine_chunks()
+    # schema-drift tolerance: a pandas stage can infer a divergent
+    # dtype in one rare block (all-null string column → null type, int
+    # column gone float) — cast each part to the probed canonical
+    # schema, falling back to a permissive promote, so one odd block
+    # degrades gracefully instead of failing the partition (ADVICE r1)
+    casted = []
+    for t in live:
+        if t.schema != schema:
+            try:
+                t = t.select(schema.names).cast(schema)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
+                pass  # genuinely different shape → permissive concat below
+        casted.append(t)
+    try:
+        return pa.concat_tables(casted).combine_chunks()
+    except pa.ArrowInvalid:
+        return pa.concat_tables(
+            casted, promote_options="permissive"
+        ).combine_chunks()
 
 
 def hash_exchange(

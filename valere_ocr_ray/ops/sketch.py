@@ -11,8 +11,13 @@ exist at 100 TB: a distinct-count over a shuffle becomes a
 fixed-size-per-block combine).
 
 Public scheme (Bar-Yossef et al., "Counting distinct elements in a
-data stream", RANDOM 2002); hashing reuses the crc32+splitmix64 token
-pipeline from ops/dedup.
+data stream", RANDOM 2002).  Hashing uses the TRUE-64-bit token hash
+(``ops/dedup._token_hashes64`` — two independent crc32 streams packed
+to 64 bits, splitmix64-finalized): the estimator assumes uniform
+63-bit hashes, and a 32-bit base space would undercount past ~10^8
+distinct tokens and saturate at 2^32 (ADVICE r1).  The 32-bit-base
+hash remains only where that entropy provably suffices (minhash /
+simhash signatures, partitioning).
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from valere_ocr_ray.ops.dedup import _token_hashes
+from valere_ocr_ray.ops.dedup import _token_hashes64
 
 _HASH_SPACE = float(1 << 63)  # hashes are right-shifted to 63-bit below
 
@@ -64,7 +69,7 @@ def distinct_tokens_kmv(
         toks = set()
         for t in df[col]:
             toks.update(w for w in alpha.findall(t.lower()) if len(w) >= 3)
-        sk = kmv_from_hashes(_token_hashes(sorted(toks)), k)
+        sk = kmv_from_hashes(_token_hashes64(sorted(toks)), k)
         return pd.DataFrame({"sketch": [sk.tolist()]})
 
     parts = ds.map_batches(partial, batch_format="pandas").take_all()

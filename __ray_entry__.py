@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.doc_langid,
         "doc_fingerprint": q.doc_fingerprint,
         "doc_contacts": q.doc_contacts,
+        "doc_tag_lookup": q.doc_tag_lookup,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_near_dup_verified": q.doc_near_dup_verified,
         "doc_dup_clusters": q.doc_dup_clusters,
@@ -137,6 +138,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_prefix_filter": (
             "SELECT doc_id, source FROM documents WHERE starts_with(source, 'src1')"
+        ),
+        "doc_tag_lookup": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "WHERE lang = 'src2' OR source = 'src2'"
         ),
         "events_sliding": (
             "SELECT window_start, event_type, "

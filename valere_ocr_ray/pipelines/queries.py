@@ -209,6 +209,32 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_tag_lookup(sf_dir: str):
+    """J3 object-tag lookup (``IDD/MiscTestingScripts/EthansCode/import
+    os1.py:88-131``): the reference scans every object's tag set and
+    returns the FIRST object whose any tag VALUE matches the target.
+    Analog: each document's metadata tags are {lang, source}; return
+    the min doc_id whose any tag value matches — per-block partial min
+    + one tiny combine (no sort, no full materialization)."""
+    target = "src2"
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "source"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[(df["lang"] == target) | (df["source"] == target)]
+        if not len(hit):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": [int(hit["doc_id"].min())]})
+
+    mins = [
+        r["doc_id"]
+        for r in ds.map_batches(partial, batch_format="pandas").take_all()
+    ]
+    first = min(mins) if mins else None
+    return pa.table({"doc_id": pa.array([first], pa.int64())})
+
+
 def doc_contacts(sf_dir: str):
     """F10 generic regex battery as a vectorized span-matcher: one row
     per (doc_id, kind, contact) match — pandas ``str.findall`` with the

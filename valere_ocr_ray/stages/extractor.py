@@ -26,9 +26,17 @@ import pyarrow as pa
 from valere_ocr_ray.extract.html_text import extract_main_text_meta
 from valere_ocr_ray.extract.pdf_text import extract_pdf_text
 from valere_ocr_ray.registry.extractors import extract_document
-from valere_ocr_ray.stages.docmeta import KIND_HTML, KIND_PDF, STATUS_OK
+from valere_ocr_ray.stages.docmeta import (
+    KIND_HTML,
+    KIND_IMAGE,
+    KIND_PDF,
+    STATUS_OK,
+)
 
 STATUS_ERROR_PARSE = "error_parse"
+# image payload admitted but no OCR backend plugged into the seam —
+# routed, not dropped (a future decoder flips these rows to 'ok')
+STATUS_SKIPPED_NO_OCR = "skipped_image_no_ocr"
 
 SPAN_TYPE = pa.list_(
     pa.struct(
@@ -73,16 +81,25 @@ class PageExtractor:
             payload = html[i].as_buffer().to_pybytes()
             try:
                 sig_tier = 0
+                row_status = STATUS_OK
                 if kind == KIND_PDF:
                     text = extract_pdf_text(payload)
                     if not text and self._ocr is not None:
                         text = self._ocr(payload)
                 elif kind == KIND_HTML:
                     text, sig_tier = extract_main_text_meta(payload)
+                elif kind == KIND_IMAGE:
+                    # the OCR seam: image payloads route here; without a
+                    # backend they carry a skip status, never vanish
+                    if self._ocr is not None:
+                        text = self._ocr(payload)
+                    else:
+                        text = ""
+                        row_status = STATUS_SKIPPED_NO_OCR
                 else:
                     text = ""
                 texts.append(text)
-                out_status.append(STATUS_OK)
+                out_status.append(row_status)
                 sig_tiers.append(sig_tier)
             except Exception:
                 texts.append("")

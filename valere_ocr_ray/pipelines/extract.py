@@ -100,6 +100,11 @@ def list_shards(input_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
 
+@ray.remote(num_cpus=0.5)
+def _lineage_task(part_dir: str) -> dict:
+    return _partition_lineage(part_dir)
+
+
 def run_resumable(
     input_dir: str,
     out_dir: str,
@@ -164,11 +169,19 @@ def run_resumable(
         # pruned scan (out_dir/part_id=…/doc_type=…/*.parquet)
         ds.write_parquet(out_dir, partition_cols=["part_id", "doc_type"])
         wall_s = time.perf_counter() - t0
-        # lineage per partition from the written output (cheap columnar
-        # read-back — avoids re-executing the pipeline for the aggregate)
-        for part_id in parts:
-            part_dir = os.path.join(out_dir, f"part_id={part_id}")
-            stats = _partition_lineage(part_dir)
+        # lineage per partition from the written output (columnar
+        # read-back — avoids re-executing the pipeline for the
+        # aggregate).  Runs as PARALLEL Ray tasks: the per-class Hive
+        # layout multiplies file count ~n_classes×, and a serial
+        # driver loop over those files is a constant cost that
+        # scales with shards, not CPUs (measured 18 s on the 64-shard
+        # bench — it halved the 8→32 scaling efficiency).  Manifests
+        # are still written driver-side, data-then-manifest.
+        stats_refs = [
+            _lineage_task.remote(os.path.join(out_dir, f"part_id={part_id}"))
+            for part_id in parts
+        ]
+        for part_id, stats in zip(parts, ray.get(stats_refs)):
             stats["wall_s_group"] = round(wall_s, 3)
             stats["group_index"] = group_index
             write_manifest(out_dir, part_id, stats)
@@ -203,10 +216,11 @@ def _partition_lineage(part_dir: str) -> dict:
     )
     if not files:
         return {"n_in": 0, "n_ok": 0, "n_error": 0, "n_skipped": 0, "bytes_in": 0, "files": []}
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    tables = [pq.read_table(f, columns=["status", "size_bytes"]) for f in files]
-    t = pa.concat_tables(tables)
+    # one dataset scan over the partition's files (vs a python loop of
+    # per-file read_table calls — ~10 ms of open/footer overhead each)
+    t = pads.dataset(files).to_table(columns=["status", "size_bytes"])
     status = t["status"]
     n_ok = pc.sum(pc.equal(status, "ok").cast(pa.int64())).as_py() or 0
     n_err = (

@@ -454,3 +454,37 @@ def test_asof_pre_epoch_matches_and_key_validation(ray_session):
     bad = pd.DataFrame({"k": ["a"], "rts": pd.to_datetime(["2024-01-01"])})
     with pytest.raises(TypeError, match="must be integer"):
         build_time_index(bad, "k", "rts")
+
+
+def test_verify_pairs_exchange_matches_broadcast(ray_session):
+    """The zero-driver-state exchange verify == the broadcast verify,
+    on both a toy dup corpus and the documents table."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+        verify_pairs_exact_exchange,
+    )
+
+    def normalize(df):
+        df = df[["id_a", "id_b", "jaccard"]].copy()
+        df["jaccard"] = df["jaccard"].round(9)
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    ds = _dup_corpus(ray_session)
+    cand = minhash_lsh_pairs(ds, threshold=0.3)
+    a = normalize(verify_pairs_exact(ds, cand, threshold=0.35).to_pandas())
+    b = normalize(
+        verify_pairs_exact_exchange(ds, cand, threshold=0.35).to_pandas()
+    )
+    assert len(a) > 0
+    assert a.equals(b)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    cand2 = minhash_lsh_pairs(docs, threshold=0.3)
+    a2 = normalize(verify_pairs_exact(docs, cand2, threshold=0.35).to_pandas())
+    b2 = normalize(
+        verify_pairs_exact_exchange(docs, cand2, threshold=0.35).to_pandas()
+    )
+    assert a2.equals(b2)

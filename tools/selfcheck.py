@@ -84,7 +84,11 @@ def _values_equal(a, b) -> bool:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    oracled_only = "--oracled-only" in sys.argv  # e.g. the sf0.1 sweep,
+    # where the engine-synthesized pages_* pipelines would re-extract
+    # the 200k-page corpus once per query
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb
     import ray
@@ -113,7 +117,8 @@ def main() -> None:
 
     record: dict = {"sf_dir": sf_dir, "queries": {}}
     n_ok = n_fail = 0
-    for name in sorted(queries):
+    names = sorted(oracles if oracled_only else queries)
+    for name in names:
         t0 = time.perf_counter()
         entry: dict = {}
         try:

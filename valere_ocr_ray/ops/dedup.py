@@ -431,6 +431,107 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
+def verify_pairs_exact_exchange(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verify with ZERO driver state — the scale path
+    (the broadcast variant below holds a candidate-texts dict on the
+    driver, which is fine only while candidates ≪ corpus).
+
+    Two hash exchanges:
+
+    1. keyed by ``doc_id``: pair-endpoint rows (two per pair, one per
+       side) co-locate with the corpus text rows; a vectorized in-block
+       merge attaches each endpoint's text (the semi-join happens ON
+       the exchange — untouched corpus texts simply find no endpoint);
+    2. keyed by ``(id_a, id_b)``: the two endpoint rows regroup and a
+       per-pair n-gram Jaccard emits verified pairs.
+
+    Output: ``(id_a, id_b, jaccard)``, jaccard >= threshold.
+    """
+    from valere_ocr_ray.ops.exchange import grouped_map, hash_exchange
+
+    # unified step-1 schema: (doc_id, id_a, id_b, side, text)
+    def endpoint_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "id_a": np.concatenate([a, a]),
+                "id_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(len(df), np.int64), np.ones(len(df), np.int64)]
+                ),
+                "text": [""] * (2 * len(df)),
+            }
+        )
+
+    def text_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "id_a": np.zeros(len(df), dtype=np.int64),
+                "id_b": np.zeros(len(df), dtype=np.int64),
+                "side": np.full(len(df), -1, dtype=np.int64),
+                "text": df["text"].astype(str).tolist(),
+            }
+        )
+
+    mixed = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        endpoint_rows, batch_format="pandas"
+    ).union(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            text_rows, batch_format="pandas"
+        )
+    )
+    ex1 = hash_exchange(mixed, ["doc_id"], num_partitions)
+
+    def attach_text(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df[df["side"] == -1].drop_duplicates("doc_id").set_index("doc_id")[
+            "text"
+        ]
+        ends = df[df["side"] >= 0]
+        out = pd.DataFrame(
+            {
+                "id_a": ends["id_a"].to_numpy(dtype=np.int64),
+                "id_b": ends["id_b"].to_numpy(dtype=np.int64),
+                "side": ends["side"].to_numpy(dtype=np.int64),
+                "text": ends["doc_id"].map(txt).fillna("").tolist(),
+            }
+        )
+        return out
+
+    attached = ex1.map_batches(attach_text, batch_format="pandas", batch_size=None)
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty_pairs("jaccard", "float64")
+        ta = g[g["side"] == 0]["text"]
+        tb = g[g["side"] == 1]["text"]
+        j = ngram_jaccard(
+            ta.iloc[0] if len(ta) else "", tb.iloc[0] if len(tb) else "", n
+        )
+        if j < threshold:
+            return _empty_pairs("jaccard", "float64")
+        return pd.DataFrame(
+            {
+                "id_a": [int(g["id_a"].iloc[0])],
+                "id_b": [int(g["id_b"].iloc[0])],
+                "jaccard": [j],
+            }
+        )
+
+    return grouped_map(
+        attached, ["id_a", "id_b"], pair_jaccard, num_partitions=num_partitions
+    )
+
+
 def verify_pairs_exact(
     ds: ray.data.Dataset,
     pairs: ray.data.Dataset,
@@ -438,12 +539,14 @@ def verify_pairs_exact(
     n: int = 3,
     threshold: float = 0.5,
 ) -> ray.data.Dataset:
-    """Exact-Jaccard verify of candidate pairs.
+    """Exact-Jaccard verify of candidate pairs, broadcast variant.
 
     Partitioning assumption (documented per SURVEY.md): the candidate
     set is orders of magnitude smaller than the corpus, so the texts
     of candidate ids are broadcast (``ray.put``) to the verify stage
-    rather than shuffled — a semi-join small-side-broadcast.
+    rather than shuffled — a semi-join small-side-broadcast.  When the
+    candidate set scales with the corpus, use
+    :func:`verify_pairs_exact_exchange` (zero driver state).
     """
     import ray as _ray
 

@@ -715,13 +715,14 @@ def events_sliding(sf_dir: str):
 
 
 def doc_near_dup_verified(sf_dir: str):
-    """MinHash-LSH candidates exact-verified by token-3-gram Jaccard
-    (candidate texts broadcast — semi-join small-side-broadcast)."""
+    """MinHash-LSH candidates exact-verified by token-3-gram Jaccard on
+    the hash exchange (``verify_pairs_exact_exchange`` — zero driver
+    state; equivalence with the broadcast variant is test-pinned)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     cand = dedup.minhash_lsh_pairs(ds, threshold=0.3)
-    return dedup.verify_pairs_exact(ds, cand, n=3, threshold=0.35).select_columns(
-        ["id_a", "id_b", "jaccard"]
-    )
+    return dedup.verify_pairs_exact_exchange(
+        ds, cand, n=3, threshold=0.35
+    ).select_columns(["id_a", "id_b", "jaccard"])
 
 
 def doc_simhash_pairs(sf_dir: str):

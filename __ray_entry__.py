@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q.doc_fingerprint,
         "doc_contacts": q.doc_contacts,
         "doc_tag_lookup": q.doc_tag_lookup,
+        "doc_length_percentiles": q.doc_length_percentiles,
+        "doc_length_p90_by_lang": q.doc_length_p90_by_lang,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_near_dup_verified": q.doc_near_dup_verified,
         "doc_dup_clusters": q.doc_dup_clusters,
@@ -142,6 +144,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_tag_lookup": (
             "SELECT min(doc_id) AS doc_id FROM documents "
             "WHERE lang = 'src2' OR source = 'src2'"
+        ),
+        "doc_length_percentiles": (
+            "SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50, "
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90, "
+            "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99 "
+            "FROM documents"
+        ),
+        "doc_length_p90_by_lang": (
+            "SELECT lang, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) "
+            "AS p90 FROM documents GROUP BY lang"
         ),
         "events_sliding": (
             "SELECT window_start, event_type, "

@@ -96,6 +96,9 @@ def _run_benchmarks() -> dict:
         timed("doc_textstats", q.doc_quality)
         timed("emb_knn_brute", q.emb_knn_brute)
         timed("events_hourly", q.events_hourly)
+        timed("doc_topk_longest", q.doc_topk_longest)
+        timed("events_user_topk", q.events_user_topk)
+        timed("doc_length_percentiles", q.doc_length_percentiles)
 
     ray.shutdown()
     return {

@@ -209,6 +209,72 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def _percentile_disc(counts: pd.DataFrame, val_col: str, q: float) -> int:
+    """ANSI ``percentile_disc``: smallest value whose cumulative count
+    reaches ``ceil(q * n)`` — computed on a (value, n) count frame."""
+    counts = counts.sort_values(val_col)
+    cum = counts["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    rank = max(1, math.ceil(q * total))
+    idx = int(np.searchsorted(cum, rank))
+    return int(counts[val_col].to_numpy()[idx])
+
+
+def doc_length_percentiles(sf_dir: str):
+    """EXACT global percentiles (p50/p90/p99) of document length with
+    no sort shuffle: per-block value counts → tree combine → one tiny
+    cumulative scan.  The exchanged state is one row per DISTINCT
+    length (a bounded integer domain), not per document — the
+    scale-safe exact-quantile shape for bounded domains; for unbounded
+    doubles, bucket first and accept bucket resolution."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["n_chars"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    combined = tree_keyed_sum(
+        ds.map_batches(counts, batch_format="pandas"), ["n_chars"], ["n"]
+    ).to_pandas()
+    return pa.table(
+        {
+            "p50": pa.array([_percentile_disc(combined, "n_chars", 0.5)], pa.int64()),
+            "p90": pa.array([_percentile_disc(combined, "n_chars", 0.9)], pa.int64()),
+            "p99": pa.array([_percentile_disc(combined, "n_chars", 0.99)], pa.int64()),
+        }
+    )
+
+
+def doc_length_p90_by_lang(sf_dir: str):
+    """Grouped exact percentile: p90 document length per lang — keyed
+    (lang, n_chars) count partials, tree combine, vectorized per-group
+    cumulative scan on the (small) distinct-value frame."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    combined = tree_keyed_sum(
+        ds.map_batches(counts, batch_format="pandas"), ["lang", "n_chars"], ["n"]
+    ).to_pandas()
+    rows = [
+        {"lang": lang, "p90": _percentile_disc(g, "n_chars", 0.9)}
+        for lang, g in combined.groupby("lang")
+    ]
+    rows.sort(key=lambda r: r["lang"])
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "p90": pa.array([r["p90"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def doc_tag_lookup(sf_dir: str):
     """J3 object-tag lookup (``IDD/MiscTestingScripts/EthansCode/import
     os1.py:88-131``): the reference scans every object's tag set and

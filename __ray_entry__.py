@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_topk_longest": q.doc_topk_longest,
         "doc_distinct_tokens": q.doc_distinct_tokens,
         "doc_keyword_score": q.doc_keyword_score,
+        "doc_top_tokens": q.doc_top_tokens,
         "doc_langid": q.doc_langid,
         "doc_fingerprint": q.doc_fingerprint,
         "doc_contacts": q.doc_contacts,
@@ -190,6 +191,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT tok) AS n_distinct FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
             "FROM documents) WHERE length(tok) >= 3"
+        ),
+        "doc_top_tokens": (
+            "SELECT tok, count(*) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
+            "FROM documents) WHERE length(tok) >= 3 "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 10"
         ),
         "doc_keyword_score": (
             "SELECT doc_id, "

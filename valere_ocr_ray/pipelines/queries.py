@@ -113,6 +113,29 @@ def doc_distinct_tokens(sf_dir: str):
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 
+def doc_top_tokens(sf_dir: str):
+    """Exact corpus heavy hitters: top-10 tokens by occurrence —
+    vectorized explode + per-block count partials, ``tree_keyed_sum``
+    over the (bounded-vocabulary) token key, then a partial top-k tree
+    combine.  For open-vocabulary corpora swap the exact combine for a
+    space-saving sketch; the tokenization matches
+    ``doc_distinct_tokens`` (lower-cased alpha runs, len >= 3)."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum, tree_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.lower().str.findall(r"[a-z]+").explode().dropna()
+        s = s[s.str.len() >= 3]
+        g = s.value_counts().rename_axis("tok").reset_index(name="n")
+        return g
+
+    combined = tree_keyed_sum(
+        ds.map_batches(counts, batch_format="pandas"), ["tok"], ["n"]
+    )
+    return tree_topk(combined, ["n", "tok"], [False, True], 10)
+
+
 def doc_keyword_score(sf_dir: str):
     # A4 keyword scoring, vectorized occurrence count
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -491,9 +514,22 @@ def orders_by_nation(sf_dir: str):
         return out.groupby("nation", as_index=False)[["sum_total_c", "n_orders"]].sum()
 
     partials = ex.map_batches(fold, batch_format="pandas", batch_size=None)
-    return partials.groupby("nation").aggregate(
-        Sum("sum_total_c", alias_name="sum_total_c"),
-        Sum("n_orders", alias_name="n_orders"),
+    # final combine: ≤25 nations × 16 partitions of partial rows — a
+    # driver-side pandas fold (a Ray sort-shuffle aggregate here costs
+    # ~2 s of fixed overhead for 400 rows)
+    out = (
+        partials.to_pandas()
+        .groupby("nation", as_index=False)[["sum_total_c", "n_orders"]]
+        .sum()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "nation": pa.array(out["nation"].astype(str), pa.string()),
+            "sum_total_c": pa.array(out["sum_total_c"].to_numpy(np.int64), pa.int64()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64), pa.int64()),
+        }
     )
 
 
@@ -539,8 +575,21 @@ def lineitem_part_join(sf_dir: str):
         return df.groupby("p_brand", as_index=False)[["sum_qty_c", "n"]].sum()
 
     parts = li.map_batches(join_partial, batch_format="pandas")
-    return parts.groupby("p_brand").aggregate(
-        Sum("sum_qty_c", alias_name="sum_qty_c"), Sum("n", alias_name="n")
+    # ≤25 brands × n_blocks partial rows → driver-side final fold (a
+    # Ray sort-shuffle aggregate costs ~2 s fixed for a few hundred rows)
+    out = (
+        parts.to_pandas()
+        .groupby("p_brand", as_index=False)[["sum_qty_c", "n"]]
+        .sum()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(out["p_brand"].astype(str), pa.string()),
+            "sum_qty_c": pa.array(out["sum_qty_c"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        }
     )
 
 
@@ -953,9 +1002,13 @@ def events_hourly(sf_dir: str):
         )
         return df.groupby(["hour", "event_type"], as_index=False)[["sum_value_m", "n"]].sum()
 
-    return ds.map_batches(bucket, batch_format="pandas").groupby(
-        ["hour", "event_type"]
-    ).aggregate(Sum("sum_value_m", alias_name="sum_value_m"), Sum("n", alias_name="n"))
+    # final combine via tree_keyed_sum: (hour × type) cardinality grows
+    # with the log's time span, so the combine stays distributed —
+    # but without Dataset.groupby's ~1 ms/key sort-shuffle reduce
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    parts = ds.map_batches(bucket, batch_format="pandas")
+    return tree_keyed_sum(parts, ["hour", "event_type"], ["sum_value_m", "n"])
 
 
 # ---------------------------------------------------------------------------

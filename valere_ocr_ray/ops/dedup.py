@@ -651,6 +651,78 @@ def embedding_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+@ray.remote
+def _cl_init(edges: pa.Table) -> pa.Table:
+    """Partition-local label init: one (node, lab=node) row per
+    distinct node in this partition's edge block."""
+    nodes = np.unique(edges["node"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()), "lab": pa.array(nodes, pa.int64())}
+    )
+
+
+@ray.remote
+def _cl_send(labels: pa.Table, edges: pa.Table, p: int) -> list[pa.Table]:
+    """One propagation send for one partition: join the partition's
+    labels onto its outgoing edges (vectorized searchsorted — labels
+    are the partition's distinct nodes), emit (dst ← label_of_src)
+    messages plus the flagged self-rows, split by destination hash."""
+    from valere_ocr_ray.ops.exchange import _key_hash
+
+    nodes = labels["node"].to_numpy(zero_copy_only=False)
+    labs = labels["lab"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    nodes_s, labs_s = nodes[order], labs[order]
+    src = edges["node"].to_numpy(zero_copy_only=False)
+    dst = edges["other"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(nodes_s, src)
+    src_lab = labs_s[np.minimum(pos, len(nodes_s) - 1)] if len(nodes_s) else src
+    out = pa.table(
+        {
+            "node": pa.array(np.concatenate([nodes, dst]), pa.int64()),
+            "cand": pa.array(np.concatenate([labs, src_lab]), pa.int64()),
+            "is_self": pa.array(
+                np.concatenate(
+                    [np.ones(len(nodes), np.int64), np.zeros(len(dst), np.int64)]
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+    if out.num_rows == 0:
+        return [out] * p
+    part = (_key_hash(out, ["node"]) % np.uint64(p)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = out.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(p + 1))
+    return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(p)]
+
+
+@ray.remote(num_returns=2)
+def _cl_fold(*msg_parts: pa.Table):
+    """One fold for one partition: new label = min candidate per node;
+    returns (labels table, n_changed)."""
+    live = [t for t in msg_parts if t.num_rows]
+    if not live:
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "lab": pa.array([], pa.int64())}
+        )
+        return empty, 0
+    df = pa.concat_tables(live).to_pandas()
+    new = df.groupby("node", as_index=False)["cand"].min()
+    old = df[df["is_self"] == 1].set_index("node")["cand"]
+    changed = int(
+        (new["cand"].to_numpy() < new["node"].map(old).to_numpy(dtype=np.int64)).sum()
+    )
+    out = pa.table(
+        {
+            "node": pa.array(new["node"].to_numpy(dtype=np.int64), pa.int64()),
+            "lab": pa.array(new["cand"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+    return out, changed
+
+
 def cluster_labels(
     pairs: ray.data.Dataset,
     *,
@@ -663,32 +735,27 @@ def cluster_labels(
     union-find, with NO driver-side pair list (the scale path the
     round-1 driver fold could not be).
 
-    Algorithm: iterative **min-label propagation** as hash-exchange
-    rounds.  State is a labels Dataset (node → label, init label=node,
-    one row per node appearing in any pair; object store, never the
-    driver).  Per round:
+    Algorithm: iterative **min-label propagation** with the edge set
+    exchanged ONCE (custom-operator path (c) — raw Ray tasks):
 
-      1. exchange ``labels ∪ directed-edges`` keyed by node; inside
-         each partition every node's current label is co-located with
-         its outgoing edges, so one vectorized merge emits
-         ``(dst, label_of_src)`` messages plus the node's own
-         ``(node, label)`` self-row (flagged);
-      2. exchange messages keyed by receiving node; vectorized
-         ``groupby(node).min`` gives the new label, and comparing it
-         to the flagged self-row's label gives a per-node ``changed``
-         bit whose dataset-level sum is the convergence test.
+    - directed edges are hash-partitioned by source node a single
+      time and stay put for the whole computation;
+    - label state lives in per-partition tables ALIGNED with the edge
+      partitions (same key hash), so each round is: one send task per
+      partition (vectorized searchsorted label join → messages, split
+      by destination hash) + one fold task per partition (min
+      candidate per node + changed count).  Only the MESSAGES move —
+      one exchange per round, and the (larger) edge set never moves
+      again.
 
     Rounds until fixpoint = graph diameter (star/clique duplicate
     clusters: ≤2; for long-chain graphs switch to pointer-jumping,
     which this data shape does not need).  Per round the driver holds
-    ONE scalar (the changed count); everything else is exchanged
-    blocks proportional to the pair volume.
+    ``num_partitions`` changed-count ints; everything else stays in
+    the object store.
     """
     from valere_ocr_ray.ops.exchange import hash_exchange
 
-    # directed edges both ways, tagged kind=1; label rows are kind=0.
-    # One unified schema (node,other,lab,kind) keeps the exchange's
-    # concat trivially schema-stable.
     def both_ways(df: pd.DataFrame) -> pd.DataFrame:
         a = df["id_a"].to_numpy(dtype=np.int64)
         b = df["id_b"].to_numpy(dtype=np.int64)
@@ -696,96 +763,36 @@ def cluster_labels(
             {
                 "node": np.concatenate([a, b]),
                 "other": np.concatenate([b, a]),
-                "lab": np.zeros(2 * len(df), dtype=np.int64),
-                "kind": np.ones(2 * len(df), dtype=np.int64),
             }
         )
 
-    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+    edges_ds = pairs.select_columns(["id_a", "id_b"]).map_batches(
         both_ways, batch_format="pandas"
-    ).materialize()
-
-    # init labels: distinct nodes, label = node
-    def uniq_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["node"].drop_duplicates()
-        return pd.DataFrame(
-            {
-                "node": n.to_numpy(dtype=np.int64),
-                "other": n.to_numpy(dtype=np.int64),
-                "lab": n.to_numpy(dtype=np.int64),
-                "kind": np.zeros(len(n), dtype=np.int64),
-            }
-        )
-
-    pre = edges.map_batches(uniq_nodes, batch_format="pandas")
-    labels = (
-        hash_exchange(pre, ["node"], num_partitions)
-        .map_batches(
-            lambda df: df.drop_duplicates("node"),
-            batch_format="pandas",
-            batch_size=None,
-        )
-        .materialize()
     )
-
-    def send(df: pd.DataFrame) -> pd.DataFrame:
-        """Partition holds each node's label row + its outgoing edges:
-        emit (dst ← label_of_src) messages and the flagged self-row."""
-        lab_rows = df[df["kind"] == 0]
-        edge_rows = df[df["kind"] == 1]
-        lab_map = lab_rows.set_index("node")["lab"]
-        msgs = pd.DataFrame(
-            {
-                "node": edge_rows["other"].to_numpy(dtype=np.int64),
-                "cand": edge_rows["node"].map(lab_map).to_numpy(dtype=np.int64),
-                "is_self": np.zeros(len(edge_rows), dtype=np.int64),
-            }
+    p = max(2, num_partitions)  # the multi-return send path needs p >= 2
+    edge_refs = hash_exchange(edges_ds, ["node"], p).to_arrow_refs()
+    if len(edge_refs) < p:
+        # degenerate input (hash_exchange collapses empty inputs to one
+        # block): no pairs → no clustered nodes
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
         )
-        selfs = pd.DataFrame(
-            {
-                "node": lab_rows["node"].to_numpy(dtype=np.int64),
-                "cand": lab_rows["lab"].to_numpy(dtype=np.int64),
-                "is_self": np.ones(len(lab_rows), dtype=np.int64),
-            }
-        )
-        return pd.concat([selfs, msgs], ignore_index=True)
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        """New label = min candidate per node; changed vs the self-row."""
-        new = df.groupby("node", as_index=False)["cand"].min()
-        old = df[df["is_self"] == 1].set_index("node")["cand"]
-        new["changed"] = (
-            new["cand"].to_numpy()
-            < new["node"].map(old).to_numpy(dtype=np.int64)
-        ).astype(np.int64)
-        return new.rename(columns={"cand": "lab"})
+        return ray.data.from_arrow(empty)
+    label_refs = [_cl_init.remote(r) for r in edge_refs]
 
     for _ in range(max_rounds):
-        mixed = hash_exchange(labels.union(edges), ["node"], num_partitions)
-        msgs = mixed.map_batches(send, batch_format="pandas", batch_size=None)
-        folded = (
-            hash_exchange(msgs, ["node"], num_partitions)
-            .map_batches(fold, batch_format="pandas", batch_size=None)
-            .materialize()
-        )
-        n_changed = folded.sum("changed")
-        labels = (
-            folded.map_batches(
-                lambda df: pd.DataFrame(
-                    {
-                        "node": df["node"].to_numpy(dtype=np.int64),
-                        "other": df["node"].to_numpy(dtype=np.int64),
-                        "lab": df["lab"].to_numpy(dtype=np.int64),
-                        "kind": np.zeros(len(df), dtype=np.int64),
-                    }
-                ),
-                batch_format="pandas",
-                batch_size=None,
-            )
-            .materialize()
-        )
-        if not n_changed:
+        sends = [
+            _cl_send.options(num_returns=p).remote(label_refs[i], edge_refs[i], p)
+            for i in range(p)
+        ]
+        folded = [
+            _cl_fold.remote(*[sends[j][i] for j in range(p)]) for i in range(p)
+        ]
+        label_refs = [f[0] for f in folded]
+        if sum(ray.get([f[1] for f in folded])) == 0:
             break
+
+    labels = ray.data.from_arrow_refs(label_refs)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

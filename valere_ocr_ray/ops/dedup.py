@@ -244,30 +244,36 @@ def _bucket_pairs(
         n = max_bucket
     ids = group["doc_id"].to_numpy()
     sigs = np.stack([np.asarray(s) for s in group["sig"]])
-    out = {"id_a": [], "id_b": [], "est_jaccard": []}
     if star:
         hub = int(np.argmin(ids))
         eq = (sigs == sigs[hub]).mean(axis=1)
-        for j in range(n):
-            if j != hub and eq[j] >= threshold and ids[j] != ids[hub]:
-                out["id_a"].append(min(ids[hub], ids[j]))
-                out["id_b"].append(max(ids[hub], ids[j]))
-                out["est_jaccard"].append(float(eq[j]))
-        if not out["id_a"]:
+        keep = (eq >= threshold) & (ids != ids[hub])
+        keep[hub] = False
+        if not keep.any():
             return _empty_pairs("est_jaccard", "float64")
-        return pd.DataFrame(out)
-    for i in range(n):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        for j_off, est in enumerate(eq):
-            if est >= threshold:
-                a, b = ids[i], ids[i + 1 + j_off]
-                if a != b:
-                    out["id_a"].append(min(a, b))
-                    out["id_b"].append(max(a, b))
-                    out["est_jaccard"].append(float(est))
-    if not out["id_a"]:
+        other = ids[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[hub], other),
+                "id_b": np.maximum(ids[hub], other),
+                "est_jaccard": eq[keep],
+            }
+        )
+    # full clique, vectorized: pairwise signature-agreement matrix
+    # (n ≤ max_bucket, num_perm ≤ 128 → bounded memory)
+    est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    ii, jj = np.triu_indices(n, k=1)
+    keep = (est[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+    if not keep.any():
         return _empty_pairs("est_jaccard", "float64")
-    return pd.DataFrame(out)
+    ia, jb = ids[ii[keep]], ids[jj[keep]]
+    return pd.DataFrame(
+        {
+            "id_a": np.minimum(ia, jb),
+            "id_b": np.maximum(ia, jb),
+            "est_jaccard": est[ii[keep], jj[keep]],
+        }
+    )
 
 
 _MINHASHER_CACHE: dict[tuple, MinHasher] = {}
@@ -380,21 +386,26 @@ def simhash_pairs(
         if len(g) > max_bucket:
             # deterministic truncation (see _bucket_pairs)
             g = g.sort_values("doc_id", kind="stable")
-        out = {"id_a": [], "id_b": [], "hamming": []}
         ids = g["doc_id"].to_numpy()[:n]
-        hs = g["simhash"].to_numpy()[:n]
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                d = _hamming(int(hs[i]), int(hs[j]))
-                if d <= max_hamming:
-                    out["id_a"].append(min(ids[i], ids[j]))
-                    out["id_b"].append(max(ids[i], ids[j]))
-                    out["hamming"].append(d)
-        if not out["id_a"]:
+        hs = g["simhash"].to_numpy(dtype=np.int64)[:n].view(np.uint64)
+        # vectorized pairwise hamming: XOR matrix → popcount via
+        # byte-view unpackbits (replaces the O(n²) python loop)
+        x = hs[:, None] ^ hs[None, :]
+        d = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(
+            axis=2, dtype=np.int64
+        )
+        ii, jj = np.triu_indices(n, k=1)
+        keep = (d[ii, jj] <= max_hamming) & (ids[ii] != ids[jj])
+        if not keep.any():
             return _empty_pairs("hamming", "int64")
-        return pd.DataFrame(out)
+        ia, jb = ids[ii[keep]], ids[jj[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, jb),
+                "id_b": np.maximum(ia, jb),
+                "hamming": d[ii[keep], jj[keep]],
+            }
+        )
 
     from valere_ocr_ray.ops.exchange import grouped_agg, grouped_map
 

@@ -39,13 +39,15 @@ class BruteForceTopK:
         k = min(self.k, n)
         idx = np.argpartition(-sims, k - 1, axis=0)[:k]  # per-query top-k rows
         ids = df[self.id_col].to_numpy()
-        out = {"query_id": [], self.id_col: [], "cosine": []}
-        for qi in range(nq):
-            for ri in idx[:, qi]:
-                out["query_id"].append(qi)
-                out[self.id_col].append(ids[ri])
-                out["cosine"].append(float(sims[ri, qi]))
-        return pd.DataFrame(out)
+        qcol = np.repeat(np.arange(nq, dtype=np.int64), k)
+        rows = idx.T.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": qcol,
+                self.id_col: ids[rows],
+                "cosine": sims[rows, qcol].astype(np.float64),
+            }
+        )
 
 
 def knn_brute_force(

@@ -58,9 +58,13 @@ def distinct_tokens_kmv(
     ds: ray.data.Dataset, *, col: str = "text", k: int = 4096
 ) -> int:
     """Approximate distinct lower-cased alpha-token count over a text
-    column: per-block KMV partials (one k-vector per block crosses the
-    wire) merged on the driver.  Same tokenization as the exact
-    ``doc_distinct_tokens`` oracle query (len >= 3 alpha runs)."""
+    column: per-block KMV partials → TREE merge (sketches are
+    associative, so intermediate merges run in tasks) → ONE k-vector
+    reaches the driver.  A driver-side merge of per-block sketches
+    would hold n_blocks × k int64s (≈32 GB at 100 TB block counts);
+    the tree keeps driver state at k int64s regardless of corpus
+    size.  Same tokenization as the exact ``doc_distinct_tokens``
+    oracle query (len >= 3 alpha runs)."""
     import re
 
     alpha = re.compile(r"[a-z]+")
@@ -72,8 +76,17 @@ def distinct_tokens_kmv(
         sk = kmv_from_hashes(_token_hashes64(sorted(toks)), k)
         return pd.DataFrame({"sketch": [sk.tolist()]})
 
-    parts = ds.map_batches(partial, batch_format="pandas").take_all()
-    merged = kmv_merge(
-        [np.asarray(p["sketch"], dtype=np.int64) for p in parts], k
-    )
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        merged = kmv_merge(
+            [np.asarray(s, dtype=np.int64) for s in df["sketch"]], k
+        )
+        return pd.DataFrame({"sketch": [merged.tolist()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    for w in (8, 1):  # tree fan-in, one sketch row per block at each level
+        parts = parts.repartition(w).map_batches(
+            merge_block, batch_format="pandas", batch_size=None
+        )
+    rows = parts.take_all()  # exactly one row
+    merged = kmv_merge([np.asarray(r["sketch"], dtype=np.int64) for r in rows], k)
     return kmv_estimate(merged, k)

@@ -101,7 +101,13 @@ def doc_topk_longest(sf_dir: str):
 
 
 def doc_distinct_tokens(sf_dir: str):
-    # F6 tokenizer + A6 distinct: global distinct alpha-token count
+    """F6 tokenizer + A6 distinct: EXACT global distinct alpha-token
+    count — per-block unique partials → hash exchange by token →
+    per-partition nunique → tiny sum (``Dataset.unique`` is a
+    sort-shuffle whose reduce pays ~1 ms/distinct key; at web-scale
+    vocabularies that is the same pathology the exchange exists for)."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
@@ -109,7 +115,14 @@ def doc_distinct_tokens(sf_dir: str):
         s = s[s.str.len() >= 3].drop_duplicates()
         return pd.DataFrame({"tok": s})
 
-    n = len(ds.map_batches(toks, batch_format="pandas").unique("tok"))
+    pre = ds.map_batches(toks, batch_format="pandas")
+    ex = hash_exchange(pre, ["tok"], 8)
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": pd.Series([df["tok"].nunique()], dtype="int64")})
+
+    parts = ex.map_batches(count_part, batch_format="pandas", batch_size=None)
+    n = int(parts.sum("n") or 0)
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 
@@ -823,10 +836,12 @@ def events_sliding(sf_dir: str):
             ["sum_value_m", "n"]
         ].sum()
 
+    # final combine stays distributed (window×type cardinality grows
+    # with the log's span) but off the sort-shuffle groupby
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
     parts = ds.map_batches(explode_partial, batch_format="pandas")
-    return parts.groupby(["window_start", "event_type"]).aggregate(
-        Sum("sum_value_m", alias_name="sum_value_m"), Sum("n", alias_name="n")
-    )
+    return tree_keyed_sum(parts, ["window_start", "event_type"], ["sum_value_m", "n"])
 
 
 def doc_near_dup_verified(sf_dir: str):
@@ -848,14 +863,26 @@ def doc_simhash_pairs(sf_dir: str):
 
 
 def lineitem_distinct_parts(sf_dir: str):
-    """Exact COUNT(DISTINCT) via per-block unique partials + a global
-    ``Dataset.unique`` (the one column crosses the wire pre-deduped)."""
+    """Exact COUNT(DISTINCT): per-block unique partials → hash
+    exchange by key → per-partition nunique → tiny sum (the one
+    column crosses the wire pre-deduped; no sort-shuffle)."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
     ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey"])
 
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    n = len(ds.map_batches(uniq, batch_format="pandas").unique("l_partkey"))
+    pre = ds.map_batches(uniq, batch_format="pandas")
+    ex = hash_exchange(pre, ["l_partkey"], 8)
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": pd.Series([df["l_partkey"].nunique()], dtype="int64")}
+        )
+
+    parts = ex.map_batches(count_part, batch_format="pandas", batch_size=None)
+    n = int(parts.sum("n") or 0)
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 

@@ -1074,8 +1074,11 @@ def emb_knn_query0(sf_dir: str):
             }
         )
 
+    from valere_ocr_ray.ops.combine import tree_topk
+
     scored = ds.map_batches(sim, batch_format="pandas")
-    return scored.sort(["sim_m", "vec_id"], descending=[True, False]).limit(10)
+    # exact top-10 via partial top-k tree — no global sort shuffle
+    return tree_topk(scored, ["sim_m", "vec_id"], [False, True], 10)
 
 
 def emb_knn_brute(sf_dir: str):

@@ -169,3 +169,68 @@ def test_exchange_tolerates_schema_drift(ray_session):
     out = hash_exchange(ds, ["k"], 4).to_pandas()
     assert len(out) == 5
     assert sorted(out["k"].tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_exchange_property_random_frames(ray_session):
+    """Property check: for randomized frames (skewed keys, negatives,
+    empty groups, many partitions), grouped_sum / grouped_agg-min over
+    the exchange equal a plain pandas groupby, and hash_exchange
+    partitions every key into exactly one block."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.exchange import grouped_agg, grouped_sum, hash_exchange
+
+    rng = np.random.default_rng(1234)
+    for trial in range(5):
+        n = int(rng.integers(1, 2000))
+        nkeys = int(rng.integers(1, 200))
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(-nkeys, nkeys, n).astype("int64"),
+                "v": rng.integers(-10**9, 10**9, n).astype("int64"),
+                "w": rng.integers(0, 100, n).astype("int64"),
+            }
+        )
+        nblocks = int(rng.integers(1, 9))
+        npart = int(rng.integers(2, 17))
+        parts = np.array_split(df, nblocks)
+        ds = rd.from_pandas([p.reset_index(drop=True) for p in parts])
+
+        want = df.groupby("k", as_index=False)[["v", "w"]].sum()
+        got = (
+            grouped_sum(ds, ["k"], ["v", "w"], num_partitions=npart)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, want.sort_values("k").reset_index(drop=True), obj=f"sum t{trial}"
+        )
+
+        want_min = df.groupby("k", as_index=False)[["v"]].min()
+        got_min = (
+            grouped_agg(ds.select_columns(["k", "v"]), ["k"], ["v"], how="min",
+                        num_partitions=npart)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got_min, want_min.sort_values("k").reset_index(drop=True),
+            obj=f"min t{trial}",
+        )
+
+        # every key lives in exactly ONE exchange block
+        ex_blocks = [
+            b.to_pandas()
+            for b in hash_exchange(ds, ["k"], npart).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        ]
+        seen = {}
+        for bi, b in enumerate(ex_blocks):
+            for key in b["k"].unique():
+                assert seen.setdefault(int(key), bi) == bi
+        assert sum(len(b) for b in ex_blocks) == n

@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contacts": q.doc_contacts,
         "doc_tag_lookup": q.doc_tag_lookup,
         "doc_length_percentiles": q.doc_length_percentiles,
+        "doc_train_shuffle_head": q.doc_train_shuffle_head,
         "doc_length_p90_by_lang": q.doc_length_p90_by_lang,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_near_dup_verified": q.doc_near_dup_verified,
@@ -145,6 +146,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_tag_lookup": (
             "SELECT min(doc_id) AS doc_id FROM documents "
             "WHERE lang = 'src2' OR source = 'src2'"
+        ),
+        "doc_train_shuffle_head": (
+            "SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key "
+            "FROM documents ORDER BY shuffle_key, doc_id LIMIT 20"
         ),
         "doc_length_percentiles": (
             "SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50, "

@@ -311,6 +311,36 @@ def doc_length_p90_by_lang(sf_dir: str):
     )
 
 
+def doc_train_shuffle_head(sf_dir: str):
+    """Deterministic training-data shuffle: global order =
+    ``md5(doc_id || ':42')`` — reproducible, partition-invariant, and
+    seed-rotatable (epoch k → salt k), unlike ``random_shuffle`` whose
+    permutation depends on block structure.  The query returns the
+    first 20 docs of the shuffled order via the partial top-k tree (no
+    global sort); a full shuffled EXPORT writes range-partitioned by
+    the same hash prefix, so each output shard is internally shuffled
+    and shard-order concatenation is the full permutation."""
+    import hashlib
+
+    from valere_ocr_ray.ops.combine import tree_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "shuffle_key": [
+                    hashlib.md5(f"{i}:42".encode()).hexdigest()
+                    for i in df["doc_id"]
+                ],
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+    return tree_topk(keyed, ["shuffle_key", "doc_id"], [True, True], 20)
+
+
 def doc_tag_lookup(sf_dir: str):
     """J3 object-tag lookup (``IDD/MiscTestingScripts/EthansCode/import
     os1.py:88-131``): the reference scans every object's tag set and

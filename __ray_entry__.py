@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tag_lookup": q.doc_tag_lookup,
         "doc_length_percentiles": q.doc_length_percentiles,
         "doc_train_shuffle_head": q.doc_train_shuffle_head,
+        "doc_tfidf_top": q.doc_tfidf_top,
         "doc_length_p90_by_lang": q.doc_length_p90_by_lang,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_near_dup_verified": q.doc_near_dup_verified,

@@ -488,3 +488,35 @@ def test_verify_pairs_exchange_matches_broadcast(ray_session):
         verify_pairs_exact_exchange(docs, cand2, threshold=0.35).to_pandas()
     )
     assert a2.equals(b2)
+
+
+def test_tfidf_top_terms_hand_computed(ray_session):
+    """TF-IDF against hand-computed values on a 3-doc corpus."""
+    import math
+
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.textstats import tfidf_top_terms
+
+    docs = [
+        {"doc_id": 1, "text": "apple apple banana common common"},
+        {"doc_id": 2, "text": "banana cherry common"},
+        {"doc_id": 3, "text": "cherry cherry common dragon"},
+    ]
+    out = (
+        tfidf_top_terms(rd.from_items(docs), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "term"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # doc 1: apple tf=2 idf=ln(3/1); common tf=2 idf=ln(3/3)=0; banana tf=1 idf=ln(3/2)
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["term"]) == ["apple", "banana"]
+    assert abs(d1["score"].iloc[0] - 2 * math.log(3 / 1)) < 1e-6
+    assert abs(d1["score"].iloc[1] - 1 * math.log(3 / 2)) < 1e-6
+    # doc 3: dragon tf=1 idf=ln(3); cherry tf=2 idf=ln(3/2)
+    d3 = out[out["doc_id"] == 3]
+    assert set(d3["term"]) == {"dragon", "cherry"}
+    # every doc contributes exactly k=2 rows (ties broken deterministically)
+    assert out.groupby("doc_id").size().tolist() == [2, 2, 2]

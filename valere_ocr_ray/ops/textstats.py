@@ -131,3 +131,103 @@ def with_textstats(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
         )
 
     return ds.map_batches(fused, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOK_RE = re.compile(r"[a-z]+")
+
+
+def _tfidf_tokens(s: pd.Series) -> pd.Series:
+    toks = s.str.lower().str.findall(_TFIDF_TOK_RE)
+    return toks.map(lambda ws: [w for w in ws if len(w) >= 3])
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Per-document top-``k`` TF-IDF terms → ``(doc_id, term, score)``.
+
+    Two passes over the corpus:
+
+    1. document frequency: per-block distinct ``(doc, tok)`` → per-tok
+       partial counts → ``tree_keyed_sum`` (one row per vocab term);
+    2. scoring: the df table is broadcast as SORTED numpy arrays
+       (``ray.put`` once; ~16 bytes/term → ~1.6 GB per 10^8-term
+       vocabulary, within a worker heap — beyond that, exchange tokens
+       keyed by term to attach df, then regroup by doc) and each batch
+       scores vectorized: tf × ln(N/df), per-doc top-k by
+       (score desc, term asc).
+
+    Tokenization matches ``doc_distinct_tokens`` (lower-cased alpha
+    runs, len ≥ 3).  Scores are floats — verified by unit test against
+    hand-computed values, not a SQL oracle.
+    """
+    import ray as _ray
+
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    n_docs = ds.count()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tfidf_tokens(df[text_col])
+        out = pd.DataFrame(
+            {
+                "tok": toks.explode().dropna(),
+            }
+        )
+        if not len(out):
+            return pd.DataFrame(
+                {"tok": pd.Series([], dtype="object"),
+                 "df": pd.Series([], dtype="int64")}
+            )
+        # distinct per doc first (df counts docs, not occurrences)
+        out["doc"] = np.repeat(
+            df[id_col].to_numpy(), toks.map(len).to_numpy(dtype=np.int64)
+        )
+        out = out.drop_duplicates()
+        g = out.groupby("tok", as_index=False).size()
+        return g.rename(columns={"size": "df"})
+
+    df_tbl = tree_keyed_sum(
+        ds.map_batches(df_partial, batch_format="pandas"), ["tok"], ["df"]
+    ).to_pandas()
+    df_tbl = df_tbl.sort_values("tok").reset_index(drop=True)
+    vocab = df_tbl["tok"].to_numpy()
+    dfs = df_tbl["df"].to_numpy(dtype=np.float64)
+    ref = _ray.put((vocab, dfs))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        voc, dfv = _ray.get(ref)
+        toks = _tfidf_tokens(df[text_col])
+        flat = pd.DataFrame({"term": toks.explode().dropna()})
+        if not len(flat):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype="object"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        flat["doc_id"] = np.repeat(
+            df[id_col].to_numpy(), toks.map(len).to_numpy(dtype=np.int64)
+        )
+        tf = flat.groupby(["doc_id", "term"], as_index=False).size()
+        pos = np.searchsorted(voc, tf["term"].to_numpy())
+        idf = np.log(n_docs / dfv[np.minimum(pos, len(voc) - 1)])
+        tf["score"] = (tf["size"].to_numpy(dtype=np.float64) * idf).round(9)
+        top = (
+            tf.sort_values(["doc_id", "score", "term"],
+                           ascending=[True, False, True], kind="stable")
+            .groupby("doc_id", as_index=False)
+            .head(k)
+        )
+        return top[["doc_id", "term", "score"]].reset_index(drop=True)
+
+    return ds.map_batches(score, batch_format="pandas")

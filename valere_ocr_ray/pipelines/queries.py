@@ -311,6 +311,16 @@ def doc_length_p90_by_lang(sf_dir: str):
     )
 
 
+def doc_tfidf_top(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms (``ops/textstats.tfidf_top_terms``:
+    df via tree combine, broadcast vocab arrays, vectorized scoring).
+    Rows-only (log-float scores; hand-computed unit oracle)."""
+    from valere_ocr_ray.ops.textstats import tfidf_top_terms
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def doc_train_shuffle_head(sf_dir: str):
     """Deterministic training-data shuffle: global order =
     ``md5(doc_id || ':42')`` — reproducible, partition-invariant, and

@@ -520,3 +520,73 @@ def test_tfidf_top_terms_hand_computed(ray_session):
     assert set(d3["term"]) == {"dragon", "cherry"}
     # every doc contributes exactly k=2 rows (ties broken deterministically)
     assert out.groupby("doc_id").size().tolist() == [2, 2, 2]
+
+
+def test_asof_exchange_matches_broadcast(ray_session):
+    """Two-large-sides exchange as-of == broadcast as-of on real data."""
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.asof import asof_join, asof_join_exchange
+
+    sf = "/root/testdata/sf0.001"
+    orders_pd = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    orders_ds = rd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    events = rd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    kw = dict(
+        left_key="user_id", left_ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        out_col="order_date_us",
+    )
+    a = (
+        asof_join(events, orders_pd, **kw)
+        .to_pandas()[["event_id", "order_date_us"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        asof_join_exchange(events, orders_ds, num_partitions=4, **kw)
+        .to_pandas()[["event_id", "order_date_us"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_exchange_matches_broadcast(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.asof import range_count_join, range_count_join_exchange
+
+    sf = "/root/testdata/sf0.001"
+    right_pd = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    right_ds = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    events = rd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    kw = dict(
+        left_key="user_id", left_ts="ts", right_key="user_id", right_ts="ts",
+        window_us=3600 * 1_000_000,
+    )
+    a = (
+        range_count_join(events, right_pd, **kw)
+        .to_pandas()[["event_id", "n_windows"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        range_count_join_exchange(events, right_ds, num_partitions=4, **kw)
+        .to_pandas()[["event_id", "n_windows"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)

@@ -11,9 +11,9 @@ side.
 
 Partitioning assumption (documented per SURVEY §2): the right side is
 the small/dimension side (its per-key index fits worker memory).  For
-two large sides, range-partition BOTH by (key, time) with aligned
-boundaries and run this same kernel per partition — the broadcast
-becomes a partition-local index.
+two large sides use :func:`asof_join_exchange` — BOTH sides hash-
+partitioned by key, the same searchsorted kernel running against a
+partition-local index (no broadcast, no driver state).
 """
 
 from __future__ import annotations
@@ -89,6 +89,125 @@ def asof_join(
     return left.map_batches(match, batch_format="pandas")
 
 
+def asof_join_exchange(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    out_col: str = "matched_ts_us",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Two-LARGE-sides inner as-of join on the hash exchange — the
+    scale path when the right side also grows with the corpus (the
+    broadcast variant ships a per-key index of the ENTIRE right side
+    to every worker).
+
+    Both sides are normalized to a unified schema (``__key`` int64,
+    ``__ts_us`` int64 epoch-µs, ``__side`` 0=left/1=right, plus the
+    left table's carry columns — right rows carry type-matched filler
+    that never survives the join), hash-exchanged by key ONCE, and
+    each partition resolves matches with the same vectorized
+    searchsorted kernel against its partition-local index.  Output:
+    the left columns (``left_ts`` replaced by its epoch-µs int64) +
+    ``out_col``; unmatched left rows drop (inner).
+    """
+    import pyarrow as pa
+
+    left_schema = left.schema()
+    carry = [c for c in left_schema.names if c not in (left_key, left_ts)]
+    carry_types = {
+        n: t for n, t in zip(left_schema.names, left_schema.types) if n in carry
+    }
+
+    def norm_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "__key": df[left_key].to_numpy(dtype=np.int64),
+                "__ts_us": df[left_ts]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "__side": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+        for c in carry:
+            out[c] = df[c].to_numpy()
+        return out
+
+    def _filler(t: "pa.DataType", n: int):
+        if pa.types.is_integer(t):
+            return np.zeros(n, dtype=np.int64)
+        if pa.types.is_floating(t):
+            return np.zeros(n, dtype=np.float64)
+        if pa.types.is_timestamp(t):
+            return np.zeros(n, dtype="datetime64[us]")
+        return [""] * n
+
+    def norm_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "__key": df[right_key].to_numpy(dtype=np.int64),
+                "__ts_us": df[right_ts]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "__side": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        for c in carry:
+            out[c] = _filler(carry_types[c], len(df))
+        return out
+
+    mixed = left.map_batches(norm_left, batch_format="pandas").union(
+        right.map_batches(norm_right, batch_format="pandas")
+    )
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(mixed, ["__key"], num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        idx = {
+            int(k): np.sort(g.to_numpy())
+            for k, g in r["__ts_us"].groupby(r["__key"].to_numpy())
+        }
+        ts = l["__ts_us"].to_numpy()
+        keys = l["__key"].to_numpy()
+        matched = np.zeros(len(l), dtype=np.int64)
+        hit = np.zeros(len(l), dtype=bool)
+        order = np.argsort(keys, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            k = keys[order[i]]
+            while j < len(order) and keys[order[j]] == k:
+                j += 1
+            dates = idx.get(int(k))
+            if dates is not None:
+                rows = order[i:j]
+                pos = np.searchsorted(dates, ts[rows], side="right") - 1
+                ok = pos >= 0
+                matched[rows[ok]] = dates[pos[ok]]
+                hit[rows[ok]] = True
+            i = j
+        out = pd.DataFrame(
+            {
+                left_key: keys,
+                left_ts: ts,
+            }
+        )
+        for c in carry:
+            out[c] = l[c].to_numpy()
+        out[out_col] = matched
+        return out[hit]
+
+    return ex.map_batches(fold, batch_format="pandas", batch_size=None)
+
+
 def range_count_join(
     left: ray.data.Dataset,
     right: pd.DataFrame,
@@ -134,3 +253,113 @@ def range_count_join(
         return df[df[out_col] > 0]
 
     return left.map_batches(match, batch_format="pandas")
+
+
+def range_count_join_exchange(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    window_us: int,
+    out_col: str = "n_windows",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Two-LARGE-sides range join (inner, counted) on the hash
+    exchange — the scale path when the right side grows with the
+    corpus (e.g. self-joins of an event log, where the broadcast
+    variant would ship the whole log's index to every worker).
+
+    Same unified-schema-union + key exchange as
+    :func:`asof_join_exchange`; each partition counts window
+    membership with two partition-local searchsorted probes per key
+    group.  Output: the left columns (``left_ts`` as epoch-µs int64)
+    + ``out_col``; zero-match rows drop (inner).
+    """
+    import pyarrow as pa
+
+    left_schema = left.schema()
+    carry = [c for c in left_schema.names if c not in (left_key, left_ts)]
+    carry_types = {
+        n: t for n, t in zip(left_schema.names, left_schema.types) if n in carry
+    }
+
+    def _filler(t: "pa.DataType", n: int):
+        if pa.types.is_integer(t):
+            return np.zeros(n, dtype=np.int64)
+        if pa.types.is_floating(t):
+            return np.zeros(n, dtype=np.float64)
+        if pa.types.is_timestamp(t):
+            return np.zeros(n, dtype="datetime64[us]")
+        return [""] * n
+
+    def norm_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "__key": df[left_key].to_numpy(dtype=np.int64),
+                "__ts_us": df[left_ts]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "__side": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+        for c in carry:
+            out[c] = df[c].to_numpy()
+        return out
+
+    def norm_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "__key": df[right_key].to_numpy(dtype=np.int64),
+                "__ts_us": df[right_ts]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "__side": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        for c in carry:
+            out[c] = _filler(carry_types[c], len(df))
+        return out
+
+    mixed = left.map_batches(norm_left, batch_format="pandas").union(
+        right.map_batches(norm_right, batch_format="pandas")
+    )
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(mixed, ["__key"], num_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        idx = {
+            int(k): np.sort(g.to_numpy())
+            for k, g in r["__ts_us"].groupby(r["__key"].to_numpy())
+        }
+        ts = l["__ts_us"].to_numpy()
+        keys = l["__key"].to_numpy()
+        counts = np.zeros(len(l), dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            k = keys[order[i]]
+            while j < len(order) and keys[order[j]] == k:
+                j += 1
+            dates = idx.get(int(k))
+            if dates is not None:
+                rows = order[i:j]
+                hi = np.searchsorted(dates, ts[rows], side="right")
+                lo = np.searchsorted(dates, ts[rows] - window_us, side="right")
+                counts[rows] = hi - lo
+            i = j
+        out = pd.DataFrame({left_key: keys, left_ts: ts})
+        for c in carry:
+            out[c] = l[c].to_numpy()
+        out[out_col] = counts
+        return out[out[out_col] > 0]
+
+    return ex.map_batches(fold, batch_format="pandas", batch_size=None)

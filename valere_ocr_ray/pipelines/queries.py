@@ -992,13 +992,19 @@ def doc_dup_clusters(sf_dir: str):
 
 def events_orders_asof(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
-    before the event time (``ops/asof.py``; right side broadcast as a
-    per-key sorted time index, vectorized searchsorted per batch)."""
-    from valere_ocr_ray.ops.asof import asof_join
+    before the event time.  ``orders`` SCALES WITH THE FACT SIDE, so
+    this runs the two-large-sides exchange variant
+    (``ops/asof.asof_join_exchange`` — both sides hash-partitioned by
+    key, partition-local searchsorted index; no corpus-scaling
+    broadcast).  The broadcast variant remains for genuine dimension
+    right sides."""
+    from valere_ocr_ray.ops.asof import asof_join_exchange
 
-    orders = pd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
     events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-    joined = asof_join(
+    joined = asof_join_exchange(
         events,
         orders,
         left_key="user_id",
@@ -1006,6 +1012,7 @@ def events_orders_asof(sf_dir: str):
         right_key="o_custkey",
         right_ts="o_orderdate",
         out_col="order_date_us",
+        num_partitions=8,
     )
     return joined.select_columns(["event_id", "order_date_us"])
 
@@ -1014,12 +1021,15 @@ def events_trailing_window(sf_dir: str):
     """Self range join: per event, the user's event count in the
     trailing hour (``ops/asof.range_count_join``; includes the event
     itself, so the result is never empty — window ``(ts-1h, ts]``
-    expressed as start-coverage ``[start, start+1h) ∋ ts``)."""
-    from valere_ocr_ray.ops.asof import range_count_join
+    expressed as start-coverage ``[start, start+1h) ∋ ts``).  A
+    self-join's right side IS the fact table, so this runs the
+    two-large-sides exchange variant (``range_count_join_exchange``);
+    the broadcast variant remains for dimension right sides."""
+    from valere_ocr_ray.ops.asof import range_count_join_exchange
 
-    right = pd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    right = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
     events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-    joined = range_count_join(
+    joined = range_count_join_exchange(
         events,
         right,
         left_key="user_id",
@@ -1027,6 +1037,7 @@ def events_trailing_window(sf_dir: str):
         right_key="user_id",
         right_ts="ts",
         window_us=3600 * 1_000_000,
+        num_partitions=8,
     )
     return joined.select_columns(["event_id", "n_windows"])
 

@@ -590,3 +590,57 @@ def test_range_exchange_matches_broadcast(ray_session):
     )
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketed_layout_grouped_map_no_shuffle(ray_session, tmp_path):
+    """Durable key-bucketed layout: write once bucketed by user_id,
+    then sessionize straight off the bucket files — results identical
+    to the exchange-based sessionize, with no exchange at read time."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.bucketed import grouped_map_bucketed, write_bucketed
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = str(tmp_path / "events_bucketed")
+    write_bucketed(ds, out, ["user_id"], n_buckets=8)
+    assert len(glob.glob(out + "/__bucket=*")) >= 2
+
+    gap_us = 1_800_000_000
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"])
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_sessions": [int(1 + (np.diff(t) > gap_us).sum())],
+            }
+        )
+
+    got = (
+        grouped_map_bucketed(out, sessions, ["user_id"])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        grouped_map(ds, ["user_id"], sessions, num_partitions=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -4,7 +4,9 @@ operators): deduplication families (``dedup``), similarity search
 projections (``urlmeta``), approximate distinct sketches (``sketch``),
 multimodal plumbing (``multimodal``), as-of/range joins (``asof``),
 and the keyed-combine machinery for high-cardinality groupbys
-(``exchange`` — custom hash exchange; ``combine`` — tree reduce).
+(``exchange`` — custom hash exchange; ``combine`` — tree reduce;
+``bucketed`` — durable key-bucketed layout: pay the shuffle once at
+write, grouped reads are shuffle-free forever after).
 
 All are Dataset→Dataset transforms built on ``map_batches`` plus the
 custom exchange — no driver-side row loops.
@@ -12,6 +14,7 @@ custom exchange — no driver-side row loops.
 
 from valere_ocr_ray.ops import (  # noqa: F401
     asof,
+    bucketed,
     combine,
     dedup,
     exchange,
@@ -24,6 +27,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
 
 __all__ = [
     "asof",
+    "bucketed",
     "combine",
     "dedup",
     "exchange",

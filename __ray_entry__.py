@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.events_hourly,
         "events_sliding": q.events_sliding,
         "events_sessionize": q.events_sessionize,
+        "events_sessionize_salted": q.events_sessionize_salted,
         "lineitem_distinct_parts": q.lineitem_distinct_parts,
         # embeddings: similarity search + near-dup
         "emb_label_counts": q.emb_label_counts,
@@ -285,6 +286,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN events o ON e.user_id = o.user_id "
             "AND e.ts >= o.ts AND e.ts < o.ts + INTERVAL 1 HOUR "
             "GROUP BY e.event_id"
+        ),
+        "events_sessionize_salted": (
+            "SELECT user_id, count(*) AS n_events, "
+            "sum(CASE WHEN prev_ts IS NULL OR "
+            "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) "
+            "AS n_sessions FROM ("
+            "SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events"
+            ") GROUP BY user_id"
         ),
         "events_sessionize": (
             "SELECT user_id, count(*) AS n_events, "

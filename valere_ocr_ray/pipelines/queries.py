@@ -848,6 +848,80 @@ def events_sessionize(sf_dir: str):
     return grouped_map(ds, ["user_id"], sessions, num_partitions=8)
 
 
+def events_sessionize_salted(sf_dir: str):
+    """Hot-key-SAFE gap sessionization — the salting remedy
+    ``events_sessionize`` documents, implemented: the group key is
+    salted to ``(user_id, event-day)`` so a pathological hot user's
+    events split across day groups (bounded group size), then a second
+    grouped pass over the TINY per-day partial rows merges sessions
+    that straddle a day boundary (gap ≤ 30 min across the boundary ⇒
+    one session, so ``n_sessions = Σ day sessions − boundary merges``).
+    Output identical to the unsalted query (same oracle SQL)."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    gap_us = 1_800_000_000
+    day_us = 86_400_000_000
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        return df.assign(day=(ts_us // day_us).astype("int64"))
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "day": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                    "first_us": pd.Series([], dtype="int64"),
+                    "last_us": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"])
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "day": [int(df["day"].iloc[0])],
+                "n_events": [len(df)],
+                "n_sessions": [int(1 + (np.diff(t) > gap_us).sum())],
+                "first_us": [int(t[0])],
+                "last_us": [int(t[-1])],
+            }
+        )
+
+    partials = grouped_map(
+        ds.map_batches(add_day, batch_format="pandas"),
+        ["user_id", "day"],
+        day_partial,
+        num_partitions=8,
+    )
+
+    def merge_days(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values("day")
+        gaps = df["first_us"].to_numpy()[1:] - df["last_us"].to_numpy()[:-1]
+        merges = int((gaps <= gap_us).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_events": [int(df["n_events"].sum())],
+                "n_sessions": [int(df["n_sessions"].sum()) - merges],
+            }
+        )
+
+    return grouped_map(partials, ["user_id"], merge_days, num_partitions=8)
+
+
 def events_sliding(sf_dir: str):
     """Sliding windows (1 h length, 15 min slide): each event lands in
     4 windows — vectorized 4-way explode per batch, keyed partial

@@ -1,0 +1,62 @@
+"""Raw-file source tests: loose html/pdf/image files -> pages schema ->
+full extraction pipeline (the reference's S3-bucket-of-objects analog)."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "insurancecard_a.html").write_bytes(
+        b"<html><main><p>Member ID: A99</p></main></html>"
+    )
+    (d / "b.html").write_bytes(
+        b"<main><h1>RENTAL AGREEMENT</h1><p>Signed by customer: Bo Li</p>"
+        b"<p>Date : 01/02/2024</p><img src=\"sig.png\" alt=\"signature\"></main>"
+    )
+    (d / "c.pdf").write_bytes(
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\nBT (Pdf text here) Tj ET\nendstream\nendobj\n%%EOF\n"
+    )
+    (d / "d.png").write_bytes(b"\x89PNG\r\n\x1a\n....")
+    (d / "e.bin").write_bytes(b"\x00\x01\x02 garbage")
+    return str(d)
+
+
+def test_read_file_dir_pages_schema(ray_session, raw_dir):
+    from valere_ocr_ray.sources.files import read_file_dir
+    from valere_ocr_ray.sources.warc import PAGES_SCHEMA
+
+    df = read_file_dir(raw_dir).to_pandas()
+    assert len(df) == 5
+    assert list(df.columns) == [f.name for f in PAGES_SCHEMA]
+    assert df["url"].str.startswith("file://").all()
+    # epoch-0 timestamps by default: byte-identical reruns
+    assert (df["warc_ts"].astype("int64") == 0).all()
+
+
+def test_file_dir_through_extraction(ray_session, raw_dir, tmp_path):
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.files import convert_file_dir
+
+    pages_dir = str(tmp_path / "pages")
+    shards = convert_file_dir(raw_dir, pages_dir, shard_size=3)
+    assert len(shards) == 2
+
+    out = str(tmp_path / "out")
+    s = run_resumable(pages_dir, out, group_size=1)
+    assert s["totals"]["n_in"] == 5
+
+    import pyarrow.dataset as pads
+
+    df = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    by_url = df.set_index(df["url"].str.rsplit("/", n=1).str[-1])
+    assert "A99" in by_url.loc["insurancecard_a.html", "fields_json"]
+    assert by_url.loc["insurancecard_a.html", "doc_type"] == "INSURANCE_CARD"
+    assert by_url.loc["b.html", "doc_type"] == "SIGNED_AGREEMENT"
+    assert '"Signature Present": "Yes"' in by_url.loc["b.html", "fields_json"]
+    assert by_url.loc["c.pdf", "extracted_text"] == "Pdf text here"
+    assert by_url.loc["d.png", "status"] == "skipped_image_no_ocr"
+    assert by_url.loc["e.bin", "status"] == "error_unparseable"

@@ -68,7 +68,25 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("--out", required=True)
     wc.add_argument("--num-cpus", type=int, default=None)
 
+    fc = sub.add_parser(
+        "files-convert",
+        help="directory of loose html/pdf/image files → pages parquet shards",
+    )
+    fc.add_argument("--input", required=True)
+    fc.add_argument("--out", required=True)
+    fc.add_argument("--shard-size", type=int, default=1000)
+    fc.add_argument("--use-mtime", action="store_true")
+
     a = p.parse_args(argv)
+
+    if a.cmd == "files-convert":
+        from valere_ocr_ray.sources.files import convert_file_dir
+
+        outs = convert_file_dir(
+            a.input, a.out, shard_size=a.shard_size, use_mtime=a.use_mtime
+        )
+        print(json.dumps({"n_shards": len(outs), "out": a.out}))
+        return 0
 
     if a.cmd == "synth":
         from valere_ocr_ray.sources.synth import synth_pages

@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_distinct_tokens_kmv": q.doc_distinct_tokens_kmv,
         "doc_simhash": q.doc_simhash,
         "doc_simhash_pairs": q.doc_simhash_pairs,
+        "doc_repetition": q.doc_repetition,
         # relational operators (joins/aggregates/sort/limit/window)
         "lineitem_agg": q.lineitem_agg,
         "lineitem_filter_agg": q.lineitem_filter_agg,
@@ -110,6 +111,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "
             "FROM documents"
+        ),
+        "doc_repetition": (
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t "
+            "FROM documents), "
+            "b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM toks, "
+            "unnest(range(1, len(t))) AS u(i)), "
+            "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g), "
+            "btop AS (SELECT doc_id, max(c) AS m, sum(c) AS tot FROM bc GROUP BY doc_id), "
+            "tr AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g "
+            "FROM toks, unnest(range(1, len(t)-1)) AS u(i)), "
+            "tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY doc_id, g), "
+            "ttop AS (SELECT doc_id, max(c) AS m, sum(c) AS tot FROM tc GROUP BY doc_id), "
+            "f5 AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM toks, "
+            "unnest(range(1, len(t)-3)) AS u(i)), "
+            "fc AS (SELECT doc_id, g, count(*) AS c FROM f5 GROUP BY doc_id, g), "
+            "fagg AS (SELECT doc_id, sum(c) FILTER (c > 1) AS dup, sum(c) AS tot "
+            "FROM fc GROUP BY doc_id) "
+            "SELECT toks.doc_id, len(t) AS n_tokens, "
+            "CAST(coalesce(btop.m * 1000 // btop.tot, 0) AS BIGINT) AS top2_per_mil, "
+            "CAST(coalesce(ttop.m * 1000 // ttop.tot, 0) AS BIGINT) AS top3_per_mil, "
+            "CAST(coalesce(fagg.dup * 1000 // fagg.tot, 0) AS BIGINT) AS dup5_per_mil "
+            "FROM toks LEFT JOIN btop USING (doc_id) LEFT JOIN ttop USING (doc_id) "
+            "LEFT JOIN fagg USING (doc_id)"
         ),
         "doc_quality": (
             "SELECT doc_id, length(text) AS len_chars, "

@@ -644,3 +644,30 @@ def test_bucketed_layout_grouped_map_no_shuffle(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_repetition_signals_hand_computed():
+    from valere_ocr_ray.ops.textstats import repetition_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                # "a b" bigram 3× of 6 positions → 500‰
+                "a b a b a b x",
+                # every 5-gram duplicated: "a b c d e" twice at pos 0 and 5
+                "a b c d e a b c d e",
+                "one",  # too short for any n-gram → all zeros
+                "",  # empty
+            ],
+        }
+    )
+    out = repetition_batch(df)
+    assert out["n_tokens"].tolist() == [7, 10, 1, 0]
+    assert out["top2_per_mil"].tolist()[0] == 3 * 1000 // 6
+    # doc1: bigram "a b" occurs 2× of 9 positions
+    assert out["top2_per_mil"].tolist()[1] == 2 * 1000 // 9
+    # doc1 5-grams: 6 positions, "a b c d e" at 0 and 5 → 2 dup of 6
+    assert out["dup5_per_mil"].tolist()[1] == 2 * 1000 // 6
+    assert out.iloc[2][["top2_per_mil", "top3_per_mil", "dup5_per_mil"]].tolist() == [0, 0, 0]
+    assert out.iloc[3][["n_tokens", "top2_per_mil"]].tolist() == [0, 0]

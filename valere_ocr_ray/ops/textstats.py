@@ -133,6 +133,87 @@ def with_textstats(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(fused, batch_format="pandas")
 
 
+# --- repetition signals (Gopher-style quality gates) --------------------
+
+
+def _ngram_stats(
+    ridx: np.ndarray, words: np.ndarray, n: int
+) -> tuple[pd.Series, pd.Series, pd.Series]:
+    """Per-doc (max count, dup-position count, total positions) for
+    ``n``-gram positions, all via one C-speed groupby.  ``ridx`` is the
+    sorted doc index of each token, ``words`` the token array."""
+    m = len(words) - (n - 1)
+    if m <= 0:
+        empty = pd.Series([], dtype="int64")
+        return empty, empty, empty
+    # a position is valid iff tokens i..i+n-1 are all in the same doc;
+    # ridx is sorted, so endpoints-equal implies all-equal
+    valid = ridx[: m] == ridx[n - 1 :]
+    gram = words[:m].copy()
+    for j in range(1, n):
+        gram = gram + " "
+        gram = gram + words[j : m + j]
+    g = pd.DataFrame({"doc": ridx[:m][valid], "g": gram[valid]})
+    c = g.groupby(["doc", "g"], sort=False).size()
+    byd = c.groupby(level=0)
+    top = byd.max()
+    dup = c.where(c > 1, 0).groupby(level=0).sum()
+    tot = byd.sum()
+    return top, dup, tot
+
+
+def repetition_batch(
+    df: pd.DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per document (public
+    Rae et al. 2021 repetition filters, integer-scaled for the oracle):
+
+    - ``top2_per_mil`` / ``top3_per_mil``: occurrences of the most
+      frequent word 2-/3-gram per 1000 n-gram positions;
+    - ``dup5_per_mil``: 5-gram positions whose 5-gram repeats within
+      the doc, per 1000 positions.
+
+    Wholly vectorized: one token explode + three grouped counts per
+    batch; no per-row Python.  Mirrored 1:1 by the DuckDB oracle
+    (regexp_extract_all + list slicing)."""
+    toks = df[col].str.findall(TOKEN_RE)
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    s = toks.explode().dropna()
+    ridx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    words = s.to_numpy(dtype=object)
+
+    out = pd.DataFrame(
+        {
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": lens,
+        }
+    )
+    for label, n in (("top2_per_mil", 2), ("top3_per_mil", 3)):
+        top, _, tot = _ngram_stats(ridx, words, n)
+        v = np.zeros(len(df), dtype=np.int64)
+        if len(top):
+            v[top.index.to_numpy()] = (
+                top.to_numpy() * 1000 // tot.to_numpy()
+            )
+        out[label] = v
+    _, dup, tot = _ngram_stats(ridx, words, 5)
+    v = np.zeros(len(df), dtype=np.int64)
+    if len(dup):
+        v[dup.index.to_numpy()] = dup.to_numpy() * 1000 // tot.to_numpy()
+    out["dup5_per_mil"] = v
+    return out
+
+
+def repetition_signals(
+    ds: ray.data.Dataset, *, col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-doc repetition metrics as an embarrassingly-parallel
+    map_batches stage — no shuffle; scales linearly with the corpus."""
+    return ds.map_batches(
+        lambda df: repetition_batch(df, col, id_col), batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF
 # ---------------------------------------------------------------------------

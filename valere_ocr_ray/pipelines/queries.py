@@ -245,6 +245,14 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per doc (top-2/3-gram
+    frequency, duplicated-5-gram fraction) — pure map_batches, no
+    shuffle; the filter a web-text pipeline gates on before training."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return textstats.repetition_signals(ds)
+
+
 def _percentile_disc(counts: pd.DataFrame, val_col: str, q: float) -> int:
     """ANSI ``percentile_disc``: smallest value whose cumulative count
     reaches ``ceil(q * n)`` — computed on a (value, n) count frame."""

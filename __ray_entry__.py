@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q.doc_simhash,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_repetition": q.doc_repetition,
+        "doc_quality_filter": q.doc_quality_filter,
         # relational operators (joins/aggregates/sort/limit/window)
         "lineitem_agg": q.lineitem_agg,
         "lineitem_filter_agg": q.lineitem_filter_agg,
@@ -134,6 +135,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(fagg.dup * 1000 // fagg.tot, 0) AS BIGINT) AS dup5_per_mil "
             "FROM toks LEFT JOIN btop USING (doc_id) LEFT JOIN ttop USING (doc_id) "
             "LEFT JOIN fagg USING (doc_id)"
+        ),
+        "doc_quality_filter": (
+            # quality + repetition CTE stacks composed, then the
+            # first-failing-rule CASE in QUALITY_RULES order
+            r"WITH qual AS (SELECT doc_id, "
+            "(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000) "
+            "// greatest(length(text), 1) AS alpha_ratio, "
+            r"(len(regexp_extract_all(lower(text), '\b(?:the|and|of|a|to|in|is)\b')) * 1000) "
+            r"// greatest(len(regexp_extract_all(text, '\S+')), 1) AS stop_per_ktok "
+            "FROM documents), "
+            r"toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t "
+            "FROM documents), "
+            "b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM toks, "
+            "unnest(range(1, len(t))) AS u(i)), "
+            "bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g), "
+            "btop AS (SELECT doc_id, max(c) AS m, sum(c) AS tot FROM bc GROUP BY doc_id), "
+            "f5 AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM toks, "
+            "unnest(range(1, len(t)-3)) AS u(i)), "
+            "fc AS (SELECT doc_id, g, count(*) AS c FROM f5 GROUP BY doc_id, g), "
+            "fagg AS (SELECT doc_id, sum(c) FILTER (c > 1) AS dup, sum(c) AS tot "
+            "FROM fc GROUP BY doc_id), "
+            "sig AS (SELECT toks.doc_id, len(t) AS n_tokens, qual.alpha_ratio, "
+            "qual.stop_per_ktok, "
+            "CAST(coalesce(btop.m * 1000 // btop.tot, 0) AS BIGINT) AS top2_per_mil, "
+            "CAST(coalesce(fagg.dup * 1000 // fagg.tot, 0) AS BIGINT) AS dup5_per_mil "
+            "FROM toks JOIN qual USING (doc_id) LEFT JOIN btop USING (doc_id) "
+            "LEFT JOIN fagg USING (doc_id)) "
+            "SELECT doc_id, n_tokens, alpha_ratio, stop_per_ktok, top2_per_mil, "
+            "dup5_per_mil, "
+            "CASE WHEN n_tokens < 25 OR alpha_ratio < 800 OR stop_per_ktok < 10 "
+            "OR top2_per_mil > 80 OR dup5_per_mil > 200 THEN 0 ELSE 1 END AS keep, "
+            "CASE WHEN n_tokens < 25 THEN 'too_short' "
+            "WHEN alpha_ratio < 800 THEN 'low_alpha' "
+            "WHEN stop_per_ktok < 10 THEN 'low_stopwords' "
+            "WHEN top2_per_mil > 80 THEN 'repetitive_2gram' "
+            "WHEN dup5_per_mil > 200 THEN 'dup_5gram' ELSE '' END AS reason "
+            "FROM sig"
         ),
         "doc_quality": (
             "SELECT doc_id, length(text) AS len_chars, "

@@ -671,3 +671,35 @@ def test_repetition_signals_hand_computed():
     assert out["dup5_per_mil"].tolist()[1] == 2 * 1000 // 6
     assert out.iloc[2][["top2_per_mil", "top3_per_mil", "dup5_per_mil"]].tolist() == [0, 0, 0]
     assert out.iloc[3][["n_tokens", "top2_per_mil"]].tolist() == [0, 0]
+
+
+def test_quality_filter_first_failing_rule():
+    from valere_ocr_ray.ops.textstats import quality_filter_batch
+
+    good = (
+        "the quicker brindle foxhound jumping over the lazier doggies and "
+        "running toward the distant hilltop in a brighter morning while the "
+        "golden sunshine is higher and the gentle breezes is softer today"
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                good,                     # passes every rule
+                "one two three",          # < 25 tokens → too_short (first rule)
+                # long enough but zero stopwords → low_stopwords;
+                # alpha_ratio stays ≥800 (long words + single spaces)
+                " ".join(f"wordy{c}" for c in "abcdefghijklmnopqrstuvwxyz"),
+                # repeated bigram dominates → repetitive_2gram fires FIRST
+                # even though dup5 is also 1000‰ (rule order is the spec)
+                "the elephant " * 30,
+            ],
+        }
+    )
+    out = quality_filter_batch(df)
+    assert out["keep"].tolist() == [1, 0, 0, 0]
+    assert out["reason"].tolist() == [
+        "", "too_short", "low_stopwords", "repetitive_2gram"
+    ]
+    # reason is empty iff keep
+    assert ((out["reason"] == "") == (out["keep"] == 1)).all()

@@ -215,6 +215,67 @@ def repetition_signals(
 
 
 # ---------------------------------------------------------------------------
+# Quality filter (the keep/drop verdict a pre-training pipeline gates on)
+# ---------------------------------------------------------------------------
+
+# Gopher-style thresholds (Rae et al. 2021 §A1.1, adapted to the
+# integer-scaled signals above).  Order matters: the FIRST failing rule
+# names the reject reason, so the rule list is the spec.
+QUALITY_RULES: tuple[tuple[str, str], ...] = (
+    ("too_short", "n_tokens < 25"),
+    ("low_alpha", "alpha_ratio < 800"),
+    ("low_stopwords", "stop_per_ktok < 10"),
+    ("repetitive_2gram", "top2_per_mil > 80"),
+    ("dup_5gram", "dup5_per_mil > 200"),
+)
+
+
+def quality_filter_batch(
+    df: pd.DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Fused keep/drop verdict: quality + repetition signals computed in
+    ONE pass over the batch (no intermediate dataset, no shuffle), then
+    first-failing-rule attribution.  Output: ``(doc_id, n_tokens,
+    alpha_ratio, stop_per_ktok, top2_per_mil, dup5_per_mil, keep,
+    reason)`` — ``reason == ''`` iff ``keep == 1``."""
+    qual = quality_batch(df[[id_col, col]], col)
+    rep = repetition_batch(df[[id_col, col]], col, id_col)
+    out = pd.DataFrame(
+        {
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": rep["n_tokens"].to_numpy(),
+            "alpha_ratio": qual["alpha_ratio"].to_numpy(),
+            "stop_per_ktok": qual["stop_per_ktok"].to_numpy(),
+            "top2_per_mil": rep["top2_per_mil"].to_numpy(),
+            "dup5_per_mil": rep["dup5_per_mil"].to_numpy(),
+        }
+    )
+    fails = {
+        "too_short": out["n_tokens"].to_numpy() < 25,
+        "low_alpha": out["alpha_ratio"].to_numpy() < 800,
+        "low_stopwords": out["stop_per_ktok"].to_numpy() < 10,
+        "repetitive_2gram": out["top2_per_mil"].to_numpy() > 80,
+        "dup_5gram": out["dup5_per_mil"].to_numpy() > 200,
+    }
+    reason = np.full(len(out), "", dtype=object)
+    for name, _expr in reversed(QUALITY_RULES):  # first rule wins → assign last
+        reason = np.where(fails[name], name, reason)
+    out["keep"] = (reason == "").astype("int64")
+    out["reason"] = reason
+    return out
+
+
+def quality_filter(
+    ds: ray.data.Dataset, *, col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-doc keep/drop verdict as one embarrassingly-parallel
+    ``map_batches`` stage — the canonical pre-training corpus filter."""
+    return ds.map_batches(
+        lambda df: quality_filter_batch(df, col, id_col), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF
 # ---------------------------------------------------------------------------
 

@@ -253,6 +253,15 @@ def doc_repetition(sf_dir: str):
     return textstats.repetition_signals(ds)
 
 
+def doc_quality_filter(sf_dir: str):
+    """The keep/drop verdict a pre-training pipeline gates on: fused
+    quality + repetition signals → first-failing-rule attribution
+    (``ops/textstats.QUALITY_RULES``), one map_batches pass, no
+    shuffle.  Scale shape: linear, embarrassingly parallel."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return textstats.quality_filter(ds)
+
+
 def _percentile_disc(counts: pd.DataFrame, val_col: str, q: float) -> int:
     """ANSI ``percentile_disc``: smallest value whose cumulative count
     reaches ``ceil(q * n)`` — computed on a (value, n) count frame."""

@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_asof": q.events_orders_asof,
         "events_trailing_window": q.events_trailing_window,
         "events_hourly": q.events_hourly,
+        "events_user_rank": q.events_user_rank,
         "events_sliding": q.events_sliding,
         "events_sessionize": q.events_sessionize,
         "events_sessionize_salted": q.events_sessionize_salted,
@@ -366,6 +367,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events"
             ") GROUP BY user_id"
+        ),
+        "events_user_rank": (
+            "SELECT user_id, ts_us, event_id, event_type, rnk FROM ("
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id) AS rnk FROM events) WHERE rnk <= 3"
         ),
         "events_hourly": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type, "

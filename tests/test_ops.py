@@ -673,6 +673,36 @@ def test_repetition_signals_hand_computed():
     assert out.iloc[3][["n_tokens", "top2_per_mil"]].tolist() == [0, 0]
 
 
+def test_keyed_topn_matches_pandas_window(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.combine import keyed_topn
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 120, n),
+            "v": rng.integers(0, 10_000, n),
+            "uid": np.arange(n, dtype="int64"),  # unique tiebreak
+        }
+    )
+    got = (
+        keyed_topn(
+            rd.from_pandas(df).repartition(11),
+            ["k"], ["k", "v", "uid"], [True, False, True], 3,
+            rank_col="rnk", num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["k", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "v", "uid"], ascending=[True, False, True]).copy()
+    want["rnk"] = (want.groupby("k").cumcount() + 1).astype("int64")
+    want = want[want["rnk"] <= 3].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "uid", "rnk"]], want)
+
+
 def test_quality_filter_first_failing_rule():
     from valere_ocr_ray.ops.textstats import quality_filter_batch
 

@@ -79,3 +79,46 @@ def tree_topk(
             head, batch_format="pandas", batch_size=None
         )
     return out
+
+
+def keyed_topn(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    sort_cols: Sequence[str],
+    ascending: Sequence[bool],
+    n: int,
+    *,
+    rank_col: str | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-key top-n — the distributed
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY sort_cols) <= n``
+    window — WITHOUT a global sort shuffle.
+
+    Per-key top-n is mergeable, so each input block first keeps only
+    its n best rows per key (bounding the exchange to ``n`` rows per
+    key per block), then a hash exchange co-locates each key and one
+    vectorized pass takes the final top-n and stamps ``rank_col``
+    (1-based, dense within key).  ``sort_cols`` must include a unique
+    tiebreak column for run-to-run determinism — same contract as
+    ``tree_topk``."""
+    keys, sort_cols, ascending = list(keys), list(sort_cols), list(ascending)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="stable")
+        return df.groupby(keys, sort=False).head(n)
+
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(
+        ds.map_batches(partial, batch_format="pandas"), keys, num_partitions
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="stable")
+        out = df.groupby(keys, sort=False).head(n).copy()
+        if rank_col is not None:
+            out[rank_col] = (out.groupby(keys).cumcount() + 1).astype("int64")
+        return out
+
+    return ex.map_batches(final, batch_format="pandas", batch_size=None)

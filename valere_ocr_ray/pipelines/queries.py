@@ -1152,6 +1152,35 @@ def events_user_topk(sf_dir: str):
     return tree_topk(counts, ["n", "user_id"], [False, True], 10)
 
 
+def events_user_rank(sf_dir: str):
+    """Windowed rank: each user's 3 most recent events with a 1-based
+    recency rank — the distributed ``ROW_NUMBER() OVER (PARTITION BY
+    user_id ORDER BY ts DESC)`` via ``ops/combine.keyed_topn`` (per-block
+    partial top-3/key → hash exchange → final rank; ≤3 rows/key/block
+    cross the wire, never the log)."""
+    from valere_ocr_ray.ops.combine import keyed_topn
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        # epoch-µs int64 so the oracle compare is tz/dtype-proof
+        df = df.copy()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        return df.drop(columns=["ts"])
+
+    prepared = ds.map_batches(to_us, batch_format="pandas")
+    return keyed_topn(
+        prepared,
+        ["user_id"],
+        ["user_id", "ts_us", "event_id"],
+        [True, False, True],
+        3,
+        rank_col="rnk",
+    )
+
+
 def events_hourly(sf_dir: str):
     """Stream-shaped tumbling window over the bounded events log:
     1-hour event-time buckets (epoch-hour), keyed count+sum."""

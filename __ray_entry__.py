@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_part_join": q.lineitem_part_join,
         "lineitem_part_join_shuffle": q.lineitem_part_join_shuffle,
         "supplier_by_region": q.supplier_by_region,
+        "customer_no_urgent_orders": q.customer_no_urgent_orders,
+        "supplier_semi_lineitem": q.supplier_semi_lineitem,
+        "orders_customer_join_exchange": q.orders_customer_join_exchange,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -315,6 +318,20 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
             "AS revenue_c, count(*) AS n FROM lineitem GROUP BY l_orderkey "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
+        ),
+        "customer_no_urgent_orders": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "supplier_semi_lineitem": (
+            "SELECT s_suppkey, s_name FROM supplier "
+            "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey "
+            "AND l_quantity = 50 AND l_discount > 0.08)"
+        ),
+        "orders_customer_join_exchange": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

@@ -703,6 +703,52 @@ def test_keyed_topn_matches_pandas_window(ray_session):
     pd.testing.assert_frame_equal(got[["k", "v", "uid", "rnk"]], want)
 
 
+def test_cogroup_semi_anti_hash_join(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.joins import hash_join, semi_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 200, 3000), "lv": np.arange(3000, dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(100, 300, 800), "rv": np.arange(800, dtype="int64")}
+    )
+    lds = rd.from_pandas(left).repartition(7)
+    rds = rd.from_pandas(right).repartition(5)
+
+    def norm(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    got_semi = norm(
+        semi_join(lds, rds, "k", "rk").to_pandas(), ["k", "lv"]
+    )
+    want_semi = norm(left[left["k"].isin(right["rk"])], ["k", "lv"])
+    pd.testing.assert_frame_equal(got_semi, want_semi)
+
+    got_anti = norm(
+        semi_join(lds, rds, "k", "rk", anti=True).to_pandas(), ["k", "lv"]
+    )
+    want_anti = norm(left[~left["k"].isin(right["rk"])], ["k", "lv"])
+    pd.testing.assert_frame_equal(got_anti, want_anti)
+
+    got_join = norm(
+        hash_join(lds, rds, "k", "rk").to_pandas(), ["k", "lv", "rv"]
+    )
+    want_join = norm(
+        left.merge(right, left_on="k", right_on="rk"), ["k", "lv", "rv"]
+    )
+    pd.testing.assert_frame_equal(got_join, want_join)
+
+    # disjoint key ranges → some partitions see an empty side
+    far = rd.from_pandas(
+        pd.DataFrame({"rk": np.arange(10_000, 10_050), "rv": np.arange(50)})
+    )
+    assert semi_join(lds, far, "k", "rk").count() == 0
+    assert semi_join(lds, far, "k", "rk", anti=True).count() == len(left)
+
+
 def test_quality_filter_first_failing_rule():
     from valere_ocr_ray.ops.textstats import quality_filter_batch
 

@@ -18,6 +18,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     combine,
     dedup,
     exchange,
+    joins,
     multimodal,
     similarity,
     sketch,
@@ -31,6 +32,7 @@ __all__ = [
     "combine",
     "dedup",
     "exchange",
+    "joins",
     "multimodal",
     "similarity",
     "sketch",

@@ -78,8 +78,7 @@ def _probe(table: pa.Table) -> tuple[int, pa.Schema]:
     return table.num_rows, table.schema
 
 
-@ray.remote
-def _gather(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
+def _concat_casted(schema: pa.Schema, parts: Sequence[pa.Table]) -> pa.Table:
     live = [t for t in parts if t.num_rows]
     if not live:
         return schema.empty_table()
@@ -102,6 +101,11 @@ def _gather(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
         return pa.concat_tables(
             casted, promote_options="permissive"
         ).combine_chunks()
+
+
+@ray.remote
+def _gather(schema: pa.Schema, *parts: pa.Table) -> pa.Table:
+    return _concat_casted(schema, parts)
 
 
 def hash_exchange(
@@ -131,6 +135,75 @@ def hash_exchange(
         for i in range(num_partitions)
     ]
     return ray.data.from_arrow_refs(gathered)
+
+
+@ray.remote
+def _cofold(
+    fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    lschema: pa.Schema,
+    rschema: pa.Schema,
+    n_left: int,
+    *parts: pa.Table,
+) -> pa.Table:
+    lt = _concat_casted(lschema, parts[:n_left])
+    rt = _concat_casted(rschema, parts[n_left:])
+    out = fn(lt.to_pandas(), rt.to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cogroup_exchange(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
+    fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Two-sided keyed exchange — the generic distributed-join
+    primitive: BOTH datasets are hash-partitioned with the same hash
+    and modulus (equal key values land in the same partition index on
+    both sides), then ``fn(left_df, right_df)`` runs once per partition
+    pair and the outputs form the result Dataset.
+
+    Semi/anti/inner equi-joins, co-grouped aggregates and set ops all
+    fall out of this shape; data movement is one pass of each side, no
+    all-to-all sort.  Contract (as ``grouped_map``): ``fn`` of an empty
+    left partition must return an empty frame with fn's OUTPUT columns,
+    so empty partitions keep a consistent schema."""
+    lkeys, rkeys = list(left_keys), list(right_keys)
+    lrefs = list(left.to_arrow_refs())
+    rrefs = list(right.to_arrow_refs())
+    lmetas = ray.get([_probe.remote(r) for r in lrefs])
+    rmetas = ray.get([_probe.remote(r) for r in rrefs])
+    lnon = [r for r, (n, _) in zip(lrefs, lmetas) if n > 0]
+    rnon = [r for r, (n, _) in zip(rrefs, rmetas) if n > 0]
+    # canonical schemas: first non-empty block, else any block's schema
+    lschema = next((s for n, s in lmetas if n > 0), lmetas[0][1] if lmetas else None)
+    rschema = next((s for n, s in rmetas if n > 0), rmetas[0][1] if rmetas else None)
+    if lschema is None or rschema is None:  # a side with zero blocks
+        empty_l = (lschema or pa.schema([])).empty_table().to_pandas()
+        empty_r = (rschema or pa.schema([])).empty_table().to_pandas()
+        return ray.data.from_pandas(fn(empty_l, empty_r))
+    p = max(2, num_partitions)
+    lsplits = [
+        _split.options(num_returns=p).remote(r, lkeys, p) for r in lnon
+    ]
+    rsplits = [
+        _split.options(num_returns=p).remote(r, rkeys, p) for r in rnon
+    ]
+    outs = [
+        _cofold.remote(
+            fn,
+            lschema,
+            rschema,
+            len(lsplits),
+            *[s[i] for s in lsplits],
+            *[s[i] for s in rsplits],
+        )
+        for i in range(p)
+    ]
+    return ray.data.from_arrow_refs(outs)
 
 
 def grouped_map(

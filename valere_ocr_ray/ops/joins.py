@@ -1,0 +1,78 @@
+"""Distributed semi / anti / inner equi-joins on the two-sided hash
+exchange (``ops/exchange.cogroup_exchange``).
+
+Scale shape: both sides are hash-partitioned ONCE by their join key —
+equal keys land in the same partition index on both sides — and each
+partition pair resolves membership / matches with vectorized pandas
+kernels.  Nothing is broadcast, so BOTH sides may grow with the
+corpus (the broadcast-join variants in ``pipelines/queries.py`` stay
+the right choice when one side is provably small).
+
+Semi/anti additionally prune the right side to its distinct keys
+per block BEFORE the exchange, so the right-side bytes crossing the
+wire are one row per distinct key per block, not the table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from valere_ocr_ray.ops.exchange import cogroup_exchange
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    *,
+    anti: bool = False,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Rows of ``left`` whose ``left_key`` appears (``anti=False``) or
+    does not appear (``anti=True``) in ``right[right_key]`` — the
+    EXISTS / NOT EXISTS join, output columns = left's columns."""
+    right_key = right_key or left_key
+    keys_only = right.select_columns([right_key]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+
+    def fold(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l):
+            return l
+        present = l[left_key].isin(r[right_key].to_numpy() if len(r) else [])
+        return l[~present] if anti else l[present]
+
+    return cogroup_exchange(
+        left, keys_only, [left_key], [right_key], fold,
+        num_partitions=num_partitions,
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Inner equi-join with BOTH sides exchanged (the two-large-sides
+    path).  Column collisions resolve pandas-style with ``_r`` suffixed
+    on the right."""
+    right_key = right_key or left_key
+
+    def fold(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            probe = l.merge(
+                r.iloc[0:0], left_on=left_key, right_on=right_key,
+                suffixes=("", "_r"),
+            )
+            return probe.iloc[0:0]
+        return l.merge(r, left_on=left_key, right_on=right_key, suffixes=("", "_r"))
+
+    return cogroup_exchange(
+        left, right, [left_key], [right_key], fold,
+        num_partitions=num_partitions,
+    )

@@ -782,6 +782,61 @@ def orders_topk_revenue(sf_dir: str):
     return final.to_pandas().reset_index(drop=True)
 
 
+def customer_no_urgent_orders(sf_dir: str):
+    """NOT EXISTS anti-join with BOTH sides exchanged
+    (``ops/joins.semi_join(anti=True)``): customers who never placed a
+    1-URGENT order.  The right side is pruned to distinct keys per
+    block before the exchange — no broadcast, both sides may grow with
+    the corpus."""
+    from valere_ocr_ray.ops.joins import semi_join
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    urgent = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda df: df[df["o_orderpriority"] == "1-URGENT"][["o_custkey"]],
+        batch_format="pandas",
+    )
+    return semi_join(cust, urgent, "c_custkey", "o_custkey", anti=True)
+
+
+def supplier_semi_lineitem(sf_dir: str):
+    """EXISTS semi-join on the two-sided hash exchange: suppliers with
+    at least one max-quantity deep-discount lineitem."""
+    from valere_ocr_ray.ops.joins import semi_join
+
+    sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_suppkey", "l_quantity", "l_discount"]
+    ).map_batches(
+        lambda df: df[(df["l_quantity"] == 50) & (df["l_discount"] > 0.08)][
+            ["l_suppkey"]
+        ],
+        batch_format="pandas",
+    )
+    return semi_join(sup, li, "s_suppkey", "l_suppkey")
+
+
+def orders_customer_join_exchange(sf_dir: str):
+    """Inner equi-join with BOTH sides exchanged
+    (``ops/joins.hash_join``) — the two-large-sides path where the
+    broadcast variants (``orders_by_nation``) would ship a
+    corpus-scaling lookup to every worker."""
+    from valere_ocr_ray.ops.joins import hash_join
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    return hash_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]
+    )
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_no_urgent_orders": q.customer_no_urgent_orders,
         "supplier_semi_lineitem": q.supplier_semi_lineitem,
         "orders_customer_join_exchange": q.orders_customer_join_exchange,
+        "orders_bloom_semi": q.orders_bloom_semi,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -332,6 +333,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_join_exchange": (
             "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "orders_bloom_semi": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey "
+            "AND c_acctbal < -900)"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

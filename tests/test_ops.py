@@ -779,3 +779,45 @@ def test_quality_filter_first_failing_rule():
     ]
     # reason is empty iff keep
     assert ((out["reason"] == "") == (out["keep"] == 1)).all()
+
+
+def test_bloom_semi_join_exact_despite_false_positives(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.bloom import (
+        _add_hashes,
+        _contains_hashes,
+        _empty_bloom,
+        bloom_semi_join,
+    )
+
+    # pure filter kernel: no false negatives, plausible fp rate
+    rng = np.random.default_rng(5)
+    added = rng.integers(0, 2**63, 5000, dtype=np.uint64)
+    other = rng.integers(0, 2**63, 5000, dtype=np.uint64)
+    bloom = _empty_bloom(1 << 17)
+    _add_hashes(bloom, added, 5)
+    assert _contains_hashes(bloom, added, 5).all()
+    fp = _contains_hashes(bloom, np.setdiff1d(other, added), 5).mean()
+    assert fp < 0.05
+
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 5000, 4000), "lv": np.arange(4000, dtype="int64")}
+    )
+    right = pd.DataFrame({"rk": rng.integers(4500, 5500, 300)})
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(3)
+
+    def norm(df):
+        return df.sort_values(["k", "lv"]).reset_index(drop=True)
+
+    # num_bits=256 forces heavy false positives; result must stay exact
+    for bits in (256, 1 << 20):
+        got = norm(bloom_semi_join(lds, rds, "k", "rk", num_bits=bits).to_pandas())
+        want = norm(left[left["k"].isin(right["rk"])])
+        pd.testing.assert_frame_equal(got, want)
+        got_a = norm(
+            bloom_semi_join(lds, rds, "k", "rk", anti=True, num_bits=bits).to_pandas()
+        )
+        want_a = norm(left[~left["k"].isin(right["rk"])])
+        pd.testing.assert_frame_equal(got_a, want_a)

@@ -14,6 +14,7 @@ custom exchange — no driver-side row loops.
 
 from valere_ocr_ray.ops import (  # noqa: F401
     asof,
+    bloom,
     bucketed,
     combine,
     dedup,
@@ -28,6 +29,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
 
 __all__ = [
     "asof",
+    "bloom",
     "bucketed",
     "combine",
     "dedup",

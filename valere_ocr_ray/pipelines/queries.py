@@ -837,6 +837,27 @@ def orders_customer_join_exchange(sf_dir: str):
     )
 
 
+def orders_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered EXACT semi join (``ops/bloom.bloom_semi_join``):
+    orders placed by deep-in-debt customers (c_acctbal < -900, ~1% of
+    customers).  A constant-size (1 MiB) Bloom over the selective key
+    set is broadcast once and prunes ~99% of orders map-side; only the
+    maybe-set pays the exchange, and the exact cogroup semi join removes
+    Bloom false positives — result identical to the EXISTS oracle."""
+    from valere_ocr_ray.ops.bloom import bloom_semi_join
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    debtors = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda df: df[df["c_acctbal"] < -900][["c_custkey"]],
+        batch_format="pandas",
+    )
+    return bloom_semi_join(orders, debtors, "o_custkey", "c_custkey")
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

@@ -75,6 +75,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_semi_lineitem": q.supplier_semi_lineitem,
         "orders_customer_join_exchange": q.orders_customer_join_exchange,
         "orders_bloom_semi": q.orders_bloom_semi,
+        "events_click_and_purchase": q.events_click_and_purchase,
+        "events_click_no_purchase": q.events_click_no_purchase,
+        "supplier_roster_by_nation": q.supplier_roster_by_nation,
+        "orders_priority_status_rollup": q.orders_priority_status_rollup,
+        "doc_stratified_sample": q.doc_stratified_sample,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -338,6 +343,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey "
             "AND c_acctbal < -900)"
+        ),
+        "events_click_and_purchase": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "events_click_no_purchase": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "EXCEPT "
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value > 200"
+        ),
+        "supplier_roster_by_nation": (
+            "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "string_agg(s_name, ',' ORDER BY s_name) AS roster, "
+            "count(*) AS n FROM supplier GROUP BY s_nationkey"
+        ),
+        "orders_priority_status_rollup": (
+            "SELECT COALESCE(o_orderpriority, 'ALL') AS priority, "
+            "COALESCE(o_orderstatus, 'ALL') AS status, "
+            "sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_c, "
+            "count(*) AS n FROM orders "
+            "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+        ),
+        "doc_stratified_sample": (
+            "SELECT doc_id, lang, rnk FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk "
+            "FROM documents) t WHERE rnk <= 3"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

@@ -821,3 +821,33 @@ def test_bloom_semi_join_exact_despite_false_positives(ray_session):
         )
         want_a = norm(left[~left["k"].isin(right["rk"])])
         pd.testing.assert_frame_equal(got_a, want_a)
+
+
+def test_distinct_set_op_intersect_except(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.joins import distinct_set_op
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({"k": rng.integers(0, 80, 1000)})
+    right = pd.DataFrame({"rk": rng.integers(40, 120, 1000)})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(4)
+
+    got_i = sorted(
+        distinct_set_op(lds, rds, ["k"], ["rk"], op="intersect")
+        .to_pandas()["k"]
+    )
+    want_i = sorted(set(left["k"]) & set(right["rk"]))
+    assert got_i == want_i
+
+    got_e = sorted(
+        distinct_set_op(lds, rds, ["k"], ["rk"], op="except").to_pandas()["k"]
+    )
+    want_e = sorted(set(left["k"]) - set(right["rk"]))
+    assert got_e == want_e
+
+    # same-named key columns
+    rds2 = rd.from_pandas(pd.DataFrame({"k": right["rk"]})).repartition(4)
+    got_s = sorted(distinct_set_op(lds, rds2, ["k"], op="intersect").to_pandas()["k"])
+    assert got_s == want_i

@@ -858,6 +858,146 @@ def orders_bloom_semi(sf_dir: str):
     return bloom_semi_join(orders, debtors, "o_custkey", "c_custkey")
 
 
+def _events_users_of(sf_dir: str, event_type: str):
+    return rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda df, et=event_type: df[df["event_type"] == et][["user_id"]],
+        batch_format="pandas",
+    )
+
+
+def events_click_and_purchase(sf_dir: str):
+    """SQL INTERSECT on the cogroup exchange
+    (``ops/joins.distinct_set_op``): distinct users with BOTH a click
+    and a purchase event.  Both sides pre-dedup per block, so the
+    exchange moves distinct keys, not events."""
+    from valere_ocr_ray.ops.joins import distinct_set_op
+
+    return distinct_set_op(
+        _events_users_of(sf_dir, "click"),
+        _events_users_of(sf_dir, "purchase"),
+        ["user_id"],
+        op="intersect",
+    )
+
+
+def events_click_no_purchase(sf_dir: str):
+    """SQL EXCEPT on the cogroup exchange: distinct users who clicked
+    but never made a big-ticket (value > 200) purchase."""
+    from valere_ocr_ray.ops.joins import distinct_set_op
+
+    big = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    ).map_batches(
+        lambda df: df[(df["event_type"] == "purchase") & (df["value"] > 200)][
+            ["user_id"]
+        ],
+        batch_format="pandas",
+    )
+    return distinct_set_op(
+        _events_users_of(sf_dir, "click"), big, ["user_id"], op="except"
+    )
+
+
+def supplier_roster_by_nation(sf_dir: str):
+    """Grouped string aggregation (``string_agg`` analog) via
+    ``ops/exchange.grouped_map``: per nation, the comma-joined sorted
+    supplier roster plus count.  Holistic (non-algebraic) aggregate, so
+    it rides the keyed exchange — each nation's rows co-located once,
+    one vectorized pass per group."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    sup = rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_nationkey", "s_name"]
+    )
+
+    def roster(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "roster": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "s_nationkey": [int(g["s_nationkey"].iloc[0])],
+                "roster": [",".join(sorted(g["s_name"]))],
+                "n": [len(g)],
+            }
+        )
+
+    return grouped_map(sup, ["s_nationkey"], roster)
+
+
+def orders_priority_status_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): the finest-level aggregate is
+    computed distributed (per-block partials → tree combine), then the
+    coarser grouping sets re-aggregate the FINEST RESULT (tiny — one
+    row per (priority,status)), never rescanning the fact table.
+    NULL grouping levels surface as the literal 'ALL' so the value
+    hash is oracle-stable."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "priority": df["o_orderpriority"],
+                "status": df["o_orderstatus"],
+                "rev_c": np.floor(df["o_totalprice"] * 100).astype("int64"),
+                "n": np.int64(1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    finest = tree_keyed_sum(orders, ["priority", "status"], ["rev_c", "n"])
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = df.groupby("priority", as_index=False)[["rev_c", "n"]].sum()
+        lvl1["status"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "priority": ["ALL"],
+                "status": ["ALL"],
+                "rev_c": [df["rev_c"].sum()],
+                "n": [df["n"].sum()],
+            }
+        )
+        out = pd.concat([df, lvl1, total], ignore_index=True)
+        return out[["priority", "status", "rev_c", "n"]]
+
+    return finest.map_batches(rollup, batch_format="pandas", batch_size=None)
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 3 md5-smallest docs per
+    language — ``ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+    md5(doc_id))`` via the mergeable per-key top-n (``keyed_topn``),
+    no global sort.  md5 over the stringified id gives an unbiased,
+    seed-free, oracle-reproducible ordering — the pattern for 'take a
+    fixed per-stratum sample of a 100-TB corpus' without a shuffle."""
+    import hashlib
+
+    from valere_ocr_ray.ops.combine import keyed_topn
+
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang"]
+    ).map_batches(
+        lambda df: df.assign(
+            h=[hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+        ),
+        batch_format="pandas",
+    )
+    out = keyed_topn(
+        docs, ["lang"], ["h", "doc_id"], [True, True], 3, rank_col="rnk"
+    )
+    return out.select_columns(["doc_id", "lang", "rnk"])
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_roster_by_nation": q.supplier_roster_by_nation,
         "orders_priority_status_rollup": q.orders_priority_status_rollup,
         "doc_stratified_sample": q.doc_stratified_sample,
+        "events_user_cumsum": q.events_user_cumsum,
+        "part_lineitem_left_count": q.part_lineitem_left_count,
+        "orders_customer_join_skew": q.orders_customer_join_skew,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -372,6 +375,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk "
             "FROM documents) t WHERE rnk <= 3"
+        ),
+        "events_user_cumsum": (
+            "SELECT event_id, user_id, "
+            "sum(CAST(floor(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS cum_c "
+            "FROM events"
+        ),
+        "part_lineitem_left_count": (
+            "SELECT p_partkey, p_name, COALESCE(t.qty_c, 0) AS qty_c, "
+            "COALESCE(t.n, 0) AS n FROM part LEFT JOIN ("
+            "SELECT l_partkey, sum(CAST(floor(l_quantity * 100) AS BIGINT)) "
+            "AS qty_c, count(*) AS n FROM lineitem GROUP BY l_partkey) t "
+            "ON p_partkey = t.l_partkey"
+        ),
+        "orders_customer_join_skew": (
+            "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

@@ -851,3 +851,46 @@ def test_distinct_set_op_intersect_except(ray_session):
     rds2 = rd.from_pandas(pd.DataFrame({"k": right["rk"]})).repartition(4)
     got_s = sorted(distinct_set_op(lds, rds2, ["k"], op="intersect").to_pandas()["k"])
     assert got_s == want_i
+
+
+def test_left_and_skew_hash_join(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.joins import hash_join, skew_hash_join
+
+    rng = np.random.default_rng(23)
+    # zipf-ish skew: key 0 is 30x hotter than the rest
+    k = np.concatenate(
+        [np.zeros(3000, dtype="int64"), rng.integers(1, 100, 2000)]
+    )
+    left = pd.DataFrame({"k": k, "lv": np.arange(len(k), dtype="int64")})
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 120, dtype="int64"), "rv": np.arange(120, dtype="int64")}
+    )
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(3)
+
+    def norm(df, cols):
+        return (
+            df[cols].sort_values(cols).reset_index(drop=True)
+        )
+
+    want = norm(left.merge(right, left_on="k", right_on="rk"), ["k", "lv", "rv"])
+    got = norm(
+        skew_hash_join(lds, rds, "k", "rk", num_salts=4, hot_threshold=100)
+        .to_pandas(),
+        ["k", "lv", "rv"],
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # left outer: right restricted to even keys; odd-key rows keep NaN
+    reven = rd.from_pandas(right[right["rk"] % 2 == 0]).repartition(2)
+    got_l = hash_join(lds, reven, "k", "rk", how="left").to_pandas()
+    want_l = left.merge(
+        right[right["rk"] % 2 == 0], left_on="k", right_on="rk", how="left"
+    )
+    assert len(got_l) == len(want_l)
+    assert got_l["rv"].isna().sum() == want_l["rv"].isna().sum()
+    m = norm(got_l.dropna(subset=["rv"]), ["k", "lv"])
+    wm = norm(want_l.dropna(subset=["rv"]), ["k", "lv"])
+    pd.testing.assert_frame_equal(m, wm)

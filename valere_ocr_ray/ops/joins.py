@@ -15,6 +15,7 @@ wire are one row per distinct key per block, not the table.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -56,21 +57,28 @@ def hash_join(
     left_key: str,
     right_key: str | None = None,
     *,
+    how: str = "inner",
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """Inner equi-join with BOTH sides exchanged (the two-large-sides
-    path).  Column collisions resolve pandas-style with ``_r`` suffixed
-    on the right."""
+    """Equi-join (``how`` = 'inner' | 'left') with BOTH sides exchanged
+    (the two-large-sides path).  Column collisions resolve pandas-style
+    with ``_r`` suffixed on the right.  Left-outer rows carry NaN/NaT in
+    right columns — cast downstream if a stable dtype matters."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
     right_key = right_key or left_key
 
     def fold(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        if not len(l) or not len(r):
+        if not len(l) or (how == "inner" and not len(r)):
             probe = l.merge(
                 r.iloc[0:0], left_on=left_key, right_on=right_key,
                 suffixes=("", "_r"),
             )
             return probe.iloc[0:0]
-        return l.merge(r, left_on=left_key, right_on=right_key, suffixes=("", "_r"))
+        return l.merge(
+            r, left_on=left_key, right_on=right_key, how=how,
+            suffixes=("", "_r"),
+        )
 
     return cogroup_exchange(
         left, right, [left_key], [right_key], fold,
@@ -116,4 +124,84 @@ def distinct_set_op(
 
     return cogroup_exchange(
         l_keys, r_keys, cols, rcols, fold, num_partitions=num_partitions
+    )
+
+
+def skew_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    *,
+    num_salts: int = 8,
+    hot_threshold: int = 50_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Inner equi-join with HOT-KEY SALTING: a plain hash join sends
+    every row of a hot key to ONE partition, so a single skewed key
+    (think a template page duplicated 10^8 times) serializes the whole
+    join.  Here the left side's per-key counts are tree-combined first;
+    keys above ``hot_threshold`` rows are split across ``num_salts``
+    sub-partitions (left rows salted round-robin, the matching RIGHT
+    rows replicated into every salt), and the join runs keyed on
+    ``(key, salt)`` — hot keys now occupy ``num_salts`` cores.
+
+    Driver state is the hot-key list only — bounded by corpus_rows /
+    hot_threshold (≤ 20k entries per 10^9 rows at the default), NOT by
+    key cardinality.  Result rows are identical to ``hash_join``."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    right_key = right_key or left_key
+    counts = tree_keyed_sum(
+        left.select_columns([left_key]).map_batches(
+            lambda df: df.assign(_n=np.int64(1)), batch_format="pandas"
+        ),
+        [left_key],
+        ["_n"],
+    )
+    hot = counts.map_batches(
+        lambda df: df[df["_n"] >= hot_threshold][[left_key]],
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    hot_keys = hot[left_key].to_numpy()
+    if not len(hot_keys):
+        return hash_join(
+            left, right, left_key, right_key, num_partitions=num_partitions
+        )
+    hot_ref = ray.put(hot_keys)
+
+    def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        is_hot = df[left_key].isin(ray.get(hot_ref))
+        salt = np.zeros(len(df), dtype=np.int64)
+        salt[is_hot.to_numpy()] = np.arange(int(is_hot.sum())) % num_salts
+        df["_salt"] = salt
+        return df
+
+    def replicate_right(df: pd.DataFrame) -> pd.DataFrame:
+        is_hot = df[right_key].isin(ray.get(hot_ref)).to_numpy()
+        cold = df[~is_hot].copy()
+        cold["_salt"] = np.int64(0)
+        hot_rows = df[is_hot]
+        if not len(hot_rows):
+            return cold
+        reps = [hot_rows.assign(_salt=np.int64(s)) for s in range(num_salts)]
+        return pd.concat([cold, *reps], ignore_index=True)
+
+    lsalted = left.map_batches(salt_left, batch_format="pandas")
+    rsalted = right.map_batches(replicate_right, batch_format="pandas")
+
+    def fold(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        out = l.merge(
+            r,
+            left_on=[left_key, "_salt"],
+            right_on=[right_key, "_salt"],
+            suffixes=("", "_r"),
+        )
+        return out.drop(columns=["_salt"])
+
+    return cogroup_exchange(
+        lsalted, rsalted, [left_key, "_salt"], [right_key, "_salt"], fold,
+        num_partitions=num_partitions,
     )

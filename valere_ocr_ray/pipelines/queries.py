@@ -998,6 +998,97 @@ def doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "rnk"])
 
 
+def events_user_cumsum(sf_dir: str):
+    """Per-key running total — ``SUM(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` — via ``grouped_map``: one exchange
+    co-locates each user's events, then an in-group sort + vectorized
+    cumsum.  Holistic window, so no algebraic shortcut exists; the
+    exchange is the minimal data movement.  Cent-integer values keep
+    the running sum exact and hash-stable."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda df: df.assign(
+            value_c=np.floor(df["value"] * 100).astype("int64")
+        )[["event_id", "ts", "user_id", "value_c"]],
+        batch_format="pandas",
+    )
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cum_c": g["value_c"].to_numpy().cumsum(),
+            }
+        )
+
+    return grouped_map(ev, ["user_id"], cum)
+
+
+def part_lineitem_left_count(sf_dir: str):
+    """LEFT OUTER join without scanning the fact side twice: lineitem
+    is pre-aggregated per partkey (tree combine — the join's right side
+    shrinks to one row per key), then ``hash_join(how='left')`` keeps
+    every part, and unmatched parts get 0s.  The aggregate-THEN-join
+    ordering is the scale move: joining raw lineitem first would
+    multiply fact rows through the exchange for no reason."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+    from valere_ocr_ray.ops.joins import hash_join
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"],
+                "qty_c": np.floor(df["l_quantity"] * 100).astype("int64"),
+                "n": np.int64(1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    agg = tree_keyed_sum(li, ["l_partkey"], ["qty_c", "n"])
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    joined = hash_join(part, agg, "p_partkey", "l_partkey", how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"],
+                "p_name": df["p_name"],
+                "qty_c": df["qty_c"].fillna(0).astype("int64"),
+                "n": df["n"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def orders_customer_join_skew(sf_dir: str):
+    """Same result as ``orders_customer_join_exchange`` but through the
+    SKEW-AWARE salted join (``ops/joins.skew_hash_join``): per-key
+    counts are tree-combined first, keys above the hot threshold are
+    split across salts with the right side replicated per salt.  The
+    low threshold here is purely to exercise the salted path on test
+    data; at scale the default (50k rows/key) only triggers on true
+    hot keys."""
+    from valere_ocr_ray.ops.joins import skew_hash_join
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    return skew_hash_join(
+        orders, cust, "o_custkey", "c_custkey", num_salts=4, hot_threshold=12
+    ).select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

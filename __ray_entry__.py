@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cumsum": q.events_user_cumsum,
         "part_lineitem_left_count": q.part_lineitem_left_count,
         "orders_customer_join_skew": q.orders_customer_join_skew,
+        "events_type_distinct_users_kmv": q.events_type_distinct_users_kmv,
+        "doc_nchars_quantiles_sketch": q.doc_nchars_quantiles_sketch,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -392,6 +394,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_join_skew": (
             "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "events_type_distinct_users_kmv": (
+            "SELECT event_type, count(DISTINCT user_id) AS distinct_users "
+            "FROM events GROUP BY event_type"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

@@ -894,3 +894,57 @@ def test_left_and_skew_hash_join(ray_session):
     m = norm(got_l.dropna(subset=["rv"]), ["k", "lv"])
     wm = norm(want_l.dropna(subset=["rv"]), ["k", "lv"])
     pd.testing.assert_frame_equal(m, wm)
+
+
+def test_grouped_distinct_kmv_exact_and_estimate(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.sketch import grouped_distinct_kmv
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 20000),
+            "v": rng.integers(0, 5000, 20000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+
+    # exact regime: k above every group's cardinality
+    got = (
+        grouped_distinct_kmv(ds, ["g"], "v", k=1 << 14)
+        .to_pandas()
+        .set_index("g")["distinct_est"]
+    )
+    want = df.groupby("g")["v"].nunique()
+    for g in want.index:
+        assert got[g] == want[g], (g, got[g], want[g])
+
+    # estimate regime: k far below cardinality, error within KMV bounds
+    got_e = (
+        grouped_distinct_kmv(ds, ["g"], "v", k=256)
+        .to_pandas()
+        .set_index("g")["distinct_est"]
+    )
+    for g in want.index:
+        assert abs(got_e[g] - want[g]) / want[g] < 0.2, (g, got_e[g], want[g])
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.sketch import column_quantiles_sketch
+
+    rng = np.random.default_rng(37)
+    vals = rng.lognormal(3.0, 1.0, 50000)
+    df = pd.DataFrame({"x": vals})
+    ds = rd.from_pandas(df).repartition(10)
+
+    probs = [0.5, 0.9, 0.99]
+    out = column_quantiles_sketch(ds, "x", probs, q=512)
+    exact = np.quantile(vals, probs)
+    s = np.sort(vals)
+    for p, est, ex in zip(probs, out["quantile_est"], exact):
+        # grade on RANK error (the sketch's actual guarantee)
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - p) < 0.01, (p, est, ex, rank)

@@ -90,3 +90,155 @@ def distinct_tokens_kmv(
     rows = parts.take_all()  # exactly one row
     merged = kmv_merge([np.asarray(r["sketch"], dtype=np.int64) for r in rows], k)
     return kmv_estimate(merged, k)
+
+
+def _value_hashes64(values: pd.Series) -> np.ndarray:
+    """Uniform 64-bit hashes of an arbitrary value column: integer
+    dtypes vectorize through splitmix64; everything else routes through
+    the string token hash (two independent crc32 lanes → 64 bits)."""
+    from valere_ocr_ray.ops.exchange import _mix64
+
+    v = values.to_numpy()
+    if np.issubdtype(v.dtype, np.integer):
+        with np.errstate(over="ignore"):
+            return _mix64(v.astype(np.int64).view(np.uint64))
+    return _token_hashes64([str(x) for x in values])
+
+
+def grouped_distinct_kmv(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    *,
+    k: int = 65536,
+    out_col: str = "distinct_est",
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT value) PER KEY — one KMV sketch per
+    group, merged through a tree.  EXACT while a group's distinct count
+    stays below ``k`` (the sketch still holds every distinct hash), so
+    with k sized above the expected cardinality this value-matches the
+    SQL oracle; beyond k it degrades to the ±1/sqrt(k) KMV estimate
+    instead of blowing memory — each group costs at most k int64s at
+    any stage, regardless of corpus size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key_vals, g in df.groupby(keys, sort=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            sk = kmv_from_hashes(_value_hashes64(g[value_col]), k)
+            rows.append((*key_vals, sk.tolist()))
+        return pd.DataFrame(rows, columns=[*keys, "sketch"])
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key_vals, g in df.groupby(keys, sort=True):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            merged = kmv_merge(
+                [np.asarray(s, dtype=np.int64) for s in g["sketch"]], k
+            )
+            rows.append((*key_vals, merged.tolist()))
+        return pd.DataFrame(rows, columns=[*keys, "sketch"])
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    for w in (8, 1):
+        parts = parts.repartition(w).map_batches(
+            merge_block, batch_format="pandas", batch_size=None
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        out[out_col] = [
+            kmv_estimate(np.asarray(s, dtype=np.int64), k) for s in df["sketch"]
+        ]
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    return parts.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (weighted-centroid compressor)
+# ---------------------------------------------------------------------------
+
+def quantile_sketch_from_values(values: np.ndarray, q: int) -> np.ndarray:
+    """(2, m) sketch — row 0 sorted values, row 1 weights — compressed
+    to at most ``q`` centroids at evenly spaced cumulative-weight
+    positions (each centroid the weighted mean of its stratum).  Exact
+    while n <= q."""
+    v = np.sort(values.astype(np.float64))
+    n = len(v)
+    if n <= q:
+        return np.vstack([v, np.ones(n)])
+    edges = np.linspace(0, n, q + 1).astype(np.int64)
+    sums = np.add.reduceat(v, edges[:-1])
+    cnts = np.diff(edges).astype(np.float64)
+    return np.vstack([sums / cnts, cnts])
+
+
+def quantile_sketch_merge(sketches: list[np.ndarray], q: int) -> np.ndarray:
+    """Weighted merge + recompress to q centroids (associative up to
+    the compression error — per-merge error is O(1/q) in rank)."""
+    live = [s for s in sketches if s.size]
+    if not live:
+        return np.zeros((2, 0))
+    vals = np.concatenate([s[0] for s in live])
+    wts = np.concatenate([s[1] for s in live])
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    if len(vals) <= q:
+        return np.vstack([vals, wts])
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    edges = np.searchsorted(cum, np.linspace(0, total, q + 1)[1:-1], side="left")
+    edges = np.unique(np.concatenate([[0], edges + 1, [len(vals)]]))
+    sums = np.add.reduceat(vals * wts, edges[:-1])
+    cnts = np.add.reduceat(wts, edges[:-1])
+    return np.vstack([sums / np.maximum(cnts, 1e-12), cnts])
+
+
+def quantile_sketch_query(sketch: np.ndarray, probs: list[float]) -> list[float]:
+    """Quantile estimates by cumulative-weight interpolation."""
+    if not sketch.size:
+        return [float("nan")] * len(probs)
+    vals, wts = sketch
+    cum = np.cumsum(wts) - wts / 2.0
+    total = wts.sum()
+    return [float(np.interp(p * total, cum, vals)) for p in probs]
+
+
+def column_quantiles_sketch(
+    ds: ray.data.Dataset,
+    col: str,
+    probs: list[float],
+    *,
+    q: int = 1024,
+) -> pd.DataFrame:
+    """Approximate column quantiles via the mergeable sketch: per-block
+    partials → tree merge → one (2, q) array on the driver.  The exact
+    distributed percentile (``pipelines/queries.py`` global percentile)
+    needs one exchange; this needs NONE and ships 2·q floats per block
+    — the trade at 100 TB when ±0.1% rank error is acceptable."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = quantile_sketch_from_values(df[col].to_numpy(), q)
+        return pd.DataFrame({"sk": [sk.tolist()]})
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        merged = quantile_sketch_merge(
+            [np.asarray(s, dtype=np.float64) for s in df["sk"]], q
+        )
+        return pd.DataFrame({"sk": [merged.tolist()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    for w in (8, 1):
+        parts = parts.repartition(w).map_batches(
+            merge_block, batch_format="pandas", batch_size=None
+        )
+    rows = parts.take_all()
+    merged = quantile_sketch_merge(
+        [np.asarray(r["sk"], dtype=np.float64) for r in rows], q
+    )
+    est = quantile_sketch_query(merged, probs)
+    return pd.DataFrame({"prob": probs, "quantile_est": est})

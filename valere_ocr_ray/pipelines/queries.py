@@ -1089,6 +1089,35 @@ def orders_customer_join_skew(sf_dir: str):
     ).select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
 
 
+def events_type_distinct_users_kmv(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via the
+    per-key KMV sketch (``ops/sketch.grouped_distinct_kmv``): one
+    bounded sketch per group merged through a tree — each group costs
+    ≤ k int64s at any stage regardless of corpus size.  k=65536 sits
+    above the test corpora's user cardinality, so the sketch is in its
+    EXACT regime and value-matches the SQL oracle; at 100 TB the same
+    code degrades to the ±1/√k estimate instead of a shuffle."""
+    from valere_ocr_ray.ops.sketch import grouped_distinct_kmv
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    return grouped_distinct_kmv(
+        ev, ["event_type"], "user_id", k=1 << 16, out_col="distinct_users"
+    )
+
+
+def doc_nchars_quantiles_sketch(sf_dir: str):
+    """Approximate p50/p90/p99 of document length via the mergeable
+    quantile sketch (``ops/sketch.column_quantiles_sketch``): per-block
+    (2, q) centroid partials → tree merge → interpolation.  ZERO
+    exchanges (the exact percentile query pays one); ±0.1% rank error
+    at q=1024.  No SQL oracle by design — approximate result; accuracy
+    is pinned by ``test_quantile_sketch_accuracy``."""
+    from valere_ocr_ray.ops.sketch import column_quantiles_sketch
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["n_chars"])
+    return column_quantiles_sketch(docs, "n_chars", [0.5, 0.9, 0.99], q=1024)
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

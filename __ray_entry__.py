@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join_skew": q.orders_customer_join_skew,
         "events_type_distinct_users_kmv": q.events_type_distinct_users_kmv,
         "doc_nchars_quantiles_sketch": q.doc_nchars_quantiles_sketch,
+        "doc_contamination": q.doc_contamination,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -398,6 +399,15 @@ def oracle_sql() -> dict[str, str]:
         "events_type_distinct_users_kmv": (
             "SELECT event_type, count(DISTINCT user_id) AS distinct_users "
             "FROM events GROUP BY event_type"
+        ),
+        "doc_contamination": (
+            "WITH probes AS (SELECT doc_id AS probe_id, "
+            "array_to_string((string_split(text, ' '))[6:13], ' ') AS phrase "
+            "FROM documents WHERE doc_id IN (0, 100, 200)) "
+            "SELECT d.doc_id, count(p.probe_id) AS n_probes_hit "
+            "FROM documents d JOIN probes p "
+            "ON (' ' || d.text || ' ') LIKE ('% ' || p.phrase || ' %') "
+            "GROUP BY d.doc_id"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

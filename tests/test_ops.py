@@ -948,3 +948,42 @@ def test_quantile_sketch_accuracy(ray_session):
         # grade on RANK error (the sketch's actual guarantee)
         rank = np.searchsorted(s, est) / len(s)
         assert abs(rank - p) < 0.01, (p, est, ex, rank)
+
+
+def test_tag_contamination_planted(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.decontam import tag_contamination, window_hashes
+
+    bench = [
+        "alpha beta gamma delta epsilon zeta eta theta",     # 8 tokens, 1 ngram
+        "one two three four five six seven eight nine ten",  # 10 tokens, 3 ngrams
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype="int64"),
+            "text": [
+                "x y " + bench[0] + " z w",                  # hits probe 0
+                "junk only nothing shared here at all ok",   # clean
+                "pad " + bench[1],                           # hits probe 1
+                bench[0] + " and " + bench[1],               # hits both
+                "three four five six seven eight nine filler pad",  # sub-ngram of probe1? 8-gram "three..nine filler" no; "three four five six seven eight nine filler" not in probe — clean unless exact window matches
+                "short doc",                                  # shorter than n
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    out = (
+        tag_contamination(ds, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_probes_hit"]) == [1, 0, 1, 2, 0, 0]
+    assert list(out["contaminated"]) == [True, False, True, True, False, False]
+    assert len(out) == len(docs)  # every row kept
+
+    # order sensitivity: reversed n-gram must not match
+    wh = window_hashes("a b c d e f g h".split(), 8)
+    wh_rev = window_hashes("h g f e d c b a".split(), 8)
+    assert wh[0] != wh_rev[0]

@@ -17,6 +17,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     bloom,
     bucketed,
     combine,
+    decontam,
     dedup,
     exchange,
     joins,
@@ -32,6 +33,7 @@ __all__ = [
     "bloom",
     "bucketed",
     "combine",
+    "decontam",
     "dedup",
     "exchange",
     "joins",

@@ -1118,6 +1118,31 @@ def doc_nchars_quantiles_sketch(sf_dir: str):
     return column_quantiles_sketch(docs, "n_chars", [0.5, 0.9, 0.99], q=1024)
 
 
+def doc_contamination(sf_dir: str):
+    """Benchmark decontamination (``ops/decontam.tag_contamination``):
+    docs sharing a token 8-gram with any 'benchmark' probe.  Probes are
+    derived deterministically from the corpus itself (tokens 6–13 of
+    docs 0/100/200 — a stand-in for a real eval set, which is small by
+    definition), hashed once, broadcast once; the corpus is tagged in
+    one pass with zero exchanges.  The SQL oracle reconstructs the same
+    probes and matches on token-boundary-padded LIKE — exact parity
+    because the corpus text is single-space tokenized."""
+    from valere_ocr_ray.ops.decontam import tag_contamination
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    probe_rows = (
+        docs.filter(lambda r: r["doc_id"] in (0, 100, 200)).take(3)
+    )
+    probes = [
+        " ".join(r["text"].split()[5:13])
+        for r in sorted(probe_rows, key=lambda r: r["doc_id"])
+    ]
+    tagged = tag_contamination(docs, probes, n=8)
+    return tagged.filter(lambda r: r["contaminated"]).select_columns(
+        ["doc_id", "n_probes_hit"]
+    )
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_distinct_users_kmv": q.events_type_distinct_users_kmv,
         "doc_nchars_quantiles_sketch": q.doc_nchars_quantiles_sketch,
         "doc_contamination": q.doc_contamination,
+        "doc_shared_ngrams": q.doc_shared_ngrams,
+        "events_type_ntile": q.events_type_ntile,
+        "emb_label_centroid": q.emb_label_centroid,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -408,6 +411,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d JOIN probes p "
             "ON (' ' || d.text || ' ') LIKE ('% ' || p.phrase || ' %') "
             "GROUP BY d.doc_id"
+        ),
+        "doc_shared_ngrams": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram "
+            "FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i "
+            "FROM t)), "
+            "pd AS (SELECT gram, doc_id FROM g GROUP BY gram, doc_id) "
+            "SELECT gram, count(*) AS n_docs FROM pd GROUP BY gram "
+            "HAVING count(*) >= 2"
+        ),
+        "events_type_ntile": (
+            "SELECT event_id, event_type, ntile(4) OVER "
+            "(PARTITION BY event_type ORDER BY value, event_id) AS tile "
+            "FROM events"
+        ),
+        "emb_label_centroid": (
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "sum(CAST(floor(embedding[1] * 10000) AS BIGINT)) AS s0_c, "
+            "sum(CAST(floor(embedding[2] * 10000) AS BIGINT)) AS s1_c, "
+            "sum(CAST(floor(embedding[3] * 10000) AS BIGINT)) AS s2_c, "
+            "sum(CAST(floor(embedding[4] * 10000) AS BIGINT)) AS s3_c, "
+            "count(*) AS n FROM embeddings GROUP BY label"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

@@ -987,3 +987,33 @@ def test_tag_contamination_planted(ray_session):
     wh = window_hashes("a b c d e f g h".split(), 8)
     wh_rev = window_hashes("h g f e d c b a".split(), 8)
     assert wh[0] != wh_rev[0]
+
+
+def test_shared_ngram_spans_planted(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import shared_ngram_spans
+
+    span = "q w e r t y u i"  # 8 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype="int64"),
+            "text": [
+                "a b " + span + " c d",
+                span + " x y z",
+                "nothing in common with the others at all here",
+                "pad " + span + " more " + span,  # span twice in one doc
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    out = shared_ngram_spans(ds, n=8, min_docs=2).to_pandas()
+    # the planted span is in 3 distinct docs (doc 3 counts once)
+    row = out[out["gram"] == span]
+    assert len(row) == 1 and int(row["n_docs"].iloc[0]) == 3
+    # every reported gram really is in >= 2 docs
+    assert (out["n_docs"] >= 2).all()
+
+    # hash mode (the wire-thrifty scale path) agrees on counts
+    out_h = shared_ngram_spans(ds, n=8, min_docs=2, emit_text=False).to_pandas()
+    assert sorted(out_h["n_docs"]) == sorted(out["n_docs"])

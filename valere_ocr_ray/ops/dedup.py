@@ -837,3 +837,70 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in parent}
+
+
+def shared_ngram_spans(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_text: bool = True,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact duplicate-SPAN detection (the core of substring-level
+    dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better"): every token ``n``-gram occurring in at least
+    ``min_docs`` DISTINCT documents, with occurrence + doc counts.
+
+    Shape: explode each doc into (gram, doc_id) pairs — DEDUPED per
+    (block, gram, doc) before the exchange so wire rows are bounded by
+    distinct grams per block — then one keyed exchange co-locates each
+    gram and a vectorized pass counts docs.  Most grams are unique, so
+    the surviving output is proportional to actually-duplicated spans,
+    not the corpus.
+
+    ``emit_text=False`` exchanges 64-bit window hashes instead of gram
+    strings (≈10× fewer wire bytes) — the 100-TB setting; strings are
+    kept here for oracle parity."""
+    from valere_ocr_ray.ops.decontam import window_hashes
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        grams, ids = [], []
+        for doc, t in zip(df[id_col], df[text_col]):
+            toks = t.split()
+            if len(toks) < n:
+                continue
+            if emit_text:
+                seen = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+            else:
+                seen = set(window_hashes(toks, n).tolist())
+            grams.extend(seen)
+            ids.extend([doc] * len(seen))
+        key_dtype = object if emit_text else "uint64"
+        return pd.DataFrame(
+            {"gram": pd.Series(grams, dtype=key_dtype),
+             id_col: pd.Series(ids, dtype="int64")}
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pandas")
+
+    def count_docs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object),
+                 "n_docs": pd.Series([], dtype="int64")}
+            )
+        nd = g[id_col].nunique()
+        if nd < min_docs:
+            return g.iloc[0:0][["gram"]].assign(n_docs=pd.Series([], dtype="int64"))
+        return pd.DataFrame({"gram": [g["gram"].iloc[0]], "n_docs": [nd]})
+
+    return grouped_map(
+        pairs, ["gram"], count_docs,
+        min_group_size=min_docs, num_partitions=num_partitions,
+    )

@@ -1143,6 +1143,84 @@ def doc_contamination(sf_dir: str):
     )
 
 
+def doc_shared_ngrams(sf_dir: str):
+    """Exact duplicate-span detection (``ops/dedup.shared_ngram_spans``):
+    token 8-grams occurring in ≥2 distinct documents, with doc counts —
+    the detection core of substring-level dedup (Lee et al. 2022).
+    (gram, doc) pairs are deduped per block before the single keyed
+    exchange; singleton grams (the vast majority) are dropped by the
+    vectorized group-size prefilter before any per-group work."""
+    from valere_ocr_ray.ops.dedup import shared_ngram_spans
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return shared_ngram_spans(docs, n=8, min_docs=2)
+
+
+def events_type_ntile(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+    via ``grouped_map``: SQL-standard tile sizing (first n%k tiles get
+    the extra row) computed vectorized per co-located group."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype=object),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["value", "event_id"], kind="stable")
+        q, r = divmod(len(g), 4)
+        sizes = np.full(4, q, dtype=np.int64)
+        sizes[:r] += 1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "tile": np.repeat(np.arange(1, 5, dtype=np.int64), sizes),
+            }
+        )
+
+    return grouped_map(ev, ["event_type"], tiles)
+
+
+def emb_label_centroid(sf_dir: str):
+    """Grouped VECTOR aggregate over the ``list<float>`` embedding
+    column: per label, row count + exact integer sums of the first 4
+    dimensions (scaled 1e4) — the partial-then-tree-combine shape a
+    full centroid / k-means update step uses at scale.  The list column
+    is stacked to a dense numpy matrix per batch; nothing leaves the
+    batch but (label, 4 ints, count) partials."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    emb = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["label", "embedding"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        cents = np.floor(mat[:, :4] * 10000).astype("int64")
+        return pd.DataFrame(
+            {
+                "label": df["label"].astype("int64").to_numpy(),
+                "s0_c": cents[:, 0],
+                "s1_c": cents[:, 1],
+                "s2_c": cents[:, 2],
+                "s3_c": cents[:, 3],
+                "n": np.int64(1),
+            }
+        )
+
+    pre = emb.map_batches(partial, batch_format="pandas")
+    return tree_keyed_sum(pre, ["label"], ["s0_c", "s1_c", "s2_c", "s3_c", "n"])
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

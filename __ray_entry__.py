@@ -370,10 +370,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM supplier GROUP BY s_nationkey"
         ),
         "orders_priority_status_rollup": (
+            # outer CAST: DuckDB's ROLLUP super-aggregate rows otherwise
+            # surface as lossy DOUBLEs at sf0.1 magnitudes
             "SELECT COALESCE(o_orderpriority, 'ALL') AS priority, "
             "COALESCE(o_orderstatus, 'ALL') AS status, "
-            "sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_c, "
-            "count(*) AS n FROM orders "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS rev_c, count(*) AS n FROM orders "
             "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
         ),
         "doc_stratified_sample": (
@@ -428,11 +430,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events"
         ),
         "emb_label_centroid": (
+            # CAST to DOUBLE before scaling: float32 multiply in DuckDB
+            # crosses floor boundaries differently than f64 numpy
             "SELECT CAST(label AS BIGINT) AS label, "
-            "sum(CAST(floor(embedding[1] * 10000) AS BIGINT)) AS s0_c, "
-            "sum(CAST(floor(embedding[2] * 10000) AS BIGINT)) AS s1_c, "
-            "sum(CAST(floor(embedding[3] * 10000) AS BIGINT)) AS s2_c, "
-            "sum(CAST(floor(embedding[4] * 10000) AS BIGINT)) AS s3_c, "
+            "CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000) "
+            "AS BIGINT)) AS BIGINT) AS s0_c, "
+            "CAST(sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000) "
+            "AS BIGINT)) AS BIGINT) AS s1_c, "
+            "CAST(sum(CAST(floor(CAST(embedding[3] AS DOUBLE) * 10000) "
+            "AS BIGINT)) AS BIGINT) AS s2_c, "
+            "CAST(sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 10000) "
+            "AS BIGINT)) AS BIGINT) AS s3_c, "
             "count(*) AS n FROM embeddings GROUP BY label"
         ),
         "supplier_by_region": (

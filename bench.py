@@ -99,6 +99,12 @@ def _run_benchmarks() -> dict:
         timed("doc_topk_longest", q.doc_topk_longest)
         timed("events_user_topk", q.events_user_topk)
         timed("doc_length_percentiles", q.doc_length_percentiles)
+        timed("orders_customer_join_exchange", q.orders_customer_join_exchange)
+        timed("orders_bloom_semi", q.orders_bloom_semi)
+        timed("doc_shared_ngrams", q.doc_shared_ngrams)
+        timed("doc_contamination", q.doc_contamination)
+        timed("events_user_cumsum", q.events_user_cumsum)
+        timed("events_type_distinct_users_kmv", q.events_type_distinct_users_kmv)
 
     ray.shutdown()
     return {

@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shared_ngrams": q.doc_shared_ngrams,
         "events_type_ntile": q.events_type_ntile,
         "emb_label_centroid": q.emb_label_centroid,
+        "events_user_pivot": q.events_user_pivot,
+        "events_ranged_value_band": q.events_ranged_value_band,
         "customer_segment_union": q.customer_segment_union,
         "events_type_agg": q.events_type_agg,
         "events_user_topk": q.events_user_topk,
@@ -442,6 +444,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 10000) "
             "AS BIGINT)) AS BIGINT) AS s3_c, "
             "count(*) AS n FROM embeddings GROUP BY label"
+        ),
+        "events_user_pivot": (
+            "SELECT user_id, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_ranged_value_band": (
+            "SELECT event_type, "
+            "sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c, "
+            "count(*) AS n FROM events "
+            "WHERE value >= 100 AND value < 200 GROUP BY event_type"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "

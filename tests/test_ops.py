@@ -1017,3 +1017,38 @@ def test_shared_ngram_spans_planted(ray_session):
     # hash mode (the wire-thrifty scale path) agrees on counts
     out_h = shared_ngram_spans(ds, n=8, min_docs=2, emit_text=False).to_pandas()
     assert sorted(out_h["n_docs"]) == sorted(out["n_docs"])
+
+
+def test_ranged_layout_prunes_and_matches(ray_session, tmp_path):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.ranged import (
+        range_partitions_for,
+        read_range,
+        write_ranged,
+    )
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "ts_v": rng.uniform(0, 1000, 20000),
+            "payload": np.arange(20000, dtype="int64"),
+        }
+    )
+    out = str(tmp_path / "ranged")
+    bounds = write_ranged(
+        rd.from_pandas(df).repartition(8), out, "ts_v", n_partitions=10
+    )
+    assert len(bounds) == 9
+
+    lo, hi = 100.0, 220.0
+    got = read_range(out, lo, hi).to_pandas()
+    want = df[(df["ts_v"] >= lo) & (df["ts_v"] < hi)]
+    assert sorted(got["payload"]) == sorted(want["payload"])
+
+    # pruning: a ~12% window must open a strict minority of partitions
+    dirs, _ = range_partitions_for(out, lo, hi)
+    assert 0 < len(dirs) <= 4
+
+    # unbounded read returns everything
+    assert read_range(out).count() == len(df)

@@ -22,6 +22,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     exchange,
     joins,
     multimodal,
+    ranged,
     similarity,
     sketch,
     textstats,
@@ -38,6 +39,7 @@ __all__ = [
     "exchange",
     "joins",
     "multimodal",
+    "ranged",
     "similarity",
     "sketch",
     "textstats",

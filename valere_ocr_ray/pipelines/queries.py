@@ -1221,6 +1221,56 @@ def emb_label_centroid(sf_dir: str):
     return tree_keyed_sum(pre, ["label"], ["s0_c", "s1_c", "s2_c", "s3_c", "n"])
 
 
+def events_user_pivot(sf_dir: str):
+    """PIVOT: per-user event counts spread across one column per event
+    type — indicator columns built vectorized per batch, then ONE
+    tree-combined keyed sum.  The wide-format shape of feature
+    engineering; no per-type scans, no shuffle beyond the small keyed
+    combine."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"]})
+        for t in types:
+            out[f"n_{t}"] = (df["event_type"] == t).astype("int64")
+        return out
+
+    pre = ev.map_batches(indicators, batch_format="pandas")
+    return tree_keyed_sum(pre, ["user_id"], [f"n_{t}" for t in types])
+
+
+def events_ranged_value_band(sf_dir: str):
+    """Range-partitioned layout + pruned read (``ops/ranged``): events
+    are written once partitioned by sampled value quantiles, then the
+    [100, 200) band opens ONLY the intersecting partitions (I/O ∝
+    selectivity) before a per-type aggregate.  Results identical to a
+    full scan + filter — the oracle proves it."""
+    import tempfile
+
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+    from valere_ocr_ray.ops.ranged import read_range, write_ranged
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    out = tempfile.mkdtemp(prefix="ranged_events_")
+    write_ranged(ev, out, "value", n_partitions=8)
+    band = read_range(out, 100.0, 200.0).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "sum_value_c": np.floor(df["value"] * 100).astype("int64"),
+                "n": np.int64(1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return tree_keyed_sum(band, ["event_type"], ["sum_value_c", "n"])
+
+
 def supplier_by_region(sf_dir: str):
     """TPC-H Q5-ish dimension chain: nation⋈region resolved driver-side
     (tiny tables), broadcast via ``ray.put``, map-side join + grouped

@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_nchars_quantiles_sketch": q.doc_nchars_quantiles_sketch,
         "doc_contamination": q.doc_contamination,
         "doc_shared_ngrams": q.doc_shared_ngrams,
+        "doc_segment_dedup": q.doc_segment_dedup,
         "events_type_ntile": q.events_type_ntile,
         "emb_label_centroid": q.emb_label_centroid,
         "events_user_pivot": q.events_user_pivot,
@@ -425,6 +426,22 @@ def oracle_sql() -> dict[str, str]:
             "pd AS (SELECT gram, doc_id FROM g GROUP BY gram, doc_id) "
             "SELECT gram, count(*) AS n_docs FROM pd GROUP BY gram "
             "HAVING count(*) >= 2"
+        ),
+        "doc_segment_dedup": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "seg AS (SELECT doc_id, i AS seg_idx, "
+            "array_to_string(toks[i*10+1:i*10+10], ' ') AS seg, "
+            "len(toks[i*10+1:i*10+10]) AS n_toks "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i "
+            "FROM t)), "
+            "marked AS (SELECT doc_id, n_toks, row_number() OVER "
+            "(PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM seg) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
+            "AS kept_tokens FROM marked GROUP BY doc_id"
         ),
         "events_type_ntile": (
             "SELECT event_id, event_type, ntile(4) OVER "

@@ -1052,3 +1052,79 @@ def test_ranged_layout_prunes_and_matches(ray_session, tmp_path):
 
     # unbounded read returns everything
     assert read_range(out).count() == len(df)
+
+
+def test_segment_dedup_planted(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.segdedup import (
+        segment_dedup_rebuild,
+        segment_dedup_stats,
+    )
+
+    # doc 0: 2 segments (a, b); doc 1 repeats segment a then adds c;
+    # doc 2 is an exact copy of doc 0 (loses everything)
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                seg_a + " " + seg_b,
+                seg_a + " " + seg_c,
+                seg_a + " " + seg_b,
+            ],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+
+    stats = (
+        segment_dedup_stats(ds, window=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert stats["n_segs"].tolist() == [2, 2, 2]
+    assert stats["n_kept"].tolist() == [2, 1, 0]
+    assert stats["kept_tokens"].tolist() == [20, 10, 0]
+
+    # exact mode agrees with the hash-wire mode
+    stats_e = (
+        segment_dedup_stats(ds, window=10, exact=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(stats, stats_e)
+
+    # rebuild: survivors re-joined in original order; fully-duplicated
+    # doc comes back empty, not dropped
+    reb = (
+        segment_dedup_rebuild(ds, window=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert reb["clean_text"].tolist() == [
+        seg_a + " " + seg_b,
+        seg_c,
+        "",
+    ]
+    assert reb["n_kept"].tolist() == [2, 1, 0]
+
+
+def test_segment_dedup_short_tail(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.segdedup import explode_segments
+
+    # 13 tokens at window 5 -> segments of 5, 5, 3
+    df = pd.DataFrame({"doc_id": [7], "text": [" ".join(map(str, range(13)))]})
+    out = (
+        explode_segments(rd.from_pandas(df), window=5)
+        .to_pandas()
+        .sort_values("seg_idx")
+    )
+    assert out["n_toks"].tolist() == [5, 5, 3]
+    assert out["seg"].tolist()[2] == "10 11 12"

@@ -23,6 +23,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     joins,
     multimodal,
     ranged,
+    segdedup,
     similarity,
     sketch,
     textstats,
@@ -40,6 +41,7 @@ __all__ = [
     "joins",
     "multimodal",
     "ranged",
+    "segdedup",
     "similarity",
     "sketch",
     "textstats",

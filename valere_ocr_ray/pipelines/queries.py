@@ -1156,6 +1156,18 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def doc_segment_dedup(sf_dir: str):
+    """Corpus-rewrite dedup audit (``ops/segdedup``): split each doc
+    into non-overlapping 10-token segments, global keep-first on exact
+    segment content (64-bit-hash exchange — only ints on the wire),
+    per-doc survival stats.  The Lee-et-al exact-substring-dedup
+    analog, as a rewrite table rather than pair flags."""
+    from valere_ocr_ray.ops.segdedup import segment_dedup_stats
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return segment_dedup_stats(docs, window=10)
+
+
 def events_type_ntile(sf_dir: str):
     """NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
     via ``grouped_map``: SQL-standard tile sizing (first n%k tiles get

@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": q.doc_contamination,
         "doc_shared_ngrams": q.doc_shared_ngrams,
         "doc_segment_dedup": q.doc_segment_dedup,
+        "doc_pack_sequences": q.doc_pack_sequences,
+        "doc_zscore_by_lang": q.doc_zscore_by_lang,
+        "events_user_lag": q.events_user_lag,
         "events_type_ntile": q.events_type_ntile,
         "emb_label_centroid": q.emb_label_centroid,
         "events_user_pivot": q.events_user_pivot,
@@ -442,6 +445,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
             "AS kept_tokens FROM marked GROUP BY doc_id"
+        ),
+        "doc_pack_sequences": (
+            "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "
+            "len(string_split(text, ' ')) AS n_toks FROM documents), "
+            "o AS (SELECT shard, n_toks, "
+            "sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_toks AS start_off FROM d) "
+            "SELECT shard, CAST(start_off // 256 AS BIGINT) AS seq_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_toks) AS BIGINT) AS sum_tokens "
+            "FROM o GROUP BY shard, seq_id"
+        ),
+        "events_user_lag": (
+            "SELECT event_id, user_id, delta_c FROM ("
+            "SELECT event_id, user_id, "
+            "CAST(floor(value * 100) AS BIGINT) - "
+            "lag(CAST(floor(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS delta_c "
+            "FROM events) WHERE delta_c IS NOT NULL"
+        ),
+        "doc_zscore_by_lang": (
+            # mean/var from INTEGER sums with the same f64 expression
+            # the Ray side uses — no aggregation-order float drift
+            "WITH s AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS s1, "
+            "CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2, "
+            "CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, CAST(floor(1000.0 * (d.n_chars - s.s1 / s.n) "
+            "/ sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1.0))) AS BIGINT) "
+            "AS z_mill FROM documents d JOIN s USING (lang) "
+            "WHERE s.n > 1 AND (s.s2 - s.s1 * s.s1 / s.n) > 0"
         ),
         "events_type_ntile": (
             "SELECT event_id, event_type, ntile(4) OVER "

@@ -1128,3 +1128,51 @@ def test_segment_dedup_short_tail(ray_session):
     )
     assert out["n_toks"].tolist() == [5, 5, 3]
     assert out["seg"].tolist()[2] == "10 11 12"
+
+
+def test_pack_sequences_semantics(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.packing import pack_sequences, pack_stats
+
+    # single shard (n_shards=1), budget 10: docs of 4,4,4 tokens ->
+    # starts 0,4,8 -> seq 0,0,0; next doc of 5 starts at 12 -> seq 1
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d",
+                "e f g h",
+                "i j k l",
+                "m n o p q",
+            ],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    packed = (
+        pack_sequences(ds, budget=10, n_shards=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert packed["start_off"].tolist() == [0, 4, 8, 12]
+    assert packed["seq_id"].tolist() == [0, 0, 0, 1]
+
+    stats = (
+        pack_stats(ds, budget=10, n_shards=1)
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    assert stats["n_docs"].tolist() == [3, 1]
+    assert stats["sum_tokens"].tolist() == [12, 5]
+
+    # sharding: doc_id % 2 splits 0,2 / 1,3 and packs independently
+    packed2 = (
+        pack_sequences(ds, budget=10, n_shards=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert packed2["shard"].tolist() == [0, 1, 0, 1]
+    assert packed2["start_off"].tolist() == [0, 0, 4, 4]

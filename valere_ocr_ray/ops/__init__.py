@@ -22,6 +22,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     exchange,
     joins,
     multimodal,
+    packing,
     ranged,
     segdedup,
     similarity,
@@ -40,6 +41,7 @@ __all__ = [
     "exchange",
     "joins",
     "multimodal",
+    "packing",
     "ranged",
     "segdedup",
     "similarity",

@@ -1,0 +1,108 @@
+"""Training-sequence packing — concat-and-chunk assignment of documents
+to fixed token-budget sequences, the layout step between a cleaned
+corpus and a tokenized training shard (the "pack documents into
+context-length sequences" stage every LM data pipeline ends with).
+
+Semantics (deterministic, SQL-expressible, shard-local): documents are
+partitioned into ``n_shards`` by ``id % n_shards``; within a shard,
+docs are ordered by id, their token streams conceptually concatenated,
+and the stream cut every ``budget`` tokens.  A document's sequence is
+the one its FIRST token lands in: ``seq_id = start_offset // budget``
+(documents may straddle a boundary — the standard pack-and-truncate
+contract, not bin packing).
+
+Scale shape (100 TB): token counting is a vectorized per-batch kernel;
+only ``(id, shard, n_toks)`` ints reach the ONE hash exchange (by
+shard); the in-shard pass is a sort + vectorized cumsum.  ``n_shards``
+is the parallelism/size knob — pick it so one shard's (id, n_toks)
+pairs fit a worker (ints only, so ~16 bytes/doc; 10^8 docs/shard is
+fine).  Packing is embarrassingly parallel across shards by design —
+the same contract a multi-node tokenizer fleet needs.
+
+Reference parity: no analog in the reference (it emits per-document
+JSON, never training shards); part of the added training-data suite
+(SURVEY.md round-2 delta).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    n_shards: int = 8,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-doc packing assignment: ``(id, shard, n_toks, seq_id,
+    start_off)``.  Tokens are whitespace-split words (swap the counter
+    for a real tokenizer's length column upstream if present)."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype("int64")
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "shard": (ids % n_shards).astype("int64"),
+                "n_toks": df[text_col].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    small = ds.map_batches(pre, batch_format="pandas")
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        start = g["n_toks"].cumsum().shift(fill_value=0).astype("int64")
+        return g.assign(
+            start_off=start.to_numpy(),
+            seq_id=(start.to_numpy() // budget).astype("int64"),
+        )
+
+    return grouped_map(small, ["shard"], pack, num_partitions=num_partitions)
+
+
+def pack_stats(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    n_shards: int = 8,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-sequence fill audit: ``(shard, seq_id, n_docs, sum_tokens)``
+    — the table you read to check packing efficiency (sequences per
+    shard, docs per sequence, token fill)."""
+    packed = pack_sequences(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        n_shards=n_shards,
+        num_partitions=num_partitions,
+    )
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard": df["shard"].astype("int64"),
+                "seq_id": df["seq_id"].astype("int64"),
+                "n_docs": np.ones(len(df), dtype="int64"),
+                "sum_tokens": df["n_toks"].astype("int64"),
+            }
+        )
+
+    return grouped_sum(
+        packed.map_batches(pre, batch_format="pandas"),
+        ["shard", "seq_id"],
+        ["n_docs", "sum_tokens"],
+        num_partitions=num_partitions,
+    )

@@ -1156,6 +1156,98 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def doc_pack_sequences(sf_dir: str):
+    """Training-sequence packing audit (``ops/packing``): docs hashed
+    into 8 shards, concat-and-chunk into 256-token sequences within
+    each shard, per-sequence doc/token fill.  Ints-only exchange;
+    embarrassingly parallel across shards."""
+    from valere_ocr_ray.ops.packing import pack_stats
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return pack_stats(docs, budget=256, n_shards=8)
+
+
+def events_user_lag(sf_dir: str):
+    """LAG window — ``value - LAG(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` — via one ``grouped_map`` exchange +
+    in-group sort + vectorized diff; first event per user has no
+    predecessor and is excluded (SQL LAG yields NULL there).
+    Cent-integer deltas keep the hash stable."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda df: df.assign(
+            value_c=np.floor(df["value"] * 100).astype("int64")
+        )[["event_id", "ts", "user_id", "value_c"]],
+        batch_format="pandas",
+    )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        v = g["value_c"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[1:],
+                "user_id": g["user_id"].to_numpy()[1:],
+                "delta_c": (v[1:] - v[:-1]),
+            }
+        )
+
+    return grouped_map(ev, ["user_id"], lag)
+
+
+def doc_zscore_by_lang(sf_dir: str):
+    """Grouped z-score normalization — ``(x - mean_g) / std_g`` per
+    language — as two passes: exact integer group sums (sum, sum of
+    squares, n) via tree combine, tiny stats broadcast, vectorized
+    per-doc transform.  mean/var derive from INTEGER sums with one
+    fixed f64 expression on both sides, so the floor-scaled output is
+    bit-stable against the oracle (no float-summation-order drift)."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    pre = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "s1": df["n_chars"].astype("int64"),
+                "s2": (df["n_chars"].astype("int64") ** 2),
+                "n": np.int64(1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    stats = tree_keyed_sum(pre, ["lang"], ["s1", "s2", "n"]).to_pandas()
+    stats = stats[stats["n"] > 1]
+    mean = {}
+    std = {}
+    for r in stats.itertuples():
+        m = float(r.s1) / float(r.n)
+        var = (float(r.s2) - float(r.s1) * float(r.s1) / float(r.n)) / (
+            float(r.n) - 1.0
+        )
+        if var <= 0:  # constant group — excluded on both sides
+            continue
+        mean[r.lang], std[r.lang] = m, math.sqrt(var)
+    ref = ray.put((mean, std))
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        mm, ss = ray.get(ref)
+        mu = df["lang"].map(mm).to_numpy(dtype="float64")
+        sd = df["lang"].map(ss).to_numpy(dtype="float64")
+        ok = ~np.isnan(mu) & (sd > 0)
+        x = df["n_chars"].to_numpy(dtype="float64")
+        zs = np.floor(1000.0 * (x[ok] - mu[ok]) / sd[ok]).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy()[ok], "z_mill": zs}
+        )
+
+    return docs.map_batches(z, batch_format="pandas")
+
+
 def doc_segment_dedup(sf_dir: str):
     """Corpus-rewrite dedup audit (``ops/segdedup``): split each doc
     into non-overlapping 10-token segments, global keep-first on exact

@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shared_ngrams": q.doc_shared_ngrams,
         "doc_segment_dedup": q.doc_segment_dedup,
         "doc_pack_sequences": q.doc_pack_sequences,
+        "doc_mix_sample": q.doc_mix_sample,
+        "doc_token_df": q.doc_token_df,
+        "doc_conjunctive_search": q.doc_conjunctive_search,
+        "emb_kmeans": q.emb_kmeans,
         "doc_zscore_by_lang": q.doc_zscore_by_lang,
         "events_user_lag": q.events_user_lag,
         "events_type_ntile": q.events_type_ntile,
@@ -445,6 +449,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
             "AS kept_tokens FROM marked GROUP BY doc_id"
+        ),
+        "doc_mix_sample": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_total, "
+            "CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= "
+            "(CASE source WHEN 'src0' THEN 'f' WHEN 'src1' THEN '7' "
+            "WHEN 'src2' THEN '3' ELSE '1' END) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept, "
+            "CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= "
+            "(CASE source WHEN 'src0' THEN 'f' WHEN 'src1' THEN '7' "
+            "WHEN 'src2' THEN '3' ELSE '1' END) THEN n_chars ELSE 0 END) "
+            "AS BIGINT) AS kept_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "doc_token_df": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS token FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS df "
+            "FROM pairs GROUP BY token"
+        ),
+        "doc_conjunctive_search": (
+            "SELECT doc_id FROM documents "
+            "WHERE (' ' || text || ' ') LIKE '% spark %' "
+            "AND (' ' || text || ' ') LIKE '% window %'"
         ),
         "doc_pack_sequences": (
             "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "

@@ -1176,3 +1176,68 @@ def test_pack_sequences_semantics(ray_session):
     )
     assert packed2["shard"].tolist() == [0, 1, 0, 1]
     assert packed2["start_off"].tolist() == [0, 0, 4, 4]
+
+
+def test_kmeans_fit_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    k, d, n = 4, 8, 400
+    mat = rng.normal(size=(n, d))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": list(mat)}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    cent, stats = kmeans_fit(ds, k, iters=4)
+
+    # local reference: identical algorithm, single process
+    c = mat[:k].astype(np.float64).copy()
+    for _ in range(4):
+        d2 = ((mat[:, None, :] - c[None]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        sizes = np.bincount(a, minlength=k)
+        inertia = np.zeros(k)
+        np.add.at(inertia, a, d2[np.arange(n), a])
+        for j in range(k):
+            if sizes[j]:
+                c[j] = mat[a == j].mean(0)
+
+    assert np.allclose(cent, c, rtol=1e-8, atol=1e-10)
+    got = stats.sort_values("cluster")
+    assert got["n"].tolist() == sizes.tolist()
+    assert np.allclose(got["inertia"].to_numpy(), inertia, rtol=1e-8)
+
+
+def test_build_postings_and_conjunctive(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.invindex import build_postings, conjunctive_search
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spark window spark",   # repeats must not inflate df
+                "window table",
+                "spark table window",
+                "table",
+            ],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    post = build_postings(ds).to_pandas().set_index("token")
+    assert post.loc["spark", "df"] == 2
+    assert sorted(post.loc["spark", "doc_ids"]) == [0, 2]
+    assert post.loc["window", "df"] == 3
+    assert not post["truncated"].any()
+
+    # cap: df stays true, list truncates, flag set
+    capped = build_postings(ds, max_postings=1).to_pandas().set_index("token")
+    assert capped.loc["window", "df"] == 3
+    assert len(capped.loc["window", "doc_ids"]) == 1
+    assert bool(capped.loc["window", "truncated"])
+
+    hits = conjunctive_search(ds, ["spark", "window"]).to_pandas()
+    assert sorted(hits["doc_id"]) == [0, 2]

@@ -20,6 +20,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     decontam,
     dedup,
     exchange,
+    invindex,
     joins,
     multimodal,
     packing,
@@ -39,6 +40,7 @@ __all__ = [
     "decontam",
     "dedup",
     "exchange",
+    "invindex",
     "joins",
     "multimodal",
     "packing",

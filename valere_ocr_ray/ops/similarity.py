@@ -191,3 +191,99 @@ class IvfIndexOnDisk:
             return pd.DataFrame({"query_id": [], self.id_col: [], "cosine": []})
         sub = ray.data.read_parquet(files, columns=[self.id_col, self.vec_col])
         return knn_brute_force(sub, q, k, id_col=self.id_col, vec_col=self.vec_col)
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means (iterative algorithm over the full Dataset)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 16,
+):
+    """Full-corpus Lloyd k-means, the iterative-algorithm pattern on
+    Ray Data: each round broadcasts the k×d centroid matrix once
+    (``ray.put``), assignment + per-cluster partial sums run as ONE
+    vectorized ``map_batches`` pass (numpy distance matmul +
+    ``np.add.at`` scatter), and the k-row partials tree-combine — the
+    driver only ever holds k×(d+2) floats.  The corpus is re-read per
+    iteration rather than materialized (at 100 TB the re-read streams;
+    pinning it in the object store would not fit).
+
+    Deterministic init: the k rows with the smallest ``id_col``.
+    Empty clusters keep their previous centroid.  Returns
+    ``(centroids ndarray (k,d), stats DataFrame (cluster, n,
+    inertia))``: stats reflect the LAST assignment pass, and the
+    returned centroids are the post-update means of that assignment."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    seed_rows = (
+        ds.filter(lambda r: r[id_col] < k)
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need ids 0..{k-1} present for deterministic init")
+    centroids = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+    d = centroids.shape[1]
+    scols = [f"s{j}" for j in range(d)]
+
+    stats = None
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            cols = {
+                "cluster": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "inertia": pd.Series([], dtype="float64"),
+            }
+            cols.update(
+                {s: pd.Series([], dtype="float64") for s in scols}
+            )
+            if not len(df):
+                return pd.DataFrame(cols)
+            mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            # squared euclidean via the matmul identity (no (n,k,d) blowup)
+            d2 = (
+                (mat * mat).sum(1, keepdims=True)
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            kk = c.shape[0]
+            sums = np.zeros((kk, mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, mat)
+            n = np.bincount(a, minlength=kk).astype("int64")
+            inertia = np.zeros(kk, dtype=np.float64)
+            np.add.at(inertia, a, np.maximum(d2[np.arange(len(a)), a], 0.0))
+            out = pd.DataFrame(
+                {"cluster": np.arange(kk, dtype="int64"), "n": n, "inertia": inertia}
+            )
+            for j, s in enumerate(scols):
+                out[s] = sums[:, j]
+            return out[n > 0]
+
+        agg = tree_keyed_sum(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["cluster"],
+            ["n", "inertia"] + scols,
+        ).to_pandas()
+        agg = agg.sort_values("cluster").reset_index(drop=True)
+        new_c = centroids.copy()
+        for r in agg.itertuples():
+            if r.n > 0:
+                new_c[int(r.cluster)] = (
+                    np.array([getattr(r, s) for s in scols]) / float(r.n)
+                )
+        stats = agg[["cluster", "n", "inertia"]]
+        centroids = new_c
+
+    return centroids, stats

@@ -1156,6 +1156,79 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def doc_mix_sample(sf_dir: str):
+    """Domain-mixture downsampling audit (the DoReMi/Pile-style mixing
+    step): per-source deterministic keep rates — src0 keep-all, src1
+    1/2, src2 1/4, everything else 1/8 — decided by the doc's md5 hex
+    prefix (reproducible, partition-invariant, no shuffle), then one
+    tree-combined per-source audit of total vs kept docs/chars."""
+    import hashlib
+
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    )
+    # powers-of-two rates become single-hex-char thresholds: 1/2 ->
+    # '0'..'7', 1/4 -> '0'..'3', 1/8 -> '0'..'1' (lexicographic on hex)
+    cutoff = {"src0": "f", "src1": "7", "src2": "3"}
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()[0]
+        )
+        cut = df["source"].map(cutoff).fillna("1")
+        keep = (first <= cut).to_numpy()
+        chars = df["n_chars"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_total": np.ones(len(df), dtype="int64"),
+                "n_kept": keep.astype("int64"),
+                "kept_chars": (keep * chars).astype("int64"),
+            }
+        )
+
+    pre = ds.map_batches(audit, batch_format="pandas")
+    return tree_keyed_sum(pre, ["source"], ["n_total", "n_kept", "kept_chars"])
+
+
+def doc_token_df(sf_dir: str):
+    """Inverted-index document frequency (``ops/invindex``): distinct
+    (token, doc) pairs per batch — within-doc repeats never reach the
+    wire — then one keyed exchange and a vectorized count."""
+    from valere_ocr_ray.ops.invindex import doc_frequency
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return doc_frequency(docs)
+
+
+def doc_conjunctive_search(sf_dir: str):
+    """Conjunctive whole-token search: docs containing BOTH 'spark'
+    and 'window' — vectorized padded-contains scan (each doc is one
+    row, so AND needs no exchange; ``ops/invindex.build_postings``
+    serves the prebuilt-index path)."""
+    from valere_ocr_ray.ops.invindex import conjunctive_search
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return conjunctive_search(docs, ["spark", "window"])
+
+
+def emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (``ops/similarity.kmeans_fit``): k=10,
+    5 rounds of broadcast-centroids → vectorized assign+partial-sums →
+    k-row tree combine.  Iterative, so no SQL oracle (rows-only check);
+    determinism is unit-tested against a local numpy reference.
+    Output: per-cluster size + floor-scaled inertia."""
+    from valere_ocr_ray.ops.similarity import kmeans_fit
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    _, stats = kmeans_fit(emb, 10, iters=5)
+    stats = stats.copy()
+    stats["inertia_c"] = np.floor(stats["inertia"] * 100).astype("int64")
+    return stats[["cluster", "n", "inertia_c"]]
+
+
 def doc_pack_sequences(sf_dir: str):
     """Training-sequence packing audit (``ops/packing``): docs hashed
     into 8 shards, concat-and-chunk into 256-token sequences within

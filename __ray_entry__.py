@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_segment_dedup": q.doc_segment_dedup,
         "doc_pack_sequences": q.doc_pack_sequences,
         "doc_mix_sample": q.doc_mix_sample,
+        "orders_q3_topk": q.orders_q3_topk,
+        "events_props_extract": q.events_props_extract,
+        "doc_weighted_sample": q.doc_weighted_sample,
+        "doc_source_token_entropy": q.doc_source_token_entropy,
         "doc_token_df": q.doc_token_df,
         "doc_conjunctive_search": q.doc_conjunctive_search,
         "emb_kmeans": q.emb_kmeans,
@@ -449,6 +453,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
             "AS kept_tokens FROM marked GROUP BY doc_id"
+        ),
+        "orders_q3_topk": (
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS rev_c "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY rev_c DESC, l_orderkey LIMIT 10"
+        ),
+        "events_props_extract": (
+            "SELECT event_type, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL "
+            "GROUP BY event_type"
+        ),
+        "doc_weighted_sample": (
+            "WITH p AS (SELECT doc_id, n_chars, "
+            "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) + 1.0) / 4294967296.0) / n_chars AS pri "
+            "FROM documents WHERE n_chars > 0) "
+            "SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 20"
+        ),
+        "doc_source_token_entropy": (
+            "WITH c AS (SELECT source, token, count(*) AS cnt FROM "
+            "(SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) GROUP BY source, token) "
+            "SELECT source, CAST(floor(sum(-(CAST(cnt AS DOUBLE) / tot) * "
+            "ln(CAST(cnt AS DOUBLE) / tot)) * 10000) AS BIGINT) AS entropy_e4 "
+            "FROM (SELECT source, token, cnt, "
+            "CAST(sum(cnt) OVER (PARTITION BY source) AS DOUBLE) AS tot FROM c) "
+            "GROUP BY source"
         ),
         "doc_mix_sample": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_total, "

@@ -1156,6 +1156,184 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def orders_q3_topk(sf_dir: str):
+    """TPC-H Q3 analog — the 3-table chain: BUILDING-segment customers
+    semi-join orders (date-pruned at the read), hash-join lineitem
+    (both sides exchanged — no corpus-scaling broadcast), exact keyed
+    sum of cent-scaled revenue, then top-10 via tree combine (no
+    all-to-all sort).  Every stage prunes columns at the scan."""
+    from valere_ocr_ray.ops.combine import tree_topk
+    from valere_ocr_ray.ops.exchange import grouped_sum
+    from valere_ocr_ray.ops.joins import hash_join, semi_join
+
+    D = pd.Timestamp("1998-01-01")
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda df: df.loc[
+            df["o_orderdate"] < D, ["o_orderkey", "o_custkey", "o_orderdate"]
+        ].assign(
+            o_date_us=lambda x: x["o_orderdate"].astype("int64")
+        )[["o_orderkey", "o_custkey", "o_date_us"]],
+        batch_format="pandas",
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "rev_c": np.floor(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+                ).astype("int64"),
+            }
+        )[df["l_shipdate"].to_numpy() > np.datetime64(D)],
+        batch_format="pandas",
+    )
+
+    qual = semi_join(orders, cust, "o_custkey", "c_custkey").select_columns(
+        ["o_orderkey", "o_date_us"]
+    )
+    j = hash_join(li, qual, "l_orderkey", "o_orderkey")
+    agg = grouped_sum(j, ["l_orderkey", "o_date_us"], ["rev_c"])
+    top = tree_topk(agg, ["rev_c", "l_orderkey"], [False, True], 10)
+    return top.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "o_orderdate": pd.to_datetime(df["o_date_us"]),
+                "rev_c": df["rev_c"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` column with ONE vectorized regex (compiled once,
+    C-speed ``Series.str.extract``) — never a per-row ``json.loads`` —
+    then a small keyed sum per event type."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def pull(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        ok = k.notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy()[ok],
+                "sum_k": k.to_numpy()[ok].astype("int64"),
+                "n": np.ones(int(ok.sum()), dtype="int64"),
+            }
+        )
+
+    return tree_keyed_sum(
+        ev.map_batches(pull, batch_format="pandas"), ["event_type"], ["sum_k", "n"]
+    )
+
+
+def doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling (Efraimidis–Spirakis, log form):
+    priority = ln(u)/w with u ~ md5(doc_id) and w = n_chars, global
+    top-20 by priority via per-block partial top-k + tree combine — a
+    reproducible, shuffle-free weighted sample (chars-heavy docs more
+    likely).  The md5-derived u makes the draw partition-invariant and
+    oracle-reproducible."""
+    import hashlib
+
+    from valere_ocr_ray.ops.combine import tree_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def pri(df: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            df["doc_id"]
+            .map(lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16))
+            .to_numpy(dtype="float64")
+            + 1.0
+        ) / 4294967296.0
+        w = df["n_chars"].to_numpy(dtype="float64")
+        ok = w > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[ok],
+                "n_chars": df["n_chars"].to_numpy()[ok],
+                "pri": np.log(u[ok]) / w[ok],
+            }
+        )
+
+    top = tree_topk(
+        ds.map_batches(pri, batch_format="pandas"),
+        ["pri", "doc_id"],
+        [False, True],
+        20,
+    )
+    return top.select_columns(["doc_id", "n_chars"])
+
+
+def doc_source_token_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the token distribution (corpus
+    diversity audit): per-batch (source, token) partial counts →
+    keyed-exchange exact counts → per-source vectorized ``-Σ p ln p``.
+    Emitted floor-scaled at 1e-4 so the two sides' (order-dependent,
+    ~1e-15) float summation drift cannot flip the hash."""
+    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"source": df["source"].to_numpy()})
+        e["token"] = df["text"].str.split(" ").to_numpy()
+        e = e.explode("token")
+        out = (
+            e.groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    exact = grouped_sum(
+        docs.map_batches(counts, batch_format="pandas"),
+        ["source", "token"],
+        ["cnt"],
+    )
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "entropy_e4": pd.Series([], dtype="int64"),
+                }
+            )
+        c = g["cnt"].to_numpy(dtype="float64")
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "entropy_e4": [np.int64(math.floor(h * 10000))],
+            }
+        )
+
+    return grouped_map(exact, ["source"], entropy)
+
+
 def doc_mix_sample(sf_dir: str):
     """Domain-mixture downsampling audit (the DoReMi/Pile-style mixing
     step): per-source deterministic keep rates — src0 keep-all, src1

@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": q.doc_pack_sequences,
         "doc_mix_sample": q.doc_mix_sample,
         "orders_q3_topk": q.orders_q3_topk,
+        "events_funnel": q.events_funnel,
+        "doc_unigram_logprob": q.doc_unigram_logprob,
+        "emb_norm_by_label": q.emb_norm_by_label,
+        "events_user_first3": q.events_user_first3,
         "events_props_extract": q.events_props_extract,
         "doc_weighted_sample": q.doc_weighted_sample,
         "doc_source_token_entropy": q.doc_source_token_entropy,
@@ -453,6 +457,50 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
             "AS kept_tokens FROM marked GROUP BY doc_id"
+        ),
+        "events_funnel": (
+            "WITH u AS (SELECT user_id, "
+            "min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s "
+            "FROM events GROUP BY user_id), "
+            "c AS (SELECT u.user_id, u.t_s, "
+            "min(CASE WHEN e.event_type = 'click' AND e.ts > u.t_s "
+            "THEN e.ts END) AS t_c "
+            "FROM u LEFT JOIN events e USING (user_id) "
+            "GROUP BY u.user_id, u.t_s), "
+            "p AS (SELECT c.user_id, c.t_s, c.t_c, "
+            "max(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_c "
+            "THEN 1 ELSE 0 END) AS has_p "
+            "FROM c LEFT JOIN events e USING (user_id) "
+            "GROUP BY c.user_id, c.t_s, c.t_c) "
+            "SELECT CAST(sum(CASE WHEN t_s IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_signup, "
+            "CAST(sum(CASE WHEN t_c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_click_after, "
+            "CAST(sum(CASE WHEN t_c IS NOT NULL AND has_p = 1 THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_purchase_after FROM p"
+        ),
+        "doc_unigram_logprob": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS token FROM documents), "
+            "v AS (SELECT token, CAST(count(*) AS DOUBLE) AS cnt "
+            "FROM tok GROUP BY token), "
+            "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v) "
+            "SELECT doc_id, CAST(floor((-sum(ln(v.cnt / tot.t)) / count(*)) "
+            "* 10000) AS BIGINT) AS nll_e4 "
+            "FROM tok JOIN v USING (token), tot GROUP BY doc_id"
+        ),
+        "emb_norm_by_label": (
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(sum(CAST(floor(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10000) AS BIGINT)) "
+            "AS BIGINT) AS normsq_e4, "
+            "CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label"
+        ),
+        "events_user_first3": (
+            "SELECT event_id, user_id, rn FROM ("
+            "SELECT event_id, user_id, CAST(row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn "
+            "FROM events) WHERE rn <= 3"
         ),
         "orders_q3_topk": (
             "SELECT l_orderkey, o_orderdate, "

@@ -105,6 +105,9 @@ def _run_benchmarks() -> dict:
         timed("doc_contamination", q.doc_contamination)
         timed("events_user_cumsum", q.events_user_cumsum)
         timed("events_type_distinct_users_kmv", q.events_type_distinct_users_kmv)
+        timed("doc_segment_dedup", q.doc_segment_dedup)
+        timed("orders_q3_topk", q.orders_q3_topk)
+        timed("doc_pack_sequences", q.doc_pack_sequences)
 
     ray.shutdown()
     return {

@@ -1156,6 +1156,153 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def events_funnel(sf_dir: str):
+    """Ordered funnel (signup → later click → later purchase): one
+    ``grouped_map`` exchange computes each user's first-occurrence
+    times per stage vectorized (in-group pandas min), then a 1-row
+    tree fold counts users completing each prefix of the funnel."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+
+    def firsts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "n_signup": pd.Series([], dtype="int64"),
+                    "n_click_after": pd.Series([], dtype="int64"),
+                    "n_purchase_after": pd.Series([], dtype="int64"),
+                }
+            )
+        m = g.groupby("event_type")["ts"].min()
+        t_s = m.get("signup", pd.NaT)
+        t_c = m.get("click", pd.NaT)
+        t_p = m.get("purchase", pd.NaT)
+        # first click AFTER signup, then first purchase after that click
+        if pd.isna(t_s):
+            s = c = p = 0
+        else:
+            s = 1
+            after_c = g.loc[
+                (g["event_type"] == "click") & (g["ts"] > t_s), "ts"
+            ]
+            t_c = after_c.min() if len(after_c) else pd.NaT
+            c = int(not pd.isna(t_c))
+            if c:
+                after_p = g.loc[
+                    (g["event_type"] == "purchase") & (g["ts"] > t_c), "ts"
+                ]
+                p = int(len(after_p) > 0)
+            else:
+                p = 0
+        return pd.DataFrame(
+            {
+                "n_signup": [np.int64(s)],
+                "n_click_after": [np.int64(c)],
+                "n_purchase_after": [np.int64(p)],
+            }
+        )
+
+    per_user = grouped_map(ev, ["user_id"], firsts)
+    totals = per_user.sum(["n_signup", "n_click_after", "n_purchase_after"])
+    return pd.DataFrame(
+        {
+            "n_signup": [np.int64(totals["sum(n_signup)"])],
+            "n_click_after": [np.int64(totals["sum(n_click_after)"])],
+            "n_purchase_after": [np.int64(totals["sum(n_purchase_after)"])],
+        }
+    )
+
+
+def doc_unigram_logprob(sf_dir: str):
+    """Unigram-LM quality score (the CCNet-style LM filter, unigram
+    flavor): corpus token counts via keyed exchange, the (small) vocab
+    logprob table broadcast once with ``ray.put``, then a vectorized
+    per-doc mean negative logprob.  Broadcast contract: vocabulary ≪
+    corpus (web-scale vocab ~10^7 entries ≈ 100 MB — fits; beyond
+    that, hash-partition the vocab and resolve scores on the
+    exchange).  Floor-scaled at 1e-4 against libm/order drift."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"token": df["text"].str.split(" ").to_numpy()})
+        e = e.explode("token")
+        out = e.groupby("token", sort=False).size().reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    vocab = grouped_sum(
+        docs.map_batches(counts, batch_format="pandas"), ["token"], ["cnt"]
+    ).to_pandas()
+    total = float(vocab["cnt"].sum())
+    logp = dict(
+        zip(vocab["token"], np.log(vocab["cnt"].to_numpy(dtype="float64") / total))
+    )
+    ref = ray.put(logp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lp = ray.get(ref)
+        e = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        e["token"] = df["text"].str.split(" ").to_numpy()
+        e = e.explode("token")
+        e["lp"] = e["token"].map(lp)
+        g = e.groupby("doc_id", sort=False)["lp"]
+        nll = -(g.sum() / g.size())
+        return pd.DataFrame(
+            {
+                "doc_id": nll.index.to_numpy().astype("int64"),
+                "nll_e4": np.floor(nll.to_numpy() * 10000).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def emb_norm_by_label(sf_dir: str):
+    """Vector-column numeric audit: per-label count + integer-scaled
+    sum of squared L2 norms — one vectorized numpy pass per batch over
+    the stacked embedding matrix, floor-scaled per ROW before the sum
+    so the keyed combine is exact integer math."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        sq = (mat * mat).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "label": df["label"].astype("int64"),
+                "normsq_e4": np.floor(sq * 10000).astype("int64"),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    return tree_keyed_sum(
+        emb.map_batches(pre, batch_format="pandas"), ["label"], ["normsq_e4", "n"]
+    )
+
+
+def events_user_first3(sf_dir: str):
+    """Per-key LIMIT — the first 3 events per user by (ts, event_id) —
+    via ``ops/combine.keyed_topn``: per-block partial top-3 bounds the
+    exchange to 3 rows/key/block, one vectorized final pass stamps the
+    rank."""
+    from valere_ocr_ray.ops.combine import keyed_topn
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
+    )
+    out = keyed_topn(
+        ev, ["user_id"], ["ts", "event_id"], [True, True], 3, rank_col="rn"
+    )
+    return out.select_columns(["event_id", "user_id", "rn"])
+
+
 def orders_q3_topk(sf_dir: str):
     """TPC-H Q3 analog — the 3-table chain: BUILDING-segment customers
     semi-join orders (date-pruned at the read), hash-join lineitem

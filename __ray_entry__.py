@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_sample": q.doc_mix_sample,
         "orders_q3_topk": q.orders_q3_topk,
         "events_funnel": q.events_funnel,
+        "doc_top_bigrams": q.doc_top_bigrams,
+        "events_cooccurrence": q.events_cooccurrence,
+        "events_user_day_first": q.events_user_day_first,
+        "events_value_hist": q.events_value_hist,
         "doc_unigram_logprob": q.doc_unigram_logprob,
         "emb_norm_by_label": q.emb_norm_by_label,
         "events_user_first3": q.events_user_first3,
@@ -457,6 +461,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
             "AS kept_tokens FROM marked GROUP BY doc_id"
+        ),
+        "doc_top_bigrams": (
+            "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), "
+            "b AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram FROM "
+            "(SELECT toks, unnest(range(1, len(toks))) AS i FROM t)) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM b "
+            "GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"
+        ),
+        "events_cooccurrence": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM ut a JOIN ut b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY type_a, type_b"
+        ),
+        "events_user_day_first": (
+            "WITH r AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+            "AS day, row_number() OVER (PARTITION BY user_id, "
+            "epoch_us(ts) // 86400000000 ORDER BY ts, event_id) AS rn "
+            "FROM events) "
+            "SELECT day, CAST(count(*) AS BIGINT) AS n_first "
+            "FROM r WHERE rn = 1 GROUP BY day"
+        ),
+        "events_value_hist": (
+            "SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin"
         ),
         "events_funnel": (
             "WITH u AS (SELECT user_id, "

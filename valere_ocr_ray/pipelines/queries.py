@@ -1156,6 +1156,132 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def doc_top_bigrams(sf_dir: str):
+    """Top-20 corpus bigrams (n-gram LM training counts): tokens
+    explode vectorized, the next-token shift happens inside each doc
+    (``groupby(level).shift``), per-batch partial counts, ONE keyed
+    exchange for exact totals, then tree top-k — raw bigram rows never
+    cross the wire un-aggregated."""
+    from valere_ocr_ray.ops.combine import tree_topk
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"token": df["text"].str.split(" ").to_numpy()})
+        e = e.explode("token")
+        e["nxt"] = e.groupby(level=0)["token"].shift(-1)
+        e = e[e["nxt"].notna()]
+        out = (
+            (e["token"] + " " + e["nxt"])
+            .value_counts()
+            .rename_axis("bigram")
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    exact = grouped_sum(
+        docs.map_batches(partial, batch_format="pandas"), ["bigram"], ["cnt"]
+    )
+    return tree_topk(exact, ["cnt", "bigram"], [False, True], 20)
+
+
+def events_cooccurrence(sf_dir: str):
+    """Co-occurrence mining (market-basket pairs): users performing
+    BOTH event types, per unordered type pair.  Distinct (user, type)
+    pairs reduce per batch, one exchange co-locates each user, pairs
+    enumerate in-group (≤ C(5,2) rows/user), exact pair counts via a
+    second tiny keyed sum."""
+    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    pairs_in = ev.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "type_a": pd.Series([], dtype="object"),
+                    "type_b": pd.Series([], dtype="object"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        ts = sorted(set(g["event_type"]))
+        rows = [(a, b) for i, a in enumerate(ts) for b in ts[i + 1 :]]
+        return pd.DataFrame(
+            {
+                "type_a": [r[0] for r in rows],
+                "type_b": [r[1] for r in rows],
+                "n_users": np.ones(len(rows), dtype="int64"),
+            }
+        )
+
+    per_user = grouped_map(pairs_in, ["user_id"], pairs)
+    return grouped_sum(per_user, ["type_a", "type_b"], ["n_users"])
+
+
+def events_user_day_first(sf_dir: str):
+    """Windowed keep-first dedup: ONE event per (user, calendar day) —
+    the session-start extraction — then daily counts.  One exchange
+    co-locates each user; the in-group keep-first is a vectorized sort
+    + ``duplicated`` mask; days are epoch-day ints end to end."""
+    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+    US_PER_DAY = 86_400_000_000
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "ts_us": df["ts"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def first_per_day(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="int64"),
+                    "n_first": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        day = (g["ts_us"].to_numpy() // US_PER_DAY).astype("int64")
+        keep = ~pd.Series(day).duplicated().to_numpy()
+        return pd.DataFrame(
+            {"day": day[keep], "n_first": np.ones(int(keep.sum()), dtype="int64")}
+        )
+
+    per_user = grouped_map(ev, ["user_id"], first_per_day)
+    return grouped_sum(per_user, ["day"], ["n_first"])
+
+
+def events_value_hist(sf_dir: str):
+    """Equal-width histogram of ``value`` (bin width 10): per-batch
+    partial bin counts, tiny tree combine — the fixed-size-output
+    profile op every ingest pipeline runs first."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["value"].to_numpy(dtype="float64") / 10.0).astype("int64")
+        out = pd.Series(b).value_counts().rename_axis("bin").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return tree_keyed_sum(
+        ev.map_batches(pre, batch_format="pandas"), ["bin"], ["n"]
+    )
+
+
 def events_funnel(sf_dir: str):
     """Ordered funnel (signup → later click → later purchase): one
     ``grouped_map`` exchange computes each user's first-occurrence

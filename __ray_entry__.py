@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_q3_topk": q.orders_q3_topk,
         "events_funnel": q.events_funnel,
         "doc_top_bigrams": q.doc_top_bigrams,
+        "doc_chars_percent_rank": q.doc_chars_percent_rank,
         "events_cooccurrence": q.events_cooccurrence,
         "events_user_day_first": q.events_user_day_first,
         "events_value_hist": q.events_value_hist,
@@ -461,6 +462,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
             "AS kept_tokens FROM marked GROUP BY doc_id"
+        ),
+        "doc_chars_percent_rank": (
+            "SELECT doc_id, CAST(floor(percent_rank() OVER "
+            "(ORDER BY n_chars) * 1000000) AS BIGINT) AS pr_e6 "
+            "FROM documents"
         ),
         "doc_top_bigrams": (
             "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), "

@@ -1241,3 +1241,69 @@ def test_build_postings_and_conjunctive(ray_session):
 
     hits = conjunctive_search(ds, ["spark", "window"]).to_pandas()
     assert sorted(hits["doc_id"]) == [0, 2]
+
+
+def test_incremental_state_matches_full_recompute(ray_session, tmp_path):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.incremental import (
+        read_state,
+        update_keyed_state,
+    )
+
+    rng = np.random.default_rng(3)
+    full = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 3000),
+            "v": rng.integers(0, 100, 3000).astype("int64"),
+        }
+    )
+    a, b = full.iloc[:2000], full.iloc[2000:]
+    state = str(tmp_path / "state")
+
+    s1 = update_keyed_state(state, rd.from_pandas(a).repartition(4), ["k"], ["v"])
+    assert s1["version"] == 1
+    s2 = update_keyed_state(state, rd.from_pandas(b).repartition(4), ["k"], ["v"])
+    assert s2["version"] == 2
+
+    got = read_state(state).to_pandas().sort_values("k").reset_index(drop=True)
+    want = full.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64", "v": "int64"}), want.astype({"k": "int64", "v": "int64"})
+    )
+
+    # a shard touching a subset of keys only rewrites its buckets
+    c = pd.DataFrame({"k": [0, 1], "v": [5, 7]})
+    s3 = update_keyed_state(state, rd.from_pandas(c), ["k"], ["v"])
+    assert s3["n_buckets_updated"] <= 2
+    got3 = read_state(state).to_pandas()
+    assert int(got3.loc[got3["k"] == 0, "v"].iloc[0]) == int(
+        want.loc[want["k"] == 0, "v"].iloc[0]
+    ) + 5
+
+    # schema mismatch is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        update_keyed_state(state, rd.from_pandas(c), ["k"], ["other"])
+
+
+def test_compact_parquet(ray_session, tmp_path):
+    import glob
+
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.incremental import compact_parquet
+
+    src = str(tmp_path / "many")
+    rd.from_pandas(
+        pd.DataFrame({"x": np.arange(5000, dtype="int64")})
+    ).repartition(40).write_parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) >= 20
+
+    out = str(tmp_path / "few")
+    s = compact_parquet(src, out, target_rows_per_file=2500)
+    assert s["n_rows"] == 5000
+    assert s["n_files_out"] < s["n_files_in"]
+    got = rd.read_parquet(out).to_pandas()
+    assert sorted(got["x"]) == list(range(5000))

@@ -20,6 +20,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     decontam,
     dedup,
     exchange,
+    incremental,
     invindex,
     joins,
     multimodal,
@@ -40,6 +41,7 @@ __all__ = [
     "decontam",
     "dedup",
     "exchange",
+    "incremental",
     "invindex",
     "joins",
     "multimodal",

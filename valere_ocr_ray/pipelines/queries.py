@@ -1156,6 +1156,50 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def doc_chars_percent_rank(sf_dir: str):
+    """Global rank transform WITHOUT a global sort: PERCENT_RANK() OVER
+    (ORDER BY n_chars) via the value-histogram trick — exact per-value
+    counts (one keyed exchange over the bounded value domain), the
+    sorted prefix-sum broadcast (distinct values ≪ rows), then a
+    vectorized per-doc lookup.  Ties share the rank of their group's
+    first row, exactly like SQL ``rank()``.  Floor-scaled at 1e-6."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    counts = grouped_sum(
+        docs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "n_chars": df["n_chars"].astype("int64"),
+                    "cnt": np.ones(len(df), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["n_chars"],
+        ["cnt"],
+    ).to_pandas()
+    counts = counts.sort_values("n_chars").reset_index(drop=True)
+    n_total = int(counts["cnt"].sum())
+    # rank of a value's FIRST row = 1 + #rows with smaller value
+    prefix = dict(
+        zip(
+            counts["n_chars"],
+            counts["cnt"].cumsum().shift(fill_value=0).astype("int64") + 1,
+        )
+    )
+    ref = ray.put((prefix, n_total))
+
+    def pr(df: pd.DataFrame) -> pd.DataFrame:
+        pfx, n = ray.get(ref)
+        rank = df["n_chars"].map(pfx).to_numpy(dtype="float64")
+        val = np.floor((rank - 1.0) / (n - 1.0) * 1000000.0).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "pr_e6": val})
+
+    return docs.map_batches(pr, batch_format="pandas")
+
+
 def doc_top_bigrams(sf_dir: str):
     """Top-20 corpus bigrams (n-gram LM training counts): tokens
     explode vectorized, the next-token shift happens inside each doc

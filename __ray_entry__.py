@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search + near-dup
         "emb_label_counts": q.emb_label_counts,
         "emb_knn_query0": q.emb_knn_query0,
+        "emb_knn_filtered": q.emb_knn_filtered,
         "emb_knn_brute": q.emb_knn_brute,
         "emb_knn_ivf": q.emb_knn_ivf,
         "emb_dup_pairs": q.emb_dup_pairs,
@@ -726,6 +727,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "emb_label_counts": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+        "emb_knn_filtered": (
+            "SELECT vec_id, CAST(floor(round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 9) * 1000) "
+            "AS BIGINT) AS sim_m FROM embeddings WHERE label = 3 "
+            "ORDER BY sim_m DESC, vec_id LIMIT 10"
+        ),
         "emb_knn_query0": (
             "SELECT vec_id, CAST(floor(round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 9) * 1000) AS BIGINT) AS sim_m "

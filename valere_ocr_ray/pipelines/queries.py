@@ -2413,6 +2413,46 @@ def emb_knn_query0(sf_dir: str):
     return tree_topk(scored, ["sim_m", "vec_id"], [False, True], 10)
 
 
+def emb_knn_filtered(sf_dir: str):
+    """Hybrid retrieval: top-10 by cosine vs vec_id=0 AMONG label=3
+    rows only — the metadata-filtered ANN query (filter pushed before
+    the similarity kernel, so the matmul touches only the candidate
+    set); same integer-scaled similarity + tree top-k as
+    ``emb_knn_query0``."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+    q_row = ds.filter(expr="vec_id == 0").take(1)[0]
+    qn = np.asarray(q_row["embedding"], dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    qref = ray.put(qn)
+
+    def sim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["label"] == 3]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "sim_m": pd.Series([], dtype="int64"),
+                }
+            )
+        qv = ray.get(qref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        s = mat @ qv
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "sim_m": np.floor(np.round(s, 9) * 1000).astype("int64"),
+            }
+        )
+
+    from valere_ocr_ray.ops.combine import tree_topk
+
+    scored = ds.map_batches(sim, batch_format="pandas")
+    return tree_topk(scored, ["sim_m", "vec_id"], [False, True], 10)
+
+
 def emb_knn_brute(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     head = ds.take(3)

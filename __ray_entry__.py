@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "doc_top_bigrams": q.doc_top_bigrams,
         "doc_chars_percent_rank": q.doc_chars_percent_rank,
+        "doc_corpus_checksum": q.doc_corpus_checksum,
+        "events_daily_distinct_users": q.events_daily_distinct_users,
+        "doc_lang_outliers": q.doc_lang_outliers,
         "events_cooccurrence": q.events_cooccurrence,
         "events_user_day_first": q.events_user_day_first,
         "events_value_hist": q.events_value_hist,
@@ -463,6 +466,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
             "CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) "
             "AS kept_tokens FROM marked GROUP BY doc_id"
+        ),
+        "doc_corpus_checksum": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+            "|| '|' || text), 1, 15)) AS BIGINT)) % 4611686018427387904 "
+            "AS BIGINT) AS checksum FROM documents"
+        ),
+        "events_daily_distinct_users": (
+            "SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY day"
+        ),
+        "doc_lang_outliers": (
+            "WITH f AS (SELECT lang, "
+            "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) "
+            "AS BIGINT) AS q1, "
+            "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) "
+            "AS BIGINT) AS q3 FROM documents GROUP BY lang) "
+            "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN 2 * d.n_chars < 2 * f.q1 - 3 * (f.q3 - f.q1) "
+            "OR 2 * d.n_chars > 2 * f.q3 + 3 * (f.q3 - f.q1) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM documents d JOIN f USING (lang) GROUP BY d.lang"
         ),
         "doc_chars_percent_rank": (
             "SELECT doc_id, CAST(floor(percent_rank() OVER "

@@ -1156,6 +1156,139 @@ def doc_shared_ngrams(sf_dir: str):
     return shared_ngram_spans(docs, n=8, min_docs=2)
 
 
+def doc_corpus_checksum(sf_dir: str):
+    """Order-invariant corpus fingerprint (replication / copy audit):
+    per-row md5-derived int64, summed mod 2^63 through the tree — two
+    corpora match iff (n_rows, checksum) match, regardless of
+    partitioning or row order.  One pass, no exchange."""
+    import hashlib
+
+    M = np.int64(2**62)  # stay clear of int64 overflow in partial sums
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        # python-int sum: 60-bit row hashes × batch rows overflows int64
+        s = (
+            sum(
+                int(
+                    hashlib.md5((str(i) + "|" + t).encode()).hexdigest()[:15],
+                    16,
+                )
+                for i, t in zip(df["doc_id"], df["text"])
+            )
+            % int(M)
+        )
+        return pd.DataFrame(
+            {"n_rows": [np.int64(len(df))], "checksum_partial": [np.int64(s)]}
+        )
+
+    parts = docs.map_batches(pre, batch_format="pandas").to_pandas()
+    total = sum(int(x) for x in parts["checksum_partial"]) % int(M)
+    return pd.DataFrame(
+        {
+            "n_rows": [np.int64(parts["n_rows"].sum())],
+            "checksum": [np.int64(total)],
+        }
+    )
+
+
+def events_daily_distinct_users(sf_dir: str):
+    """Distinct users per day, exactly: distinct (day, user) pairs
+    reduce per batch, ONE keyed exchange dedups globally, then a
+    vectorized count per day — COUNT(DISTINCT) without sorting the
+    event stream."""
+    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+    US_PER_DAY = 86_400_000_000
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    pairs = ev.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "day": (df["ts"].astype("int64") // US_PER_DAY).astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+            }
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="int64"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        u = g.drop_duplicates()
+        out = u.groupby("day").size().reset_index(name="n_users")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    # exchange on (day,user) would split a day across partitions; key
+    # on day so each day's pairs co-locate, then dedup+count in-group
+    per_day = grouped_map(pairs, ["day"], count)
+    return grouped_sum(per_day, ["day"], ["n_users"])
+
+
+def doc_lang_outliers(sf_dir: str):
+    """IQR outlier fence per language: exact per-group quartiles
+    (percentile_disc semantics on the co-located group), fences
+    broadcast, one vectorized flag pass — per-lang outlier counts."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "q1": pd.Series([], dtype="int64"),
+                    "q3": pd.Series([], dtype="int64"),
+                }
+            )
+        v = np.sort(g["n_chars"].to_numpy().astype("int64"))
+        # percentile_disc: smallest value with cume_dist >= p
+        def disc(p: float) -> int:
+            return int(v[min(int(math.ceil(p * len(v))) - 1, len(v) - 1)])
+
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "q1": [disc(0.25)], "q3": [disc(0.75)]}
+        )
+
+    q = grouped_map(docs, ["lang"], quartiles).to_pandas()
+    # integer fences (1.5×IQR scaled by 2 to stay integral: x is an
+    # outlier iff 2x < 2q1-3iqr or 2x > 2q3+3iqr)
+    fence = {
+        r.lang: (2 * r.q1 - 3 * (r.q3 - r.q1), 2 * r.q3 + 3 * (r.q3 - r.q1))
+        for r in q.itertuples()
+    }
+    ref = ray.put(fence)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(ref)
+        lo = df["lang"].map(lambda s: f[s][0]).to_numpy(dtype="int64")
+        hi = df["lang"].map(lambda s: f[s][1]).to_numpy(dtype="int64")
+        x2 = 2 * df["n_chars"].to_numpy(dtype="int64")
+        out = (x2 < lo) | (x2 > hi)
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "n_docs": np.ones(len(df), dtype="int64"),
+                "n_outliers": out.astype("int64"),
+            }
+        )
+
+    return tree_keyed_sum(
+        docs.map_batches(flag, batch_format="pandas"),
+        ["lang"],
+        ["n_docs", "n_outliers"],
+    )
+
+
 def doc_chars_percent_rank(sf_dir: str):
     """Global rank transform WITHOUT a global sort: PERCENT_RANK() OVER
     (ORDER BY n_chars) via the value-histogram trick — exact per-value

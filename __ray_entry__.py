@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": q.doc_contamination,
         "doc_shared_ngrams": q.doc_shared_ngrams,
         "doc_segment_dedup": q.doc_segment_dedup,
+        "doc_segment_rebuild": q.doc_segment_rebuild,
         "doc_pack_sequences": q.doc_pack_sequences,
         "doc_mix_sample": q.doc_mix_sample,
         "orders_q3_topk": q.orders_q3_topk,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_near_dup_pairs": q.pages_near_dup_pairs,
         "pages_url_tokens": q.pages_url_tokens,
         "pages_contacts": q.pages_contacts,
+        "pages_redact": q.pages_redact,
         "pages_dedup_corpus": q.pages_dedup_corpus,
         "media_features": q.media_features,
     }
@@ -624,6 +626,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents "
             "WHERE (' ' || text || ' ') LIKE '% spark %' "
             "AND (' ' || text || ' ') LIKE '% window %'"
+        ),
+        "doc_segment_rebuild": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "seg AS (SELECT doc_id, i AS seg_idx, "
+            "array_to_string(toks[i*10+1:i*10+10], ' ') AS seg "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i "
+            "FROM t)), "
+            "marked AS (SELECT doc_id, seg_idx, seg, row_number() OVER "
+            "(PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM seg) "
+            "SELECT doc_id, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(('0x' || substr(md5(COALESCE(string_agg(seg, ' ' "
+            "ORDER BY seg_idx) FILTER (WHERE rn = 1), '')), 1, 15)) AS BIGINT) "
+            "AS text_h FROM marked GROUP BY doc_id"
         ),
         "doc_pack_sequences": (
             "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "

@@ -1307,3 +1307,47 @@ def test_compact_parquet(ray_session, tmp_path):
     assert s["n_files_out"] < s["n_files_in"]
     got = rd.read_parquet(out).to_pandas()
     assert sorted(got["x"]) == list(range(5000))
+
+
+def test_segment_dedup_properties_random(ray_session):
+    """Property check on a randomized corpus: stats bookkeeping is
+    internally consistent and matches a single-process reference."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.segdedup import segment_dedup_stats
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype="int64"), "text": texts})
+    W = 4
+    got = (
+        segment_dedup_stats(rd.from_pandas(df).repartition(6), window=W)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # reference: global keep-first in (doc_id, seg_idx) order
+    seen: set = set()
+    ref = []
+    for i, t in zip(df["doc_id"], df["text"]):
+        toks = t.split(" ")
+        n_segs = n_kept = kept_tokens = 0
+        for s in range(0, len(toks), W):
+            seg = " ".join(toks[s : s + W])
+            n_segs += 1
+            if seg not in seen:
+                seen.add(seg)
+                n_kept += 1
+                kept_tokens += len(toks[s : s + W])
+        ref.append((int(i), n_segs, n_kept, kept_tokens))
+    ref_df = pd.DataFrame(
+        ref, columns=["doc_id", "n_segs", "n_kept", "kept_tokens"]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), ref_df.astype("int64")
+    )

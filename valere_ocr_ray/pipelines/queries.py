@@ -467,6 +467,41 @@ def pages_contacts(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def pages_redact(sf_dir: str):
+    """PII-redaction REWRITE over the extracted pages corpus: phone and
+    naive-name spans replaced with ``[PHONE]`` / ``[NAME]`` via ONE
+    vectorized ``str.replace`` each (module-compiled patterns), with a
+    per-doc replacement audit — the pre-training privacy-scrub step.
+    Consistency is self-auditing: counts come from the same patterns
+    ``pages_contacts`` (F10) detects with."""
+    from valere_ocr_ray.registry.extractors import (
+        GENERIC_NAME_PATTERN,
+        GENERIC_PHONE_PATTERN,
+    )
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir).filter(expr="status == 'ok'").select_columns(
+        ["url_hash", "extracted_text"]
+    )
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["extracted_text"].astype("str")
+        n_ph = text.str.count(GENERIC_PHONE_PATTERN).astype("int64")
+        red = text.str.replace(GENERIC_PHONE_PATTERN, "[PHONE]", regex=True)
+        n_nm = red.str.count(GENERIC_NAME_PATTERN).astype("int64")
+        red = red.str.replace(GENERIC_NAME_PATTERN, "[NAME]", regex=True)
+        return pd.DataFrame(
+            {
+                "url_hash": df["url_hash"].to_numpy(dtype=np.int64),
+                "redacted_text": red,
+                "n_phones_redacted": n_ph,
+                "n_names_redacted": n_nm,
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
 def doc_minhash_pairs(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return dedup.minhash_lsh_pairs(ds, threshold=0.35)
@@ -1233,33 +1268,32 @@ def events_daily_distinct_users(sf_dir: str):
 
 
 def doc_lang_outliers(sf_dir: str):
-    """IQR outlier fence per language: exact per-group quartiles
-    (percentile_disc semantics on the co-located group), fences
-    broadcast, one vectorized flag pass — per-lang outlier counts."""
+    """IQR outlier fence per language: exact per-group quartiles from
+    the (lang, n_chars) COUNT HISTOGRAM — same shape as
+    ``doc_length_p90_by_lang``, so no whole-language group ever
+    co-locates (at 100 TB one language is most of the corpus) — fences
+    broadcast, one vectorized flag pass, per-lang outlier counts."""
     from valere_ocr_ray.ops.combine import tree_keyed_sum
-    from valere_ocr_ray.ops.exchange import grouped_map
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
 
-    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "lang": pd.Series([], dtype="object"),
-                    "q1": pd.Series([], dtype="int64"),
-                    "q3": pd.Series([], dtype="int64"),
-                }
-            )
-        v = np.sort(g["n_chars"].to_numpy().astype("int64"))
-        # percentile_disc: smallest value with cume_dist >= p
-        def disc(p: float) -> int:
-            return int(v[min(int(math.ceil(p * len(v))) - 1, len(v) - 1)])
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
 
-        return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "q1": [disc(0.25)], "q3": [disc(0.75)]}
+    hist = tree_keyed_sum(
+        docs.map_batches(counts, batch_format="pandas"), ["lang", "n_chars"], ["n"]
+    ).to_pandas()
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        rows.append(
+            {
+                "lang": lang,
+                "q1": _percentile_disc(g, "n_chars", 0.25),
+                "q3": _percentile_disc(g, "n_chars", 0.75),
+            }
         )
-
-    q = grouped_map(docs, ["lang"], quartiles).to_pandas()
+    q = pd.DataFrame(rows)
     # integer fences (1.5×IQR scaled by 2 to stay integral: x is an
     # outlier iff 2x < 2q1-3iqr or 2x > 2q3+3iqr)
     fence = {
@@ -1855,6 +1889,34 @@ def emb_kmeans(sf_dir: str):
     stats = stats.copy()
     stats["inertia_c"] = np.floor(stats["inertia"] * 100).astype("int64")
     return stats[["cluster", "n", "inertia_c"]]
+
+
+def doc_segment_rebuild(sf_dir: str):
+    """The segment-dedup REWRITE itself, oracled byte-for-byte: rebuilt
+    clean text per doc (exact mode — survivors re-joined in original
+    order), emitted as (n_kept, md5-derived int of the clean text) so
+    the oracle verifies the actual output bytes, not just counts."""
+    import hashlib
+
+    from valere_ocr_ray.ops.segdedup import segment_dedup_rebuild
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    reb = segment_dedup_rebuild(docs, window=10)
+
+    def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in df["clean_text"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_kept": df["n_kept"].astype("int64"),
+                "text_h": pd.Series(h, dtype="int64"),
+            }
+        )
+
+    return reb.map_batches(fingerprint, batch_format="pandas")
 
 
 def doc_pack_sequences(sf_dir: str):

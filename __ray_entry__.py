@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_sample": q.doc_mix_sample,
         "orders_q3_topk": q.orders_q3_topk,
         "events_funnel": q.events_funnel,
+        "events_debounce": q.events_debounce,
+        "emb_quantize_recall": q.emb_quantize_recall,
         "doc_top_bigrams": q.doc_top_bigrams,
         "doc_chars_percent_rank": q.doc_chars_percent_rank,
         "doc_corpus_checksum": q.doc_corpus_checksum,
@@ -522,6 +524,13 @@ def oracle_sql() -> dict[str, str]:
         "events_value_hist": (
             "SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, "
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin"
+        ),
+        "events_debounce": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_bounced FROM ("
+            "SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap "
+            "FROM events) WHERE gap IS NOT NULL AND gap < 3600000000 "
+            "GROUP BY event_type"
         ),
         "events_funnel": (
             "WITH u AS (SELECT user_id, "

@@ -1351,3 +1351,15 @@ def test_segment_dedup_properties_random(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"), ref_df.astype("int64")
     )
+
+
+def test_emb_quantize_recall_reasonable(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from valere_ocr_ray.pipelines.queries import emb_quantize_recall
+
+    out = emb_quantize_recall("/root/testdata/sf0.001")
+    assert out["k"].iloc[0] == 10
+    # 64-dim int8 symmetric quantization preserves cosine order well
+    assert out["n_overlap"].iloc[0] >= 7

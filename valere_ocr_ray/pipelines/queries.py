@@ -1493,6 +1493,102 @@ def events_value_hist(sf_dir: str):
     )
 
 
+def events_debounce(sf_dir: str):
+    """Debounce audit (dedup-within-window): events repeating the same
+    (user, type) within 3600 s of the previous occurrence — LAG against
+    the prior event, exactly SQL's window semantics — counted per type.
+    One exchange co-locates each user; the in-group gap is a vectorized
+    ``groupby(type).diff``."""
+    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+    US_HOUR = 3_600_000_000
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "event_type": df["event_type"],
+                "ts_us": df["ts"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def bounces(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n_bounced": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["ts_us", "event_id"], kind="stable")
+        gap = g.groupby("event_type")["ts_us"].diff()
+        hit = g.loc[gap.notna() & (gap < US_HOUR), "event_type"]
+        out = hit.value_counts().rename_axis("event_type").reset_index(
+            name="n_bounced"
+        )
+        out["n_bounced"] = out["n_bounced"].astype("int64")
+        return out
+
+    per_user = grouped_map(ev, ["user_id"], bounces)
+    return grouped_sum(per_user, ["event_type"], ["n_bounced"])
+
+
+def emb_quantize_recall(sf_dir: str):
+    """int8 quantization fidelity audit: symmetric per-vector int8
+    quantization (scale = 127/max|x|), cosine top-10 vs vec_id=0 on the
+    DEQUANTIZED vectors, reported as overlap with the exact-float
+    top-10 — the compression/recall tradeoff table an embedding store
+    publishes.  Fully deterministic; rows-only by design (approximation
+    op, no SQL analog)."""
+    from valere_ocr_ray.ops.combine import tree_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_row = ds.filter(expr="vec_id == 0").take(1)[0]
+    qv = np.asarray(q_row["embedding"], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    qref = ray.put(qv)
+
+    def scored(quantize: bool):
+        def sim(df: pd.DataFrame) -> pd.DataFrame:
+            qq = ray.get(qref)
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            if quantize:
+                scale = 127.0 / np.maximum(
+                    np.abs(mat).max(axis=1, keepdims=True), 1e-12
+                )
+                mat = np.round(mat * scale) / scale  # int8 grid, dequantized
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            s = mat @ qq
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].astype("int64"),
+                    "sim_m": np.floor(np.round(s, 9) * 1000000).astype("int64"),
+                }
+            )
+
+        return tree_topk(
+            ds.map_batches(sim, batch_format="pandas"),
+            ["sim_m", "vec_id"],
+            [False, True],
+            10,
+        ).to_pandas()
+
+    exact = set(scored(False)["vec_id"])
+    quant = set(scored(True)["vec_id"])
+    overlap = len(exact & quant)
+    return pd.DataFrame(
+        {
+            "k": [np.int64(10)],
+            "n_overlap": [np.int64(overlap)],
+            "recall_e4": [np.int64(overlap * 10000 // 10)],
+        }
+    )
+
+
 def events_funnel(sf_dir: str):
     """Ordered funnel (signup → later click → later purchase): one
     ``grouped_map`` exchange computes each user's first-occurrence

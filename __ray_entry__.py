@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_debounce": q.events_debounce,
         "emb_quantize_recall": q.emb_quantize_recall,
+        "emb_linear_probe": q.emb_linear_probe,
         "doc_top_bigrams": q.doc_top_bigrams,
         "doc_chars_percent_rank": q.doc_chars_percent_rank,
         "doc_corpus_checksum": q.doc_corpus_checksum,

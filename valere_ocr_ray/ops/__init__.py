@@ -23,6 +23,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     incremental,
     invindex,
     joins,
+    linear,
     multimodal,
     packing,
     ranged,
@@ -44,6 +45,7 @@ __all__ = [
     "incremental",
     "invindex",
     "joins",
+    "linear",
     "multimodal",
     "packing",
     "ranged",

@@ -1537,6 +1537,27 @@ def events_debounce(sf_dir: str):
     return grouped_sum(per_user, ["event_type"], ["n_bounced"])
 
 
+def emb_linear_probe(sf_dir: str):
+    """Distributed linear-probe evaluation (``ops/linear``): 30 epochs
+    of full-batch softmax regression on the frozen embeddings, weights
+    broadcast per epoch, gradients tree-combined.  Output: final-epoch
+    loss/accuracy (floor-scaled; ~3.7× the 10-class baseline on this
+    corpus).  Iterative — rows-only check; convergence and
+    baseline-beating are unit-tested."""
+    from valere_ocr_ray.ops.linear import linear_probe_fit
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding", "label"])
+    _, hist = linear_probe_fit(emb, 10, epochs=30, lr=5.0)
+    last = hist.iloc[-1]
+    return pd.DataFrame(
+        {
+            "epochs": [np.int64(len(hist))],
+            "loss_e4": [np.int64(math.floor(last["loss"] * 10000))],
+            "acc_e4": [np.int64(math.floor(last["accuracy"] * 10000))],
+        }
+    )
+
+
 def emb_quantize_recall(sf_dir: str):
     """int8 quantization fidelity audit: symmetric per-vector int8
     quantization (scale = 127/max|x|), cosine top-10 vs vec_id=0 on the

@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_segment_rebuild": q.doc_segment_rebuild,
         "doc_pack_sequences": q.doc_pack_sequences,
         "doc_mix_sample": q.doc_mix_sample,
+        "source_token_jaccard": q.source_token_jaccard,
+        "orders_profile": q.orders_profile,
         "orders_q3_topk": q.orders_q3_topk,
         "events_funnel": q.events_funnel,
         "events_debounce": q.events_debounce,
@@ -613,6 +615,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT source, token, cnt, "
             "CAST(sum(cnt) OVER (PARTITION BY source) AS DOUBLE) AS tot FROM c) "
             "GROUP BY source"
+        ),
+        "source_token_jaccard": (
+            "WITH p AS (SELECT DISTINCT token, source FROM "
+            "(SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE source IN ('src0', 'src1'))), "
+            "f AS (SELECT token, "
+            "max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a, "
+            "max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b "
+            "FROM p GROUP BY token) "
+            "SELECT CAST(sum(a) AS BIGINT) AS n_a, "
+            "CAST(sum(b) AS BIGINT) AS n_b, "
+            "CAST(sum(a * b) AS BIGINT) AS n_common, "
+            "CAST((sum(a * b) * 1000000) // "
+            "(sum(a) + sum(b) - sum(a * b)) AS BIGINT) AS jacc_e6 FROM f"
+        ),
+        "orders_profile": (
+            "SELECT 'o_orderstatus' AS column, CAST(count(*) AS BIGINT) "
+            "AS n_rows, CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_null, "
+            "CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct "
+            "FROM orders UNION ALL "
+            "SELECT 'o_orderpriority', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), CAST(count(DISTINCT o_orderpriority) AS BIGINT) "
+            "FROM orders UNION ALL "
+            "SELECT 'o_custkey', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), CAST(count(DISTINCT CAST(o_custkey AS VARCHAR)) "
+            "AS BIGINT) FROM orders"
         ),
         "doc_mix_sample": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_total, "

@@ -1935,6 +1935,124 @@ def doc_source_token_entropy(sf_dir: str):
     return grouped_map(exact, ["source"], entropy)
 
 
+def source_token_jaccard(sf_dir: str):
+    """Cross-corpus vocabulary overlap: exact Jaccard between src0's
+    and src1's distinct token sets — distinct (token, source) pairs per
+    batch, ONE keyed exchange, vectorized presence flags, 1-row fold.
+    The corpus-pair similarity audit used when deciding whether two
+    sources are redundant."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["source"].isin(("src0", "src1"))]
+        e = pd.DataFrame({"source": df["source"].to_numpy()})
+        e["token"] = df["text"].str.split(" ").to_numpy()
+        return e.explode("token").drop_duplicates()[["token", "source"]]
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "in_a": pd.Series([], dtype="int64"),
+                    "in_b": pd.Series([], dtype="int64"),
+                    "in_both": pd.Series([], dtype="int64"),
+                }
+            )
+        s = set(g["source"])
+        a, b = int("src0" in s), int("src1" in s)
+        return pd.DataFrame(
+            {
+                "in_a": [np.int64(a)],
+                "in_b": [np.int64(b)],
+                "in_both": [np.int64(a & b)],
+            }
+        )
+
+    per_tok = grouped_map(
+        docs.map_batches(pairs, batch_format="pandas"), ["token"], flags
+    )
+    t = per_tok.sum(["in_a", "in_b", "in_both"])
+    n_a, n_b, n_c = (
+        int(t["sum(in_a)"]),
+        int(t["sum(in_b)"]),
+        int(t["sum(in_both)"]),
+    )
+    union = n_a + n_b - n_c
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(n_a)],
+            "n_b": [np.int64(n_b)],
+            "n_common": [np.int64(n_c)],
+            "jacc_e6": [np.int64(n_c * 1000000 // max(union, 1))],
+        }
+    )
+
+
+def orders_profile(sf_dir: str):
+    """Table profiling (the first thing any engine runs on a new
+    table): per-column null count + exact distinct count, all columns
+    in ONE pass — per-batch partials carry each column's distinct
+    values once (bounded by batch distincts), one keyed exchange per
+    profile, vectorized fold.  Column name is the group key, so the
+    whole profile is a single small grouped result."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in cols:
+            v = df[c]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "column": c,
+                        "val": v.dropna().astype(str).unique(),
+                        "n_rows": np.int64(0),
+                        "n_null": np.int64(0),
+                    }
+                )
+            )
+            # one meta row per (batch, column) carries row/null counts
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "column": [c],
+                        "val": ["\x00meta"],
+                        "n_rows": [np.int64(len(v))],
+                        "n_null": [np.int64(v.isna().sum())],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "column": pd.Series([], dtype="object"),
+                    "n_rows": pd.Series([], dtype="int64"),
+                    "n_null": pd.Series([], dtype="int64"),
+                    "n_distinct": pd.Series([], dtype="int64"),
+                }
+            )
+        meta = g["val"] == "\x00meta"
+        return pd.DataFrame(
+            {
+                "column": [g["column"].iloc[0]],
+                "n_rows": [np.int64(g.loc[meta, "n_rows"].sum())],
+                "n_null": [np.int64(g.loc[meta, "n_null"].sum())],
+                "n_distinct": [np.int64(g.loc[~meta, "val"].nunique())],
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    return grouped_map(pre, ["column"], fold)
+
+
 def doc_mix_sample(sf_dir: str):
     """Domain-mixture downsampling audit (the DoReMi/Pile-style mixing
     step): per-source deterministic keep rates — src0 keep-all, src1

@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_tokens": q.pages_url_tokens,
         "pages_contacts": q.pages_contacts,
         "pages_redact": q.pages_redact,
+        "pages_training_shards": q.pages_training_shards,
         "pages_dedup_corpus": q.pages_dedup_corpus,
         "media_features": q.media_features,
     }

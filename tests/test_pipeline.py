@@ -263,3 +263,46 @@ def test_dedup_corpus_pipeline(ray_session, pages_500, tmp_path):
     b = df2.sort_values("url").reset_index(drop=True)
     for col in ["url", "content_hash", "cluster_rep", "is_canonical"]:
         assert a[col].tolist() == b[col].tolist()
+
+
+def test_build_training_shards_end_to_end(ray_session, tmp_path):
+    """The composed curation pipeline: output is packed, deduplicated,
+    quality-filtered, and deterministic across reruns."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    synth_pages(pages, 600)
+
+    out1 = str(tmp_path / "shards1")
+    s1 = build_training_shards(pages, out1, budget=128, n_shards=4)
+    assert s1["n_docs_out"] > 0
+    assert s1["n_sequences"] > 0
+    assert s1["n_shards"] <= 4
+
+    df = rd.read_parquet(out1).to_pandas()
+    # packed invariant: within a shard, start offsets are the exclusive
+    # cumsum of token counts in url_hash order
+    for shard, g in df.groupby("shard"):
+        g = g.sort_values("url_hash")
+        expect = g["n_toks"].cumsum().shift(fill_value=0).astype("int64")
+        assert (g["start_off"].to_numpy() == expect.to_numpy()).all()
+        assert (g["seq_id"].to_numpy() == expect.to_numpy() // 128).all()
+    # dedup invariant: no duplicate clean_text survives
+    assert df["clean_text"].is_unique
+    # layout invariant: hive shard dirs
+    assert glob.glob(out1 + "/shard=*/*.parquet")
+
+    # determinism: a second run reproduces the identical output
+    out2 = str(tmp_path / "shards2")
+    s2 = build_training_shards(pages, out2, budget=128, n_shards=4)
+    assert s1 == s2
+    df2 = rd.read_parquet(out2).to_pandas()
+    a = df.sort_values(["url_hash"]).reset_index(drop=True)
+    b = df2.sort_values(["url_hash"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,174 @@
+"""The full training-data pipeline, composed end to end — the engine's
+reason to exist in one call:
+
+    extract (html/pdf → text, status-routed)
+    → quality filter          (Gopher-style keep/drop, in-batch)
+    → exact dedup             (keep-canonical ON the content-hash
+                               exchange — zero driver state)
+    → segment-rewrite dedup   (ops/segdedup exact mode: duplicated
+                               10-token windows removed, text rebuilt)
+    → sequence packing        (concat-and-chunk into token budgets,
+                               per hash shard, text co-located by the
+                               same exchange that packs it)
+    → sharded parquet         (shard=<s>/… — the training-reader
+                               layout; resumable by shard)
+
+Each arrow is a streaming Ray Data stage; the only barriers are the
+two keyed exchanges (content hash; shard), both wire-bounded.  No
+stage materializes the corpus on the driver.
+
+Reference parity: composes the reference's extract semantics
+(`IDD/finalcodes/*`) with the training-data suite the engine adds;
+the per-stage audit mirrors the reference's run summaries
+(`sparkocr2.py` counters).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from valere_ocr_ray.ops.exchange import grouped_map, hash_exchange
+from valere_ocr_ray.ops.segdedup import segment_dedup_rebuild
+from valere_ocr_ray.ops.textstats import quality_batch, repetition_batch
+from valere_ocr_ray.pipelines.extract import build_extraction_ds
+
+
+def build_training_shards(
+    pages_dir: str,
+    out_dir: str,
+    *,
+    window: int = 10,
+    budget: int = 512,
+    n_shards: int = 8,
+    num_partitions: int = 16,
+    min_tokens: int = 15,
+    min_alpha: int = 600,
+    max_top2_per_mil: int = 200,
+) -> dict:
+    """Run the whole curation flow; returns the audit summary
+    ``{n_docs_out, n_sequences, total_tokens, n_shards, mean_fill}``.
+    Output rows: ``(url_hash, clean_text, n_toks, shard, seq_id,
+    start_off)`` under ``out_dir/shard=<s>/``."""
+    extracted = build_extraction_ds(pages_dir)
+    ok = extracted.filter(expr="status == 'ok'").select_columns(
+        ["url_hash", "extracted_text"]
+    )
+
+    # 1. quality: verdict computed in-batch, rows filtered in place.
+    # Thresholds are PARAMETERS, tuned per corpus: extracted pages are
+    # KV-heavy (phones, dates, field labels), so the documents-table
+    # Gopher thresholds (alpha ≥ 800, stopwords ≥ 10/ktok) would drop
+    # ~100% here; the defaults keep prose-bearing pages and drop
+    # garbage/near-empty extractions.
+    def keep_quality(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        qual = quality_batch(
+            df[["url_hash", "extracted_text"]], "extracted_text"
+        )
+        rep = repetition_batch(
+            df[["url_hash", "extracted_text"]], "extracted_text", "url_hash"
+        )
+        keep = (
+            (rep["n_tokens"].to_numpy() >= min_tokens)
+            & (qual["alpha_ratio"].to_numpy() >= min_alpha)
+            & (rep["top2_per_mil"].to_numpy() <= max_top2_per_mil)
+        )
+        return df[keep]
+
+    clean = ok.map_batches(keep_quality, batch_format="pandas")
+
+    # 2. exact dedup: md5 per batch, keep-canonical on the exchange
+    import hashlib
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in df["extracted_text"]
+        ]
+        return df.assign(content_h=pd.Series(h, dtype="int64").to_numpy())
+
+    hashed = clean.map_batches(add_hash, batch_format="pandas")
+    ex = hash_exchange(hashed, ["content_h"], num_partitions)
+
+    def keep_canonical(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[["url_hash", "extracted_text"]]
+        is_min = (
+            df.groupby("content_h")["url_hash"].transform("min")
+            == df["url_hash"]
+        )
+        return df.loc[is_min, ["url_hash", "extracted_text"]]
+
+    uniq = ex.map_batches(
+        keep_canonical, batch_format="pandas", batch_size=None
+    )
+
+    # 3. segment-level rewrite (exact mode; fully-duplicated docs drop)
+    rebuilt = segment_dedup_rebuild(
+        uniq,
+        id_col="url_hash",
+        text_col="extracted_text",
+        window=window,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda df: df[df["clean_text"].str.len() > 0],
+        batch_format="pandas",
+    )
+
+    # 4. pack: shard by id hash, concat-and-chunk within the shard —
+    # the text rides the SAME exchange that computes its sequence slot
+    def to_shard(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["url_hash"].astype("int64")
+        return pd.DataFrame(
+            {
+                "url_hash": ids,
+                "clean_text": df["clean_text"],
+                "n_toks": df["clean_text"].str.split(" ").str.len().astype("int64"),
+                "shard": (ids % n_shards).astype("int64"),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url_hash", kind="mergesort")
+        start = g["n_toks"].cumsum().shift(fill_value=0).astype("int64")
+        return g.assign(
+            start_off=start.to_numpy(),
+            seq_id=(start.to_numpy() // budget).astype("int64"),
+        )
+
+    packed = grouped_map(
+        rebuilt.map_batches(to_shard, batch_format="pandas"),
+        ["shard"],
+        pack,
+        num_partitions=n_shards,
+    )
+    packed.write_parquet(out_dir, partition_cols=["shard"])
+
+    # audit from the durable output (no re-execution of the pipeline)
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(out_dir, partitioning="hive").to_table(
+        columns=["n_toks", "seq_id", "shard"]
+    )
+    df = tbl.to_pandas()
+    total_tokens = int(df["n_toks"].sum()) if len(df) else 0
+    # a shard's concatenated stream cuts into ceil(tokens/budget)
+    # sequences (docs straddle chunk boundaries — seq_id records only
+    # where each doc STARTS)
+    n_seqs = (
+        int(np.ceil(df.groupby("shard")["n_toks"].sum() / budget).sum())
+        if len(df)
+        else 0
+    )
+    return {
+        "n_docs_out": int(len(df)),
+        "n_sequences": n_seqs,
+        "total_tokens": total_tokens,
+        "n_shards": int(df["shard"].nunique()) if len(df) else 0,
+        "mean_fill": round(total_tokens / n_seqs, 2) if n_seqs else 0.0,
+    }

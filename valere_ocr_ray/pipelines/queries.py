@@ -467,6 +467,28 @@ def pages_contacts(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def pages_training_shards(sf_dir: str):
+    """The WHOLE curation pipeline composed (``pipelines/curate``):
+    extract → quality filter → exact dedup on the exchange →
+    segment-rewrite dedup → sequence packing → sharded parquet.
+    Returns the audit summary (rows-only: multi-stage composition)."""
+    import tempfile
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+
+    pages_dir = ensure_pages(sf_dir)
+    out = tempfile.mkdtemp(prefix="train_shards_")
+    s = build_training_shards(pages_dir, out, budget=512, n_shards=8)
+    return pd.DataFrame(
+        {
+            "n_docs_out": [np.int64(s["n_docs_out"])],
+            "n_sequences": [np.int64(s["n_sequences"])],
+            "total_tokens": [np.int64(s["total_tokens"])],
+            "n_shards": [np.int64(s["n_shards"])],
+        }
+    )
+
+
 def pages_redact(sf_dir: str):
     """PII-redaction REWRITE over the extracted pages corpus: phone and
     naive-name spans replaced with ``[PHONE]`` / ``[NAME]`` via ONE

@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_q3_topk": q.orders_q3_topk,
         "events_funnel": q.events_funnel,
         "events_debounce": q.events_debounce,
+        "events_customer_full_outer": q.events_customer_full_outer,
         "emb_quantize_recall": q.emb_quantize_recall,
         "emb_linear_probe": q.emb_linear_probe,
         "doc_top_bigrams": q.doc_top_bigrams,
@@ -528,6 +529,16 @@ def oracle_sql() -> dict[str, str]:
         "events_value_hist": (
             "SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, "
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin"
+        ),
+        "events_customer_full_outer": (
+            "WITH u AS (SELECT user_id FROM events GROUP BY user_id) "
+            "SELECT CAST(sum(CASE WHEN u.user_id IS NOT NULL AND "
+            "c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both, "
+            "CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_user_only, "
+            "CAST(sum(CASE WHEN u.user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_customer_only "
+            "FROM u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey"
         ),
         "events_debounce": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n_bounced FROM ("

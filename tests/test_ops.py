@@ -1397,3 +1397,24 @@ def test_linear_probe_learns(ray_session):
         delta = p.copy(); delta[np.arange(n), y] -= 1.0
         Wr = Wr - 2.0 * (delta.T @ xb) / n
     assert np.allclose(W, Wr, rtol=1e-8, atol=1e-10)
+
+
+def test_hash_join_full_outer(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.joins import hash_join
+
+    l = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    r = pd.DataFrame({"rk": [2, 3, 4, 4], "rv": [200, 300, 400, 401]})
+    out = hash_join(
+        rd.from_pandas(l).repartition(2),
+        rd.from_pandas(r).repartition(2),
+        "k",
+        "rk",
+        how="outer",
+    ).to_pandas()
+    want = l.merge(r, left_on="k", right_on="rk", how="outer")
+    assert len(out) == len(want) == 5
+    # unmatched sides carry NaN
+    assert out.loc[out["rk"].isna(), "lv"].tolist() == [10]
+    assert sorted(out.loc[out["k"].isna(), "rv"].tolist()) == [400, 401]

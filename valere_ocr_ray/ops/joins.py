@@ -60,16 +60,20 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """Equi-join (``how`` = 'inner' | 'left') with BOTH sides exchanged
-    (the two-large-sides path).  Column collisions resolve pandas-style
-    with ``_r`` suffixed on the right.  Left-outer rows carry NaN/NaT in
-    right columns — cast downstream if a stable dtype matters."""
-    if how not in ("inner", "left"):
+    """Equi-join (``how`` = 'inner' | 'left' | 'outer') with BOTH sides
+    exchanged (the two-large-sides path).  Column collisions resolve
+    pandas-style with ``_r`` suffixed on the right.  Outer rows carry
+    NaN/NaT in the absent side's columns — cast downstream if a stable
+    dtype matters.  Full-outer is correct on the exchange because every
+    key (from EITHER side) lands in exactly one partition pair."""
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"unsupported how={how!r}")
     right_key = right_key or left_key
 
     def fold(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        if not len(l) or (how == "inner" and not len(r)):
+        if (not len(l) and how != "outer") or (
+            how == "inner" and not len(r)
+        ):
             probe = l.merge(
                 r.iloc[0:0], left_on=left_key, right_on=right_key,
                 suffixes=("", "_r"),

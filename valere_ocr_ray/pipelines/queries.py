@@ -1632,6 +1632,53 @@ def emb_quantize_recall(sf_dir: str):
     )
 
 
+def events_customer_full_outer(sf_dir: str):
+    """FULL OUTER equi-join on the two-sided exchange
+    (``ops/joins.hash_join(how='outer')``) — correct distributed
+    because every key from EITHER side lands in exactly one partition
+    pair: event users vs the customer table, classified into
+    both / user-only / customer-only counts."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
+    from valere_ocr_ray.ops.joins import hash_join
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    users = grouped_sum(
+        ev.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype("int64"),
+                    "n_events": np.ones(len(df), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["user_id"],
+        ["n_events"],
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    j = hash_join(users, cust, "user_id", "c_custkey", how="outer")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].notna().to_numpy()
+        c = df["c_custkey"].notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "n_both": [np.int64((u & c).sum())],
+                "n_user_only": [np.int64((u & ~c).sum())],
+                "n_customer_only": [np.int64((~u & c).sum())],
+            }
+        )
+
+    parts = j.map_batches(classify, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_both": [np.int64(parts["n_both"].sum())],
+            "n_user_only": [np.int64(parts["n_user_only"].sum())],
+            "n_customer_only": [np.int64(parts["n_customer_only"].sum())],
+        }
+    )
+
+
 def events_funnel(sf_dir: str):
     """Ordered funnel (signup → later click → later purchase): one
     ``grouped_map`` exchange computes each user's first-occurrence

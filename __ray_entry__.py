@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_segment_rebuild": q.doc_segment_rebuild,
         "doc_pack_sequences": q.doc_pack_sequences,
         "doc_mix_sample": q.doc_mix_sample,
+        "doc_split_assign": q.doc_split_assign,
         "source_token_jaccard": q.source_token_jaccard,
         "orders_profile": q.orders_profile,
         "orders_q3_topk": q.orders_q3_topk,
@@ -656,6 +657,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
             "AS BIGINT), CAST(count(DISTINCT CAST(o_custkey AS VARCHAR)) "
             "AS BIGINT) FROM orders"
+        ),
+        "doc_split_assign": (
+            "SELECT source, CASE WHEN CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 245 "
+            "THEN 'train' WHEN CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 250 "
+            "THEN 'val' ELSE 'test' END AS split, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY source, split"
         ),
         "doc_mix_sample": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_total, "

@@ -2122,6 +2122,35 @@ def orders_profile(sf_dir: str):
     return grouped_map(pre, ["column"], fold)
 
 
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (96/2/2 by md5 hex prefix of
+    the doc id — reproducible, partition-invariant, no shuffle, and
+    stable under corpus growth: a doc's split never changes as data is
+    added), audited per (source, split)."""
+    import hashlib
+
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h2 = df["doc_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+        )
+        split = np.where(h2 < 245, "train", np.where(h2 < 250, "val", "test"))
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "split": split,
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    return tree_keyed_sum(
+        ds.map_batches(assign, batch_format="pandas"), ["source", "split"], ["n"]
+    )
+
+
 def doc_mix_sample(sf_dir: str):
     """Domain-mixture downsampling audit (the DoReMi/Pile-style mixing
     step): per-source deterministic keep rates — src0 keep-all, src1

@@ -1099,19 +1099,21 @@ def test_segment_dedup_planted(ray_session):
     pd.testing.assert_frame_equal(stats, stats_e)
 
     # rebuild: survivors re-joined in original order; fully-duplicated
-    # doc comes back empty, not dropped
-    reb = (
-        segment_dedup_rebuild(ds, window=10)
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    assert reb["clean_text"].tolist() == [
-        seg_a + " " + seg_b,
-        seg_c,
-        "",
-    ]
-    assert reb["n_kept"].tolist() == [2, 1, 0]
+    # doc comes back empty, not dropped — and the hash-wire and
+    # exact-wire paths agree byte-for-byte
+    for wire in ("hash", "exact"):
+        reb = (
+            segment_dedup_rebuild(ds, window=10, wire=wire)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert reb["clean_text"].tolist() == [
+            seg_a + " " + seg_b,
+            seg_c,
+            "",
+        ], wire
+        assert reb["n_kept"].tolist() == [2, 1, 0], wire
 
 
 def test_segment_dedup_short_tail(ray_session):

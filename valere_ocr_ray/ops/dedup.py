@@ -124,24 +124,26 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
 
 
 def _token_hashes64(toks: list[str]) -> np.ndarray:
-    """Genuinely 64-bit-entropy per-token hashes: two independent
-    crc32 streams (token bytes; token bytes + salt) packed into the
-    high/low words, then splitmix64-finalized.  Still C-speed crc32 —
-    no per-token md5 — but the base space is 2^64, as the KMV
-    estimator requires (ADVICE r1)."""
+    """Genuinely 64-bit-entropy per-token hashes: first 8 md5 digest
+    bytes (ADVICE r1).  NOT two crc32 lanes — CRC is linear over
+    GF(2), so ``crc32(m)`` and ``crc32(m || salt)`` are affinely
+    related within a length class: the pair carries only ~32 bits of
+    entropy, exactly the saturation the KMV estimator must avoid
+    (the flaw was caught when the same construction produced measurable
+    spurious collisions in ``ops/segdedup`` at 6.75M segments)."""
     if not toks:
         return np.zeros(0, dtype=np.uint64)
+    import hashlib
+
     n = len(toks)
-    lo = np.fromiter(
-        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=n
-    )
-    hi = np.fromiter(
-        (zlib.crc32(t.encode() + b"\x01kmv") for t in toks),
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in toks
+        ),
         dtype=np.uint64,
         count=n,
     )
-    with np.errstate(over="ignore"):
-        return _mix64((hi << np.uint64(32)) | lo)
 
 
 _SHINGLE_B = np.uint64(0x100000001B3)

@@ -2234,7 +2234,7 @@ def doc_segment_rebuild(sf_dir: str):
     from valere_ocr_ray.ops.segdedup import segment_dedup_rebuild
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    reb = segment_dedup_rebuild(docs, window=10)
+    reb = segment_dedup_rebuild(docs, window=10, wire="exact")
 
     def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
         h = [

@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_q3_topk": q.orders_q3_topk,
         "events_funnel": q.events_funnel,
         "events_debounce": q.events_debounce,
+        "events_type_markov": q.events_type_markov,
         "events_customer_full_outer": q.events_customer_full_outer,
         "emb_quantize_recall": q.emb_quantize_recall,
         "emb_linear_probe": q.emb_linear_probe,
@@ -540,6 +541,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN u.user_id IS NULL THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_customer_only "
             "FROM u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey"
+        ),
+        "events_type_markov": (
+            "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS from_type, event_type AS to_type "
+            "FROM events) WHERE from_type IS NOT NULL "
+            "GROUP BY from_type, to_type"
         ),
         "events_debounce": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n_bounced FROM ("

@@ -1515,6 +1515,42 @@ def events_value_hist(sf_dir: str):
     )
 
 
+def events_type_markov(sf_dir: str):
+    """Sequence mining: first-order transition counts between
+    consecutive event types within each user's time-ordered stream
+    (the Markov/bigram table session-model training starts from).  One
+    exchange co-locates each user; the in-group successor is a
+    vectorized shift; transition counts tree-combine."""
+    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype="object"),
+                    "to_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        t = g["event_type"].to_numpy()
+        out = (
+            pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_user = grouped_map(ev, ["user_id"], transitions)
+    return grouped_sum(per_user, ["from_type", "to_type"], ["n"])
+
+
 def events_debounce(sf_dir: str):
     """Debounce audit (dedup-within-window): events repeating the same
     (user, type) within 3600 s of the previous occurrence — LAG against

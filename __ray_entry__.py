@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_markov": q.events_type_markov,
         "events_customer_full_outer": q.events_customer_full_outer,
         "emb_quantize_recall": q.emb_quantize_recall,
+        "emb_pca_evr": q.emb_pca_evr,
+        "lineitem_monthly": q.lineitem_monthly,
         "emb_linear_probe": q.emb_linear_probe,
         "doc_top_bigrams": q.doc_top_bigrams,
         "doc_chars_percent_rank": q.doc_chars_percent_rank,
@@ -599,6 +601,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(row_number() OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn "
             "FROM events) WHERE rn <= 3"
+        ),
+        "lineitem_monthly": (
+            "SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) "
+            "AS BIGINT) AS ship_month, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS rev_c, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY ship_month"
         ),
         "orders_q3_topk": (
             "SELECT l_orderkey, o_orderdate, "

@@ -1420,3 +1420,20 @@ def test_hash_join_full_outer(ray_session):
     # unmatched sides carry NaN
     assert out.loc[out["rk"].isna(), "lv"].tolist() == [10]
     assert sorted(out.loc[out["k"].isna(), "rv"].tolist()) == [400, 401]
+
+
+def test_emb_pca_matches_numpy_cov(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pyarrow.parquet as pq
+
+    from valere_ocr_ray.pipelines.queries import emb_pca_evr
+
+    out = emb_pca_evr("/root/testdata/sf0.001")
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    cov = np.cov(mat, rowvar=False)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    want = np.floor(evals / evals.sum() * 1_000_000).astype("int64")[:8]
+    assert out["evr_e6"].tolist() == want.tolist()

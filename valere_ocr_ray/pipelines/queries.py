@@ -1616,6 +1616,52 @@ def emb_linear_probe(sf_dir: str):
     )
 
 
+def emb_pca_evr(sf_dir: str):
+    """Distributed PCA: per-batch partial moment matrices (sum of
+    outer products + sum vector + count, one numpy matmul each) fold
+    on the driver into the d×d covariance — driver state is O(d²),
+    never O(n) — then a local eigendecomposition.  Output: top-8
+    explained-variance ratios (floor-scaled).  Linear algebra, not
+    SQL — rows-only; correctness unit-tested against numpy.cov."""
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "xtx": pd.Series([], dtype="object"),
+                    "xsum": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "xtx": [
+                    (mat.T @ mat).ravel()
+                ],
+                "xsum": [mat.sum(axis=0)],
+                "n": [np.int64(len(mat))],
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    xtx = np.sum(np.stack(parts["xtx"].to_numpy()), axis=0)
+    xsum = np.sum(np.stack(parts["xsum"].to_numpy()), axis=0)
+    d = len(xsum)
+    cov = (xtx.reshape(d, d) - np.outer(xsum, xsum) / n) / (n - 1)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    evr = evals / evals.sum()
+    top = evr[:8]
+    return pd.DataFrame(
+        {
+            "component": np.arange(8, dtype="int64"),
+            "evr_e6": np.floor(top * 1_000_000).astype("int64"),
+        }
+    )
+
+
 def emb_quantize_recall(sf_dir: str):
     """int8 quantization fidelity audit: symmetric per-vector int8
     quantization (scale = 127/max|x|), cosine top-10 vs vec_id=0 on the
@@ -1860,6 +1906,37 @@ def events_user_first3(sf_dir: str):
         ev, ["user_id"], ["ts", "event_id"], [True, True], 3, rank_col="rn"
     )
     return out.select_columns(["event_id", "user_id", "rn"])
+
+
+def lineitem_monthly(sf_dir: str):
+    """Calendar-month rollup: ship month extracted vectorized
+    (year*100+month ints end to end), cent-scaled revenue, one
+    tree-combined keyed sum — the time-bucketed aggregate at a coarser
+    grain than ``events_hourly``."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df["l_shipdate"].dt
+        return pd.DataFrame(
+            {
+                "ship_month": (dt.year * 100 + dt.month).astype("int64"),
+                "rev_c": np.floor(
+                    df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+                ).astype("int64"),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    return tree_keyed_sum(
+        li.map_batches(pre, batch_format="pandas"),
+        ["ship_month"],
+        ["rev_c", "n"],
+    )
 
 
 def orders_q3_topk(sf_dir: str):

@@ -1437,3 +1437,72 @@ def test_emb_pca_matches_numpy_cov(ray_session):
     evals = np.linalg.eigvalsh(cov)[::-1]
     want = np.floor(evals / evals.sum() * 1_000_000).astype("int64")[:8]
     assert out["evr_e6"].tolist() == want.tolist()
+
+
+def test_wav_decode_roundtrip_and_feature():
+    from valere_ocr_ray.extract.wav_decode import (
+        WavFormatError,
+        audio_feature,
+        decode_wav,
+        encode_wav,
+        sniff_wav,
+    )
+
+    rate = 8000
+    t = np.arange(1600, dtype=np.float32) / rate
+    wave = 0.5 * np.sin(2 * np.pi * 220.0 * t)
+    payload = sniff = encode_wav(wave, rate)
+    assert sniff_wav(sniff)
+    out, r = decode_wav(payload)
+    assert r == rate and len(out) == 1600
+    # int16 truncation + the 32767-encode/32768-decode scale → ≤1e-4
+    assert np.allclose(out, wave, atol=1e-4)
+
+    f = audio_feature(out, r, 32)
+    assert f.shape == (32,)
+    assert abs(f[0] - 0.2) < 1e-6  # duration: 1600/8000 s
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 0.01  # sine rms
+
+    import pytest as _pytest
+
+    with _pytest.raises(WavFormatError):
+        decode_wav(b"RIFFxxxxWAVE" + b"\x00" * 8)
+
+
+def test_media_audio_real_decode(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.multimodal import (
+        extract_media_features,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(60)
+    out = extract_media_features(rd.from_arrow(tbl)).to_pandas()
+    audio = out[out["media_type"] == "audio"]
+    assert len(audio) > 0
+    assert (audio["status"] == "ok").all()
+    # real decode happened: sample counts and rates recorded
+    assert (audio["decoded_h"] == 8000).all()
+    assert (audio["decoded_w"] > 0).all()
+    # first feature dim is the true duration in seconds
+    for _, r in audio.head(5).iterrows():
+        assert abs(r["feature"][0] - r["decoded_w"] / 8000.0) < 1e-5
+
+
+def test_resize_images_stage(ray_session):
+    import ray.data as rd
+
+    from valere_ocr_ray.extract.image_decode import decode_image
+    from valere_ocr_ray.ops.multimodal import resize_images, synth_media_table
+
+    tbl = synth_media_table(40)
+    out = resize_images(rd.from_arrow(tbl), 16, 16).to_pandas()
+    assert len(out) == 40  # rows never dropped
+    imgs = out[out["status"] == "ok"]
+    assert len(imgs) > 0
+    for _, r in imgs.head(5).iterrows():
+        px = decode_image(bytes(r["payload"]))
+        assert px.shape == (16, 16, 3)
+    others = out[out["status"] != "ok"]
+    assert (others["status"] == "skipped_no_decoder").all()

@@ -3,9 +3,12 @@
 IMAGE payloads have a REAL decode path: BMP (24-bit BI_RGB) and PPM
 (P6) are decoded to pixel arrays with stdlib struct + numpy
 (``extract/image_decode.py``), and the feature is a genuine luminance
-histogram + decoded-geometry vector.  Formats needing PIL/ffmpeg-class
-libraries (which don't ship in this container) still route through
-``_decode_stub`` — audio/video and non-BMP/PPM images — but everything
+histogram + decoded-geometry vector.  AUDIO payloads likewise: RIFF
+PCM16 WAV parses with stdlib struct + numpy
+(``extract/wav_decode.py``) into a waveform envelope feature.  Formats
+needing PIL/ffmpeg-class libraries (which don't ship in this
+container) still route through ``_decode_stub`` — video, compressed
+codecs, non-BMP/PPM images — but everything
 Ray-side is real and tested either way: schemas, actor-pool
 signatures, batch sizing for large binary rows, status routing, output
 layout.  Swap ``_decode_stub`` for a real decoder and nothing else
@@ -75,6 +78,12 @@ class MediaFeatureExtractor:
             sniff_image_format,
         )
 
+        from valere_ocr_ray.extract.wav_decode import (
+            audio_feature,
+            decode_wav,
+            sniff_wav,
+        )
+
         payloads = batch["payload"]
         types = batch["media_type"].to_pylist()
         feats: list[list[float] | None] = []
@@ -91,18 +100,31 @@ class MediaFeatureExtractor:
                     dec_h.append(pixels.shape[0])
                     dec_w.append(pixels.shape[1])
                     status.append("ok")
+                elif mt == "audio" and sniff_wav(buf):
+                    # REAL audio path: RIFF/PCM16 parse → waveform feature
+                    samples, rate = decode_wav(buf)
+                    feats.append(
+                        audio_feature(samples, rate, self.feature_dim).tolist()
+                    )
+                    dec_w.append(len(samples))  # decoded sample count
+                    dec_h.append(rate)
+                    status.append("ok")
                 else:
                     feats.append(_decode_stub(buf, mt).tolist())
                     dec_w.append(0)
                     dec_h.append(0)
                     status.append("ok")
             except NotImplementedError:
-                feats.append(None)
+                # length-0 feature, not null: Ray's pandas TensorArray
+                # cast rejects nulls in an otherwise fixed-length list
+                # column; an empty list keeps the Arrow schema AND
+                # degrades to a ragged (object) pandas column
+                feats.append([])
                 dec_w.append(0)
                 dec_h.append(0)
                 status.append("error_no_decoder")
             except Exception:  # incl. ImageFormatError: corrupt payloads
-                feats.append(None)
+                feats.append([])
                 dec_w.append(0)
                 dec_h.append(0)
                 status.append("error_decode")
@@ -142,9 +164,10 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media corpus for plumbing tests.
 
     Image rows carry REAL encoded payloads (alternating BMP / PPM with
-    a seeded gradient+noise pattern) so the decode path exercises
-    genuine header parse + pixel reads; audio/video payloads stay
-    opaque bytes for the stub path."""
+    a seeded gradient+noise pattern) and audio rows REAL RIFF/PCM16 WAV
+    (seeded sine + noise), so both decode paths exercise genuine header
+    parse + sample reads; video payloads stay opaque bytes for the
+    stub path."""
     from valere_ocr_ray.extract.image_decode import encode_bmp
 
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -162,6 +185,20 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
                 payload = b"P6\n# synth\n%d %d\n255\n" % (w, h) + px.tobytes()
             else:
                 payload = encode_bmp(px)
+        elif mt == "audio":
+            # REAL WAV payloads: seeded sine + noise through encode_wav
+            from valere_ocr_ray.extract.wav_decode import encode_wav
+
+            rng = np.random.default_rng(int.from_bytes(d[:4], "little"))
+            rate = 8000
+            n_s = 400 + (i * 97) % 2000
+            t = np.arange(n_s, dtype=np.float32) / rate
+            freq = 110.0 * (1 + i % 8)
+            wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
+                n_s
+            ).astype(np.float32)
+            payload = encode_wav(wave, rate)
+            w = h = 0
         else:
             w = h = 0
             payload = (d * (8 + i % 23))[: 64 + (i * 37) % 512]
@@ -173,3 +210,46 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         rows["height"].append(h)
         rows["duration_ms"].append(0 if mt == "image" else 1000 + (i * 131) % 60000)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def resize_images(
+    ds: ray.data.Dataset, out_h: int = 16, out_w: int = 16, *, batch_size: int = 32
+) -> ray.data.Dataset:
+    """Image resize as a batch stage: decodable payloads re-emit as
+    ``out_h×out_w`` BMP (real nearest-neighbor kernel); everything else
+    keeps its payload with ``status='skipped_no_decoder'`` — rows are
+    never dropped (same routing contract as the extract pipeline)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        from valere_ocr_ray.extract.image_decode import (
+            decode_image,
+            encode_bmp,
+            resize_nearest,
+            sniff_image_format,
+        )
+
+        payloads = batch["payload"]
+        types = batch["media_type"].to_pylist()
+        out_payloads: list[bytes] = []
+        status: list[str] = []
+        for i, mt in enumerate(types):
+            buf = payloads[i].as_buffer().to_pybytes()
+            try:
+                if mt == "image" and sniff_image_format(buf) is not None:
+                    px = decode_image(buf)
+                    out_payloads.append(
+                        encode_bmp(resize_nearest(px, out_h, out_w))
+                    )
+                    status.append("ok")
+                else:
+                    out_payloads.append(buf)
+                    status.append("skipped_no_decoder")
+            except Exception:
+                out_payloads.append(buf)
+                status.append("error_decode")
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "payload", pa.array(out_payloads, pa.binary())
+        ).append_column("status", pa.array(status, pa.string()))
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=batch_size)

@@ -1506,3 +1506,35 @@ def test_resize_images_stage(ray_session):
         assert px.shape == (16, 16, 3)
     others = out[out["status"] != "ok"]
     assert (others["status"] == "skipped_no_decoder").all()
+
+
+def test_hash_join_randomized_vs_pandas(ray_session):
+    """All join modes equal pandas merge on randomized keyed frames
+    (dup keys on both sides, unmatched keys on both sides)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    l = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 300),
+            "lv": rng.integers(0, 1000, 300).astype("int64"),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "rk": rng.integers(20, 60, 200),
+            "rv": rng.integers(0, 1000, 200).astype("int64"),
+        }
+    )
+    lds = rd.from_pandas(l).repartition(5)
+    rds = rd.from_pandas(r).repartition(3)
+    for how in ("inner", "left", "outer"):
+        got = hash_join(lds, rds, "k", "rk", how=how).to_pandas()
+        want = l.merge(r, left_on="k", right_on="rk", how=how)
+        assert len(got) == len(want), how
+        cols = ["k", "lv", "rk", "rv"]
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=how)

@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_recall": q.emb_quantize_recall,
         "emb_pca_evr": q.emb_pca_evr,
         "lineitem_monthly": q.lineitem_monthly,
+        "customer_big_spenders": q.customer_big_spenders,
+        "orders_status_age": q.orders_status_age,
         "emb_linear_probe": q.emb_linear_probe,
         "doc_top_bigrams": q.doc_top_bigrams,
         "doc_chars_percent_rank": q.doc_chars_percent_rank,
@@ -601,6 +603,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(row_number() OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn "
             "FROM events) WHERE rn <= 3"
+        ),
+        "customer_big_spenders": (
+            "WITH pc AS (SELECT o_custkey, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS spend_c FROM orders GROUP BY o_custkey), "
+            "t AS (SELECT CAST(sum(spend_c) AS BIGINT) AS total_c, "
+            "CAST(count(*) AS BIGINT) AS n FROM pc) "
+            "SELECT o_custkey, spend_c FROM pc, t "
+            "WHERE spend_c * t.n > 2 * t.total_c"
+        ),
+        "orders_status_age": (
+            "WITH m AS (SELECT max(epoch_us(o_orderdate)) AS mx FROM orders) "
+            "SELECT o_orderstatus, "
+            "CAST((m.mx - epoch_us(o_orderdate)) // 31536000000000 AS BIGINT) "
+            "AS age_years, CAST(count(*) AS BIGINT) AS n "
+            "FROM orders, m GROUP BY o_orderstatus, age_years"
         ),
         "lineitem_monthly": (
             "SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) "

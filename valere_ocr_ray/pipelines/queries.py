@@ -1908,6 +1908,84 @@ def events_user_first3(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "rn"])
 
 
+def customer_big_spenders(sf_dir: str):
+    """Correlated-scalar pattern — customers whose order total exceeds
+    2× the mean customer total: per-customer exact sums (keyed
+    exchange), the ONE scalar reduced and broadcast, vectorized filter.
+    SQL's ``HAVING sum > (SELECT avg ...)`` without re-scanning."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "spend_c": np.floor(df["o_totalprice"] * 100).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    per_cust = grouped_sum(orders, ["o_custkey"], ["spend_c"])
+    tot = per_cust.sum(["spend_c"])
+    n_cust = per_cust.count()
+    # integer threshold: keep iff spend * n_customers > 2 * total
+    total_c = int(tot if np.isscalar(tot) else tot["sum(spend_c)"])
+    ref = ray.put((total_c, n_cust))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        t, n = ray.get(ref)
+        keep = df["spend_c"].to_numpy() * n > 2 * t
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy()[keep],
+                "spend_c": df["spend_c"].to_numpy()[keep],
+            }
+        )
+
+    return per_cust.map_batches(flag, batch_format="pandas")
+
+
+def orders_status_age(sf_dir: str):
+    """Global-scalar-then-map: whole-corpus max order date reduced
+    once (tiny), broadcast, then vectorized integer age-in-years
+    bucketing per (status, age) — the backlog-aging report."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderdate"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "date_us": df["o_orderdate"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    max_us = int(orders.max("date_us"))
+    ref = ray.put(max_us)
+
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    US_YEAR = 31_536_000_000_000  # 365-day years, both sides
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        age = ((m - df["date_us"].to_numpy()) // US_YEAR).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "age_years": age,
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    return tree_keyed_sum(
+        orders.map_batches(bucket, batch_format="pandas"),
+        ["o_orderstatus", "age_years"],
+        ["n"],
+    )
+
+
 def lineitem_monthly(sf_dir: str):
     """Calendar-month rollup: ship month extracted vectorized
     (year*100+month ints end to end), cent-scaled revenue, one

@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_customer_full_outer": q.events_customer_full_outer,
         "emb_quantize_recall": q.emb_quantize_recall,
         "emb_pca_evr": q.emb_pca_evr,
+        "doc_emb_corr": q.doc_emb_corr,
         "lineitem_monthly": q.lineitem_monthly,
         "customer_big_spenders": q.customer_big_spenders,
         "orders_status_age": q.orders_status_age,
@@ -603,6 +604,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(row_number() OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn "
             "FROM events) WHERE rn <= 3"
+        ),
+        "doc_emb_corr": (
+            "WITH je AS (SELECT d.n_chars AS x, "
+            "CAST(floor(list_sum(list_transform(e.embedding, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * 10000) AS BIGINT) "
+            "AS y FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), "
+            "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+            "CAST(sum(x * x) AS DOUBLE) AS sxx, "
+            "CAST(sum(y * y) AS DOUBLE) AS syy, "
+            "CAST(sum(x * y) AS DOUBLE) AS sxy FROM je) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(floor((n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000) "
+            "AS BIGINT) AS corr_e6 FROM s"
         ),
         "customer_big_spenders": (
             "WITH pc AS (SELECT o_custkey, "

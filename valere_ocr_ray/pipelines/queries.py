@@ -1616,6 +1616,62 @@ def emb_linear_probe(sf_dir: str):
     )
 
 
+def doc_emb_corr(sf_dir: str):
+    """Cross-modal join + statistic: documents ⋈ embeddings on id (the
+    two-sided exchange), then Pearson correlation between text length
+    and embedding squared-norm computed from EXACT integer sums with
+    one fixed f64 expression on both sides (no aggregation-order
+    drift), floor-scaled at 1e-6."""
+    from valere_ocr_ray.ops.joins import hash_join
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    emb = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "normsq_e4": np.floor(
+                    (np.stack(df["embedding"].to_numpy()).astype(np.float64) ** 2)
+                    .sum(axis=1)
+                    * 10000
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = hash_join(docs, emb, "doc_id", "vec_id")
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype="int64")
+        y = df["normsq_e4"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    parts = j.map_batches(sums, batch_format="pandas").to_pandas()
+    n = float(parts["n"].sum())
+    sx, sy = float(parts["sx"].sum()), float(parts["sy"].sum())
+    sxx, syy = float(parts["sxx"].sum()), float(parts["syy"].sum())
+    sxy = float(parts["sxy"].sum())
+    r = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "corr_e6": [np.int64(math.floor(r * 1000000))],
+        }
+    )
+
+
 def emb_pca_evr(sf_dir: str):
     """Distributed PCA: per-batch partial moment matrices (sum of
     outer products + sum vector + count, one numpy matmul each) fold

@@ -77,6 +77,16 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--shard-size", type=int, default=1000)
     fc.add_argument("--use-mtime", action="store_true")
 
+    cu = sub.add_parser(
+        "curate", help="full training-shard pipeline (extract → quality → "
+        "dedup → segment rewrite → pack → sharded parquet)"
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.add_argument("--budget", type=int, default=512)
+    cu.add_argument("--shards", type=int, default=8)
+
     a = p.parse_args(argv)
 
     if a.cmd == "files-convert":
@@ -120,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
             from valere_ocr_ray.pipelines.dedup_corpus import run_dedup_corpus
 
             s = run_dedup_corpus(a.input, a.out, minhash_threshold=a.threshold)
+            print(json.dumps(s, indent=2, sort_keys=True))
+        elif a.cmd == "curate":
+            from valere_ocr_ray.pipelines.curate import build_training_shards
+
+            s = build_training_shards(
+                a.input, a.out, budget=a.budget, n_shards=a.shards
+            )
             print(json.dumps(s, indent=2, sort_keys=True))
         elif a.cmd == "warc-convert":
             from valere_ocr_ray.sources.warc import convert_warc_dir

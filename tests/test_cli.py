@@ -39,3 +39,16 @@ def test_cli_synth_extract_summary(tmp_path):
 
     printed = json.loads(_run("summary", "--out", d_out))
     assert printed["n_in"] == 60
+
+
+def test_cli_curate(tmp_path):
+    d_in, d_out = str(tmp_path / "in"), str(tmp_path / "shards")
+    json.loads(_run("synth", "--out", d_in, "--rows", "120", "--shards", "2"))
+    s = json.loads(
+        _run(
+            "curate", "--input", d_in, "--out", d_out,
+            "--num-cpus", "2", "--budget", "128", "--shards", "2",
+        )
+    )
+    assert s["n_docs_out"] > 0 and s["n_sequences"] > 0
+    assert os.path.isdir(d_out)

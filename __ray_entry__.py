@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_debounce": q.events_debounce,
         "events_type_markov": q.events_type_markov,
+        "events_retention": q.events_retention,
         "events_customer_full_outer": q.events_customer_full_outer,
         "emb_quantize_recall": q.emb_quantize_recall,
         "emb_pca_evr": q.emb_pca_evr,
@@ -546,6 +547,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN u.user_id IS NULL THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_customer_only "
             "FROM u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey"
+        ),
+        "events_retention": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "c AS (SELECT day, min(day) OVER (PARTITION BY user_id) "
+            "AS cohort FROM ud) "
+            "SELECT CAST(cohort AS BIGINT) AS cohort, "
+            "CAST(day - cohort AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM c GROUP BY cohort, day_offset"
         ),
         "events_type_markov": (
             "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM ("

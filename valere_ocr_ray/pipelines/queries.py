@@ -1515,6 +1515,48 @@ def events_value_hist(sf_dir: str):
     )
 
 
+def events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST active
+    day, counted per day-offset of later activity — one exchange
+    co-locates each user, distinct active days + offsets compute
+    in-group vectorized, then a small keyed sum."""
+    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+
+    US_PER_DAY = 86_400_000_000
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    pairs = ev.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (df["ts"].astype("int64") // US_PER_DAY).astype("int64"),
+            }
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "cohort": pd.Series([], dtype="int64"),
+                    "day_offset": pd.Series([], dtype="int64"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        days = np.unique(g["day"].to_numpy())
+        return pd.DataFrame(
+            {
+                "cohort": np.full(len(days), days[0], dtype="int64"),
+                "day_offset": (days - days[0]).astype("int64"),
+                "n_users": np.ones(len(days), dtype="int64"),
+            }
+        )
+
+    per_user = grouped_map(pairs, ["user_id"], offsets)
+    return grouped_sum(per_user, ["cohort", "day_offset"], ["n_users"])
+
+
 def events_type_markov(sf_dir: str):
     """Sequence mining: first-order transition counts between
     consecutive event types within each user's time-ordered stream

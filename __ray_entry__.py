@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q.events_debounce,
         "events_type_markov": q.events_type_markov,
         "events_retention": q.events_retention,
+        "orders_priority_status_cube": q.orders_priority_status_cube,
+        "events_moving_avg3": q.events_moving_avg3,
         "events_customer_full_outer": q.events_customer_full_outer,
         "emb_quantize_recall": q.emb_quantize_recall,
         "emb_pca_evr": q.emb_pca_evr,
@@ -412,6 +414,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
             "string_agg(s_name, ',' ORDER BY s_name) AS roster, "
             "count(*) AS n FROM supplier GROUP BY s_nationkey"
+        ),
+        "orders_priority_status_cube": (
+            "SELECT COALESCE(o_orderpriority, 'ALL') AS priority, "
+            "COALESCE(o_orderstatus, 'ALL') AS status, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS rev_c, CAST(count(*) AS BIGINT) AS n FROM orders "
+            "GROUP BY CUBE(o_orderpriority, o_orderstatus)"
+        ),
+        "events_moving_avg3": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS frame_sum_c, "
+            "CAST(count(*) OVER w AS BIGINT) AS frame_n FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         ),
         "orders_priority_status_rollup": (
             # outer CAST: DuckDB's ROLLUP super-aggregate rows otherwise

@@ -1557,6 +1557,81 @@ def events_retention(sf_dir: str):
     return grouped_sum(per_user, ["cohort", "day_offset"], ["n_users"])
 
 
+def orders_priority_status_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status): same shape as the ROLLUP query
+    — finest level distributed, ALL FOUR grouping sets re-aggregate
+    the tiny finest result (adds the status-only margin ROLLUP lacks);
+    'ALL' stands in for NULL grouping levels."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "priority": df["o_orderpriority"],
+                "status": df["o_orderstatus"],
+                "rev_c": np.floor(df["o_totalprice"] * 100).astype("int64"),
+                "n": np.int64(1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    finest = tree_keyed_sum(orders, ["priority", "status"], ["rev_c", "n"])
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        by_p = df.groupby("priority", as_index=False)[["rev_c", "n"]].sum()
+        by_p["status"] = "ALL"
+        by_s = df.groupby("status", as_index=False)[["rev_c", "n"]].sum()
+        by_s["priority"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "priority": ["ALL"],
+                "status": ["ALL"],
+                "rev_c": [df["rev_c"].sum()],
+                "n": [df["n"].sum()],
+            }
+        )
+        out = pd.concat([df, by_p, by_s, total], ignore_index=True)
+        return out[["priority", "status", "rev_c", "n"]]
+
+    return finest.map_batches(cube, batch_format="pandas", batch_size=None)
+
+
+def events_moving_avg3(sf_dir: str):
+    """Row-count window frame — AVG(value) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
+    via one exchange + an in-group vectorized rolling mean.  Emitted
+    as the exact integer SUM of the frame's cents plus the frame size,
+    so the hash is float-free."""
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda df: df.assign(
+            value_c=np.floor(df["value"] * 100).astype("int64")
+        )[["event_id", "ts", "user_id", "value_c"]],
+        batch_format="pandas",
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        s = g["value_c"].rolling(3, min_periods=1).sum().astype("int64")
+        k = g["value_c"].rolling(3, min_periods=1).count().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "frame_sum_c": s.to_numpy(),
+                "frame_n": k.to_numpy(),
+            }
+        )
+
+    return grouped_map(ev, ["user_id"], roll)
+
+
 def events_type_markov(sf_dir: str):
     """Sequence mining: first-order transition counts between
     consecutive event types within each user's time-ordered stream

@@ -1791,9 +1791,10 @@ def doc_emb_corr(sf_dir: str):
 
 def emb_pca_evr(sf_dir: str):
     """Distributed PCA: per-batch partial moment matrices (sum of
-    outer products + sum vector + count, one numpy matmul each) fold
-    on the driver into the d×d covariance — driver state is O(d²),
-    never O(n) — then a local eigendecomposition.  Output: top-8
+    outer products + sum vector + count, one numpy matmul each)
+    tree-combine down to ONE d×d covariance row — driver state is
+    O(d²), never O(blocks) — then a local eigendecomposition.
+    Output: top-8
     explained-variance ratios (floor-scaled).  Linear algebra, not
     SQL — rows-only; correctness unit-tested against numpy.cov."""
     emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
@@ -1818,7 +1819,25 @@ def emb_pca_evr(sf_dir: str):
             }
         )
 
-    parts = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {
+                "xtx": [np.sum(np.stack(df["xtx"].to_numpy()), axis=0)],
+                "xsum": [np.sum(np.stack(df["xsum"].to_numpy()), axis=0)],
+                "n": [np.int64(df["n"].sum())],
+            }
+        )
+
+    # tree-combine the per-block moment partials (32 KB each at d=64)
+    # so the driver receives ONE row, not one per block
+    parts = emb.map_batches(partial, batch_format="pandas")
+    for w in (8, 1):
+        parts = parts.repartition(w).map_batches(
+            fold, batch_format="pandas", batch_size=None
+        )
+    parts = parts.to_pandas()
     n = int(parts["n"].sum())
     xtx = np.sum(np.stack(parts["xtx"].to_numpy()), axis=0)
     xsum = np.sum(np.stack(parts["xsum"].to_numpy()), axis=0)

@@ -1538,3 +1538,32 @@ def test_hash_join_randomized_vs_pandas(ray_session):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         w = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=how)
+
+
+def test_ranged_layout_randomized_ranges(ray_session, tmp_path):
+    """Property check: for random query ranges, pruned reads return
+    exactly the filter-equivalent row set (boundaries inclusive-lo /
+    exclusive-hi), including empty and full-cover ranges."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.ranged import read_range, write_ranged
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "v": np.round(rng.uniform(-50, 50, 5000), 3),
+            "rid": np.arange(5000, dtype="int64"),
+        }
+    )
+    out = str(tmp_path / "rl")
+    write_ranged(rd.from_pandas(df).repartition(6), out, "v", n_partitions=7)
+
+    cases = [(-60.0, 60.0), (-50.0, -49.0), (0.0, 0.0), (10.5, 10.6)]
+    cases += [tuple(sorted(rng.uniform(-55, 55, 2))) for _ in range(6)]
+    for lo, hi in cases:
+        got = read_range(out, lo, hi).to_pandas()
+        want = df[(df["v"] >= lo) & (df["v"] < hi)]
+        if len(want) == 0:
+            assert len(got) == 0, (lo, hi)
+            continue
+        assert sorted(got["rid"]) == sorted(want["rid"]), (lo, hi)

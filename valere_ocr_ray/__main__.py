@@ -77,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--shard-size", type=int, default=1000)
     fc.add_argument("--use-mtime", action="store_true")
 
+    jc = sub.add_parser(
+        "jsonl-convert", help="JSONL(.gz) corpus → resumable pages parquet"
+    )
+    jc.add_argument("--input", required=True)
+    jc.add_argument("--out", required=True)
+
     cu = sub.add_parser(
         "curate", help="full training-shard pipeline (extract → quality → "
         "dedup → segment rewrite → pack → sharded parquet)"
@@ -96,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
             a.input, a.out, shard_size=a.shard_size, use_mtime=a.use_mtime
         )
         print(json.dumps({"n_shards": len(outs), "out": a.out}))
+        return 0
+
+    if a.cmd == "jsonl-convert":
+        from valere_ocr_ray.sources.jsonl import convert_jsonl_dir
+
+        outs = convert_jsonl_dir(a.input, a.out)
+        print(json.dumps({"n_files": len(outs), "out": a.out}))
         return 0
 
     if a.cmd == "synth":

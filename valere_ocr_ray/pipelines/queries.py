@@ -2389,11 +2389,12 @@ def doc_source_token_entropy(sf_dir: str):
 
 def source_token_jaccard(sf_dir: str):
     """Cross-corpus vocabulary overlap: exact Jaccard between src0's
-    and src1's distinct token sets — distinct (token, source) pairs per
-    batch, ONE keyed exchange, vectorized presence flags, 1-row fold.
-    The corpus-pair similarity audit used when deciding whether two
-    sources are redundant."""
-    from valere_ocr_ray.ops.exchange import grouped_map
+    and src1's distinct token sets — per-batch presence indicators on
+    distinct (token, source) pairs, ONE keyed max-exchange (presence is
+    an algebraic max, so no per-token Python fn anywhere), then a tiny
+    sum.  The corpus-pair similarity audit used when deciding whether
+    two sources are redundant."""
+    from valere_ocr_ray.ops.exchange import grouped_agg
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
 
@@ -2401,29 +2402,25 @@ def source_token_jaccard(sf_dir: str):
         df = df[df["source"].isin(("src0", "src1"))]
         e = pd.DataFrame({"source": df["source"].to_numpy()})
         e["token"] = df["text"].str.split(" ").to_numpy()
-        return e.explode("token").drop_duplicates()[["token", "source"]]
-
-    def flags(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "in_a": pd.Series([], dtype="int64"),
-                    "in_b": pd.Series([], dtype="int64"),
-                    "in_both": pd.Series([], dtype="int64"),
-                }
-            )
-        s = set(g["source"])
-        a, b = int("src0" in s), int("src1" in s)
+        e = e.explode("token").drop_duplicates()
         return pd.DataFrame(
             {
-                "in_a": [np.int64(a)],
-                "in_b": [np.int64(b)],
-                "in_both": [np.int64(a & b)],
+                "token": e["token"].to_numpy(),
+                "in_a": (e["source"] == "src0").astype("int64").to_numpy(),
+                "in_b": (e["source"] == "src1").astype("int64").to_numpy(),
             }
         )
 
-    per_tok = grouped_map(
-        docs.map_batches(pairs, batch_format="pandas"), ["token"], flags
+    per_tok = grouped_agg(
+        docs.map_batches(pairs, batch_format="pandas"),
+        ["token"],
+        ["in_a", "in_b"],
+        how="max",
+    ).map_batches(
+        lambda df: df.assign(
+            in_both=(df["in_a"] * df["in_b"]).astype("int64")
+        ),
+        batch_format="pandas",
     )
     t = per_tok.sum(["in_a", "in_b", "in_both"])
     n_a, n_b, n_c = (
@@ -2448,7 +2445,10 @@ def orders_profile(sf_dir: str):
     in ONE pass — per-batch partials carry each column's distinct
     values once (bounded by batch distincts), one keyed exchange per
     profile, vectorized fold.  Column name is the group key, so the
-    whole profile is a single small grouped result."""
+    whole profile is a single small grouped result.  Memory contract:
+    exact distincts move one row per distinct value — route columns
+    whose cardinality rivals the corpus through
+    ``ops/sketch.grouped_distinct_kmv`` instead."""
     from valere_ocr_ray.ops.exchange import grouped_map
 
     cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]

@@ -1057,13 +1057,11 @@ def doc_stratified_sample(sf_dir: str):
 
 def events_user_cumsum(sf_dir: str):
     """Per-key running total — ``SUM(value) OVER (PARTITION BY user_id
-    ORDER BY ts, event_id)`` — via ``grouped_map``: one exchange
-    co-locates each user's events, then an in-group sort + vectorized
-    cumsum.  Holistic window, so no algebraic shortcut exists; the
-    exchange is the minimal data movement.  Cent-integer values keep
-    the running sum exact and hash-stable."""
-    from valere_ocr_ray.ops.exchange import grouped_map
-
+    ORDER BY ts, event_id)`` — one exchange co-locates each user's
+    events, then the whole partition sorts once and cumsums through a
+    single pandas groupby.  Holistic window, so no algebraic shortcut
+    exists; the exchange is the minimal data movement.  Cent-integer
+    values keep the running sum exact and hash-stable."""
     ev = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
     ).map_batches(
@@ -1073,17 +1071,34 @@ def events_user_cumsum(sf_dir: str):
         batch_format="pandas",
     )
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    # partition-level vectorized window: ONE sort + ONE groupby-cumsum
+    # per partition (never a Python fn per user — at web-scale user
+    # cardinality the per-group interpreter overhead dominates)
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(ev, ["user_id"], 16)
+
+    def cum_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "cum_c": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "cum_c": g["value_c"].to_numpy().cumsum(),
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "cum_c": df.groupby("user_id", sort=False)["value_c"]
+                .cumsum()
+                .to_numpy(),
             }
         )
 
-    return grouped_map(ev, ["user_id"], cum)
+    return ex.map_batches(cum_block, batch_format="pandas", batch_size=None)
 
 
 def part_lineitem_left_count(sf_dir: str):
@@ -1459,9 +1474,9 @@ def events_cooccurrence(sf_dir: str):
 def events_user_day_first(sf_dir: str):
     """Windowed keep-first dedup: ONE event per (user, calendar day) —
     the session-start extraction — then daily counts.  One exchange
-    co-locates each user; the in-group keep-first is a vectorized sort
-    + ``duplicated`` mask; days are epoch-day ints end to end."""
-    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+    co-locates each user; the keep-first is ONE partition-level sort +
+    ``duplicated`` mask; days are epoch-day ints end to end."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
 
     US_PER_DAY = 86_400_000_000
     ev = rd.read_parquet(
@@ -1477,22 +1492,32 @@ def events_user_day_first(sf_dir: str):
         batch_format="pandas",
     )
 
-    def first_per_day(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(ev, ["user_id"], 16)
+
+    # partition-level vectorized keep-first: one sort, one duplicated
+    # mask over (user, day) — no Python fn per user
+    def first_per_day_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame(
                 {
                     "day": pd.Series([], dtype="int64"),
                     "n_first": pd.Series([], dtype="int64"),
                 }
             )
-        g = g.sort_values(["ts_us", "event_id"], kind="stable")
-        day = (g["ts_us"].to_numpy() // US_PER_DAY).astype("int64")
-        keep = ~pd.Series(day).duplicated().to_numpy()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        day = (df["ts_us"].to_numpy() // US_PER_DAY).astype("int64")
+        keep = ~pd.DataFrame(
+            {"u": df["user_id"].to_numpy(), "d": day}
+        ).duplicated().to_numpy()
         return pd.DataFrame(
             {"day": day[keep], "n_first": np.ones(int(keep.sum()), dtype="int64")}
         )
 
-    per_user = grouped_map(ev, ["user_id"], first_per_day)
+    per_user = ex.map_batches(
+        first_per_day_block, batch_format="pandas", batch_size=None
+    )
     return grouped_sum(per_user, ["day"], ["n_first"])
 
 
@@ -1518,9 +1543,9 @@ def events_value_hist(sf_dir: str):
 def events_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by their FIRST active
     day, counted per day-offset of later activity — one exchange
-    co-locates each user, distinct active days + offsets compute
-    in-group vectorized, then a small keyed sum."""
-    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+    co-locates each user, distinct days + per-user min compute in ONE
+    partition-level groupby.transform, then a small keyed sum."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
 
     US_PER_DAY = 86_400_000_000
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
@@ -1535,8 +1560,14 @@ def events_retention(sf_dir: str):
         batch_format="pandas",
     )
 
-    def offsets(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(pairs, ["user_id"], 16)
+
+    # partition-level vectorized: distinct (user, day) dedup + per-user
+    # min via groupby.transform — no Python fn per user
+    def offsets_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame(
                 {
                     "cohort": pd.Series([], dtype="int64"),
@@ -1544,16 +1575,21 @@ def events_retention(sf_dir: str):
                     "n_users": pd.Series([], dtype="int64"),
                 }
             )
-        days = np.unique(g["day"].to_numpy())
+        df = df.drop_duplicates()
+        cohort = df.groupby("user_id", sort=False)["day"].transform("min")
         return pd.DataFrame(
             {
-                "cohort": np.full(len(days), days[0], dtype="int64"),
-                "day_offset": (days - days[0]).astype("int64"),
-                "n_users": np.ones(len(days), dtype="int64"),
+                "cohort": cohort.to_numpy().astype("int64"),
+                "day_offset": (df["day"].to_numpy() - cohort.to_numpy()).astype(
+                    "int64"
+                ),
+                "n_users": np.ones(len(df), dtype="int64"),
             }
         )
 
-    per_user = grouped_map(pairs, ["user_id"], offsets)
+    per_user = ex.map_batches(
+        offsets_block, batch_format="pandas", batch_size=None
+    )
     return grouped_sum(per_user, ["cohort", "day_offset"], ["n_users"])
 
 
@@ -1602,10 +1638,11 @@ def orders_priority_status_cube(sf_dir: str):
 def events_moving_avg3(sf_dir: str):
     """Row-count window frame — AVG(value) OVER (PARTITION BY user
     ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
-    via one exchange + an in-group vectorized rolling mean.  Emitted
-    as the exact integer SUM of the frame's cents plus the frame size,
-    so the hash is float-free."""
-    from valere_ocr_ray.ops.exchange import grouped_map
+    one exchange, then ONE partition-level sort + per-group rolling
+    window (pandas ``groupby.rolling``, no Python fn per user).
+    Emitted as the exact integer SUM of the frame's cents plus the
+    frame size, so the hash is float-free."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
 
     ev = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
@@ -1615,37 +1652,54 @@ def events_moving_avg3(sf_dir: str):
         )[["event_id", "ts", "user_id", "value_c"]],
         batch_format="pandas",
     )
+    ex = hash_exchange(ev, ["user_id"], 16)
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        s = g["value_c"].rolling(3, min_periods=1).sum().astype("int64")
-        k = g["value_c"].rolling(3, min_periods=1).count().astype("int64")
+    def roll_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "frame_sum_c": pd.Series([], dtype="int64"),
+                    "frame_n": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)["value_c"]
+        s = g.rolling(3, min_periods=1).sum().to_numpy().astype("int64")
+        k = g.rolling(3, min_periods=1).count().to_numpy().astype("int64")
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "frame_sum_c": s.to_numpy(),
-                "frame_n": k.to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "frame_sum_c": s,
+                "frame_n": k,
             }
         )
 
-    return grouped_map(ev, ["user_id"], roll)
+    return ex.map_batches(roll_block, batch_format="pandas", batch_size=None)
 
 
 def events_type_markov(sf_dir: str):
     """Sequence mining: first-order transition counts between
     consecutive event types within each user's time-ordered stream
     (the Markov/bigram table session-model training starts from).  One
-    exchange co-locates each user; the in-group successor is a
-    vectorized shift; transition counts tree-combine."""
-    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+    exchange co-locates each user; the successor is ONE partition-level
+    ``groupby(user).shift``; transition counts tree-combine."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
 
     ev = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
     )
 
-    def transitions(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(ev, ["user_id"], 16)
+
+    # partition-level vectorized: sort by (user, ts), shift WITHIN user
+    # via groupby.shift, count pairs — no Python fn per user
+    def transitions_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame(
                 {
                     "from_type": pd.Series([], dtype="object"),
@@ -1653,10 +1707,16 @@ def events_type_markov(sf_dir: str):
                     "n": pd.Series([], dtype="int64"),
                 }
             )
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        t = g["event_type"].to_numpy()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        frm = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        ok = frm.notna().to_numpy()
         out = (
-            pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+            pd.DataFrame(
+                {
+                    "from_type": frm.to_numpy()[ok],
+                    "to_type": df["event_type"].to_numpy()[ok],
+                }
+            )
             .groupby(["from_type", "to_type"], as_index=False)
             .size()
             .rename(columns={"size": "n"})
@@ -1664,7 +1724,9 @@ def events_type_markov(sf_dir: str):
         out["n"] = out["n"].astype("int64")
         return out
 
-    per_user = grouped_map(ev, ["user_id"], transitions)
+    per_user = ex.map_batches(
+        transitions_block, batch_format="pandas", batch_size=None
+    )
     return grouped_sum(per_user, ["from_type", "to_type"], ["n"])
 
 
@@ -1672,9 +1734,9 @@ def events_debounce(sf_dir: str):
     """Debounce audit (dedup-within-window): events repeating the same
     (user, type) within 3600 s of the previous occurrence — LAG against
     the prior event, exactly SQL's window semantics — counted per type.
-    One exchange co-locates each user; the in-group gap is a vectorized
-    ``groupby(type).diff``."""
-    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+    One exchange co-locates each user; the gap is ONE partition-level
+    ``groupby((user, type)).diff``."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
 
     US_HOUR = 3_600_000_000
     ev = rd.read_parquet(
@@ -1691,24 +1753,32 @@ def events_debounce(sf_dir: str):
         batch_format="pandas",
     )
 
-    def bounces(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(ev, ["user_id"], 16)
+
+    # partition-level vectorized: one sort, one (user, type) groupby
+    # diff, one value_counts — no Python fn per user
+    def bounces_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame(
                 {
                     "event_type": pd.Series([], dtype="object"),
                     "n_bounced": pd.Series([], dtype="int64"),
                 }
             )
-        g = g.sort_values(["ts_us", "event_id"], kind="stable")
-        gap = g.groupby("event_type")["ts_us"].diff()
-        hit = g.loc[gap.notna() & (gap < US_HOUR), "event_type"]
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        gap = df.groupby(["user_id", "event_type"], sort=False)["ts_us"].diff()
+        hit = df.loc[gap.notna() & (gap < US_HOUR), "event_type"]
         out = hit.value_counts().rename_axis("event_type").reset_index(
             name="n_bounced"
         )
         out["n_bounced"] = out["n_bounced"].astype("int64")
         return out
 
-    per_user = grouped_map(ev, ["user_id"], bounces)
+    per_user = ex.map_batches(
+        bounces_block, batch_format="pandas", batch_size=None
+    )
     return grouped_sum(per_user, ["event_type"], ["n_bounced"])
 
 
@@ -2648,11 +2718,11 @@ def doc_pack_sequences(sf_dir: str):
 
 def events_user_lag(sf_dir: str):
     """LAG window — ``value - LAG(value) OVER (PARTITION BY user_id
-    ORDER BY ts, event_id)`` — via one ``grouped_map`` exchange +
-    in-group sort + vectorized diff; first event per user has no
-    predecessor and is excluded (SQL LAG yields NULL there).
+    ORDER BY ts, event_id)`` — one exchange, then ONE partition-level
+    sort + groupby-diff (no Python fn per user); first event per user
+    has no predecessor and is excluded (SQL LAG yields NULL there).
     Cent-integer deltas keep the hash stable."""
-    from valere_ocr_ray.ops.exchange import grouped_map
+    from valere_ocr_ray.ops.exchange import hash_exchange
 
     ev = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
@@ -2662,19 +2732,29 @@ def events_user_lag(sf_dir: str):
         )[["event_id", "ts", "user_id", "value_c"]],
         batch_format="pandas",
     )
+    ex = hash_exchange(ev, ["user_id"], 16)
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        v = g["value_c"].to_numpy()
+    def lag_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "delta_c": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        d = df.groupby("user_id", sort=False)["value_c"].diff()
+        ok = d.notna().to_numpy()
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy()[1:],
-                "user_id": g["user_id"].to_numpy()[1:],
-                "delta_c": (v[1:] - v[:-1]),
+                "event_id": df["event_id"].to_numpy()[ok],
+                "user_id": df["user_id"].to_numpy()[ok],
+                "delta_c": d.to_numpy()[ok].astype("int64"),
             }
         )
 
-    return grouped_map(ev, ["user_id"], lag)
+    return ex.map_batches(lag_block, batch_format="pandas", batch_size=None)
 
 
 def doc_zscore_by_lang(sf_dir: str):

@@ -2984,17 +2984,22 @@ def events_sessionize(sf_dir: str):
     Dataset API lacks, composed as ``groupby(user).map_groups`` with an
     in-group sort (SURVEY.md §2.10 note; custom-operator path (a)).
 
-    Partitioning assumption: one user's events fit in one group — true
-    for activity logs (events/user ≪ block size); for a pathological
-    hot user, salt the key by day and merge session counts at the
-    boundary.  Runs on the custom hash exchange (user cardinality grows
-    with the corpus; Dataset.groupby pays ~1 ms/key)."""
-    from valere_ocr_ray.ops.exchange import grouped_map
+    Partitioning assumption: one user's events fit in one partition —
+    true for activity logs (events/user ≪ block size); for a
+    pathological hot user, salt the key by day and merge session
+    counts at the boundary (``events_sessionize_salted``).  Runs on
+    the custom hash exchange (user cardinality grows with the corpus;
+    Dataset.groupby pays ~1 ms/key) with ONE partition-level groupby
+    kernel — session starts are ``gap > threshold`` flags summed per
+    user, no Python fn per user."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
     gap_us = 1_800_000_000
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+    ex = hash_exchange(ds, ["user_id"], 8)
+
+    def sessions_block(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame(
                 {
@@ -3003,18 +3008,19 @@ def events_sessionize(sf_dir: str):
                     "n_sessions": pd.Series([], dtype="int64"),
                 }
             )
-        df = df.sort_values(["ts", "event_id"])
-        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        n_sessions = int(1 + (np.diff(t) > gap_us).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [df["user_id"].iloc[0]],
-                "n_events": [len(df)],
-                "n_sessions": [n_sessions],
-            }
-        )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        gap = df.assign(t=t).groupby("user_id", sort=False)["t"].diff()
+        df = df.assign(new_session=(gap.isna() | (gap > gap_us)).astype("int64"))
+        g = df.groupby("user_id", sort=True)
+        out = g.agg(
+            n_events=("new_session", "size"), n_sessions=("new_session", "sum")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
 
-    return grouped_map(ds, ["user_id"], sessions, num_partitions=8)
+    return ex.map_batches(sessions_block, batch_format="pandas", batch_size=None)
 
 
 def events_sessionize_salted(sf_dir: str):

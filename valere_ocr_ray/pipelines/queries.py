@@ -1441,34 +1441,56 @@ def events_cooccurrence(sf_dir: str):
     pairs reduce per batch, one exchange co-locates each user, pairs
     enumerate in-group (≤ C(5,2) rows/user), exact pair counts via a
     second tiny keyed sum."""
-    from valere_ocr_ray.ops.exchange import grouped_map, grouped_sum
+    from valere_ocr_ray.ops.exchange import grouped_agg
 
+    types = ["click", "error", "purchase", "signup", "view"]
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
-    pairs_in = ev.map_batches(
-        lambda df: df.drop_duplicates(), batch_format="pandas"
+
+    # per-user presence vector via an algebraic MAX exchange (one
+    # indicator column per type — no Python fn per user), then pair
+    # counts are sums of indicator PRODUCTS, tree-combined
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        out = pd.DataFrame({"user_id": df["user_id"].astype("int64")})
+        for t in types:
+            out[f"has_{t}"] = (df["event_type"] == t).astype("int64")
+        return out
+
+    present = grouped_agg(
+        ev.map_batches(indicators, batch_format="pandas"),
+        ["user_id"],
+        [f"has_{t}" for t in types],
+        how="max",
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "type_a": pd.Series([], dtype="object"),
-                    "type_b": pd.Series([], dtype="object"),
-                    "n_users": pd.Series([], dtype="int64"),
-                }
-            )
-        ts = sorted(set(g["event_type"]))
-        rows = [(a, b) for i, a in enumerate(ts) for b in ts[i + 1 :]]
-        return pd.DataFrame(
-            {
-                "type_a": [r[0] for r in rows],
-                "type_b": [r[1] for r in rows],
-                "n_users": np.ones(len(rows), dtype="int64"),
-            }
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, a in enumerate(types):
+            for b in types[i + 1 :]:
+                rows.append(
+                    (
+                        a,
+                        b,
+                        int(
+                            (
+                                df[f"has_{a}"].to_numpy()
+                                * df[f"has_{b}"].to_numpy()
+                            ).sum()
+                        ),
+                    )
+                )
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"]).astype(
+            {"n_users": "int64"}
         )
 
-    per_user = grouped_map(pairs_in, ["user_id"], pairs)
-    return grouped_sum(per_user, ["type_a", "type_b"], ["n_users"])
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    pre = present.map_batches(pair_partial, batch_format="pandas")
+    out = tree_keyed_sum(pre, ["type_a", "type_b"], ["n_users"])
+    # drop pairs no user has (the per-group formulation never emitted them)
+    return out.map_batches(
+        lambda df: df[df["n_users"] > 0], batch_format="pandas"
+    )
 
 
 def events_user_day_first(sf_dir: str):
@@ -3032,7 +3054,6 @@ def events_sessionize_salted(sf_dir: str):
     that straddle a day boundary (gap ≤ 30 min across the boundary ⇒
     one session, so ``n_sessions = Σ day sessions − boundary merges``).
     Output identical to the unsalted query (same oracle SQL)."""
-    from valere_ocr_ray.ops.exchange import grouped_map
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
     gap_us = 1_800_000_000
@@ -3042,7 +3063,14 @@ def events_sessionize_salted(sf_dir: str):
         ts_us = df["ts"].astype("datetime64[us]").astype("int64")
         return df.assign(day=(ts_us // day_us).astype("int64"))
 
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ex = hash_exchange(
+        ds.map_batches(add_day, batch_format="pandas"), ["user_id", "day"], 8
+    )
+
+    # stage 1, vectorized per partition: in-(user,day) gap flags summed
+    def day_partials_block(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame(
                 {
@@ -3054,27 +3082,34 @@ def events_sessionize_salted(sf_dir: str):
                     "last_us": pd.Series([], dtype="int64"),
                 }
             )
-        df = df.sort_values(["ts", "event_id"])
-        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        return pd.DataFrame(
-            {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "day": [int(df["day"].iloc[0])],
-                "n_events": [len(df)],
-                "n_sessions": [int(1 + (np.diff(t) > gap_us).sum())],
-                "first_us": [int(t[0])],
-                "last_us": [int(t[-1])],
-            }
+        df = df.sort_values(["user_id", "day", "ts", "event_id"], kind="stable")
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.assign(t=t)
+        gap = df.groupby(["user_id", "day"], sort=False)["t"].diff()
+        df = df.assign(new_session=(gap.isna() | (gap > gap_us)).astype("int64"))
+        out = (
+            df.groupby(["user_id", "day"], sort=True)
+            .agg(
+                n_events=("t", "size"),
+                n_sessions=("new_session", "sum"),
+                first_us=("t", "min"),
+                last_us=("t", "max"),
+            )
+            .reset_index()
         )
+        for c in ("n_events", "n_sessions", "first_us", "last_us"):
+            out[c] = out[c].astype("int64")
+        return out
 
-    partials = grouped_map(
-        ds.map_batches(add_day, batch_format="pandas"),
-        ["user_id", "day"],
-        day_partial,
-        num_partitions=8,
+    partials = ex.map_batches(
+        day_partials_block, batch_format="pandas", batch_size=None
     )
 
-    def merge_days(df: pd.DataFrame) -> pd.DataFrame:
+    # stage 2, vectorized per partition: boundary merges via a per-user
+    # shift of the previous day-partial's last timestamp
+    ex2 = hash_exchange(partials, ["user_id"], 8)
+
+    def merge_days_block(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame(
                 {
@@ -3083,18 +3118,28 @@ def events_sessionize_salted(sf_dir: str):
                     "n_sessions": pd.Series([], dtype="int64"),
                 }
             )
-        df = df.sort_values("day")
-        gaps = df["first_us"].to_numpy()[1:] - df["last_us"].to_numpy()[:-1]
-        merges = int((gaps <= gap_us).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [int(df["user_id"].iloc[0])],
-                "n_events": [int(df["n_events"].sum())],
-                "n_sessions": [int(df["n_sessions"].sum()) - merges],
-            }
+        df = df.sort_values(["user_id", "day"], kind="stable")
+        prev_last = df.groupby("user_id", sort=False)["last_us"].shift(1)
+        merge_flag = (
+            prev_last.notna() & (df["first_us"] - prev_last <= gap_us)
+        ).astype("int64")
+        df = df.assign(merge_flag=merge_flag)
+        out = (
+            df.groupby("user_id", sort=True)
+            .agg(
+                n_events=("n_events", "sum"),
+                n_sessions=("n_sessions", "sum"),
+                merges=("merge_flag", "sum"),
+            )
+            .reset_index()
         )
+        out["n_sessions"] = (out["n_sessions"] - out["merges"]).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_events", "n_sessions"]]
 
-    return grouped_map(partials, ["user_id"], merge_days, num_partitions=8)
+    return ex2.map_batches(
+        merge_days_block, batch_format="pandas", batch_size=None
+    )
 
 
 def events_sliding(sf_dir: str):

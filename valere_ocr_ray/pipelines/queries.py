@@ -2047,17 +2047,19 @@ def events_customer_full_outer(sf_dir: str):
 
 def events_funnel(sf_dir: str):
     """Ordered funnel (signup → later click → later purchase): one
-    ``grouped_map`` exchange computes each user's first-occurrence
-    times per stage vectorized (in-group pandas min), then a 1-row
-    tree fold counts users completing each prefix of the funnel."""
-    from valere_ocr_ray.ops.exchange import grouped_map
+    exchange co-locates each user, then the WHOLE partition resolves
+    the stage chain with three groupby-transform passes (first signup →
+    first later click → any later purchase) — no Python fn per user —
+    and a 1-row tree fold counts users completing each prefix."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
 
     ev = rd.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
     )
+    ex = hash_exchange(ev, ["user_id"], 16)
 
-    def firsts(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
+    def firsts_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame(
                 {
                     "n_signup": pd.Series([], dtype="int64"),
@@ -2065,36 +2067,41 @@ def events_funnel(sf_dir: str):
                     "n_purchase_after": pd.Series([], dtype="int64"),
                 }
             )
-        m = g.groupby("event_type")["ts"].min()
-        t_s = m.get("signup", pd.NaT)
-        t_c = m.get("click", pd.NaT)
-        t_p = m.get("purchase", pd.NaT)
-        # first click AFTER signup, then first purchase after that click
-        if pd.isna(t_s):
-            s = c = p = 0
-        else:
-            s = 1
-            after_c = g.loc[
-                (g["event_type"] == "click") & (g["ts"] > t_s), "ts"
-            ]
-            t_c = after_c.min() if len(after_c) else pd.NaT
-            c = int(not pd.isna(t_c))
-            if c:
-                after_p = g.loc[
-                    (g["event_type"] == "purchase") & (g["ts"] > t_c), "ts"
-                ]
-                p = int(len(after_p) > 0)
-            else:
-                p = 0
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.assign(t=t)
+        # stage 1: first signup per user, broadcast down the partition
+        t_s = df.assign(
+            x=df["t"].where(df["event_type"] == "signup")
+        ).groupby("user_id", sort=False)["x"].transform("min")
+        # stage 2: first click strictly after the signup
+        t_c = df.assign(
+            x=df["t"].where((df["event_type"] == "click") & (df["t"] > t_s))
+        ).groupby("user_id", sort=False)["x"].transform("min")
+        # stage 3: any purchase strictly after that click
+        has_p = df.assign(
+            x=(
+                (df["event_type"] == "purchase") & (df["t"] > t_c)
+            ).astype("float64")
+        ).groupby("user_id", sort=False)["x"].transform("max")
+        per = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "s": t_s.notna().astype("int64"),
+                "c": t_c.notna().astype("int64"),
+                "p": (has_p > 0).astype("int64"),
+            }
+        ).groupby("user_id", as_index=False).max()
         return pd.DataFrame(
             {
-                "n_signup": [np.int64(s)],
-                "n_click_after": [np.int64(c)],
-                "n_purchase_after": [np.int64(p)],
+                "n_signup": per["s"].astype("int64"),
+                "n_click_after": per["c"].astype("int64"),
+                "n_purchase_after": per["p"].astype("int64"),
             }
         )
 
-    per_user = grouped_map(ev, ["user_id"], firsts)
+    per_user = ex.map_batches(
+        firsts_block, batch_format="pandas", batch_size=None
+    )
     totals = per_user.sum(["n_signup", "n_click_after", "n_purchase_after"])
     return pd.DataFrame(
         {

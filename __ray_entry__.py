@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": q.doc_contamination,
         "doc_shared_ngrams": q.doc_shared_ngrams,
         "doc_segment_dedup": q.doc_segment_dedup,
+        "doc_ngram_novelty": q.doc_ngram_novelty,
         "doc_segment_rebuild": q.doc_segment_rebuild,
         "doc_pack_sequences": q.doc_pack_sequences,
         "doc_mix_sample": q.doc_mix_sample,
@@ -484,6 +485,18 @@ def oracle_sql() -> dict[str, str]:
             "pd AS (SELECT gram, doc_id FROM g GROUP BY gram, doc_id) "
             "SELECT gram, count(*) AS n_docs FROM pd GROUP BY gram "
             "HAVING count(*) >= 2"
+        ),
+        "doc_ngram_novelty": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "p AS (SELECT DISTINCT doc_id, "
+            "array_to_string(toks[i:i+7], ' ') AS gram "
+            "FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i "
+            "FROM t)), "
+            "f AS (SELECT gram, count(*) AS df FROM p GROUP BY gram) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_unique FROM p JOIN f USING (gram) GROUP BY doc_id"
         ),
         "doc_segment_dedup": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "

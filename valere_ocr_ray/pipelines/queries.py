@@ -2836,6 +2836,64 @@ def doc_zscore_by_lang(sf_dir: str):
     return docs.map_batches(z, batch_format="pandas")
 
 
+def doc_ngram_novelty(sf_dir: str):
+    """Novelty audit: per doc, how many of its distinct token 8-grams
+    occur in NO other document — the memorization-risk / boilerplate
+    inverse of ``doc_shared_ngrams``.  Distinct (gram, doc) pairs per
+    batch, ONE exchange by gram, partition-level transform marks
+    df==1 grams, then a keyed sum per doc.  Ints only on the wire
+    after the pair dedup."""
+    from valere_ocr_ray.ops.exchange import grouped_sum, hash_exchange
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "gram": pd.Series([], dtype="object"),
+                }
+            )
+        e = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        e["tok"] = df["text"].str.split(" ").to_numpy()
+        e = e.explode("tok")
+        parts = [e["tok"]]
+        g = e.groupby(level=0)["tok"]
+        for k in range(1, 8):
+            parts.append(g.shift(-k))
+        gram = parts[0].str.cat(parts[1:], sep=" ")
+        out = pd.DataFrame(
+            {"doc_id": e["doc_id"].to_numpy(), "gram": gram.to_numpy()}
+        )
+        return out[gram.notna().to_numpy()].drop_duplicates()
+
+    ex = hash_exchange(
+        docs.map_batches(pairs, batch_format="pandas"), ["gram"], 16
+    )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_unique": pd.Series([], dtype="int64"),
+                }
+            )
+        sizes = df.groupby("gram")["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_grams": np.ones(len(df), dtype="int64"),
+                "n_unique": (sizes == 1).astype("int64").to_numpy(),
+            }
+        )
+
+    marked = ex.map_batches(mark, batch_format="pandas", batch_size=None)
+    return grouped_sum(marked, ["doc_id"], ["n_grams", "n_unique"])
+
+
 def doc_segment_dedup(sf_dir: str):
     """Corpus-rewrite dedup audit (``ops/segdedup``): split each doc
     into non-overlapping 10-token segments, global keep-first on exact

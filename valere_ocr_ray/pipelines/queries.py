@@ -2839,11 +2839,12 @@ def doc_zscore_by_lang(sf_dir: str):
 def doc_ngram_novelty(sf_dir: str):
     """Novelty audit: per doc, how many of its distinct token 8-grams
     occur in NO other document — the memorization-risk / boilerplate
-    inverse of ``doc_shared_ngrams``.  Distinct (gram, doc) pairs per
-    batch, ONE exchange by gram, partition-level transform marks
-    df==1 grams, then a keyed sum per doc.  Ints only on the wire
-    after the pair dedup."""
+    inverse of ``doc_shared_ngrams``.  Distinct (gram-HASH, doc) pairs
+    per batch (md5-derived 64 bits — gram text never crosses the
+    wire; collision contract ≈ n²/2^65), ONE exchange by hash,
+    partition-level transform marks df==1 grams, keyed sum per doc."""
     from valere_ocr_ray.ops.exchange import grouped_sum, hash_exchange
+    from valere_ocr_ray.ops.segdedup import _seg_hash64
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -2852,7 +2853,7 @@ def doc_ngram_novelty(sf_dir: str):
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([], dtype="int64"),
-                    "gram": pd.Series([], dtype="object"),
+                    "gram": pd.Series([], dtype="int64"),
                 }
             )
         e = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
@@ -2863,10 +2864,14 @@ def doc_ngram_novelty(sf_dir: str):
         for k in range(1, 8):
             parts.append(g.shift(-k))
         gram = parts[0].str.cat(parts[1:], sep=" ")
+        ok = gram.notna().to_numpy()
         out = pd.DataFrame(
-            {"doc_id": e["doc_id"].to_numpy(), "gram": gram.to_numpy()}
+            {
+                "doc_id": e["doc_id"].to_numpy()[ok],
+                "gram": _seg_hash64(gram[ok]).view(np.int64),
+            }
         )
-        return out[gram.notna().to_numpy()].drop_duplicates()
+        return out.drop_duplicates()
 
     ex = hash_exchange(
         docs.map_batches(pairs, batch_format="pandas"), ["gram"], 16

@@ -306,3 +306,23 @@ def test_build_training_shards_end_to_end(ray_session, tmp_path):
     a = df.sort_values(["url_hash"]).reset_index(drop=True)
     b = df2.sort_values(["url_hash"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_build_training_shards_all_filtered(ray_session, tmp_path):
+    """Aggressive thresholds that drop every doc yield a zeroed audit,
+    not a crash."""
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "p")
+    synth_pages(pages, 80)
+    s = build_training_shards(
+        pages, str(tmp_path / "empty_out"), min_tokens=10**9
+    )
+    assert s == {
+        "n_docs_out": 0,
+        "n_sequences": 0,
+        "total_tokens": 0,
+        "n_shards": 0,
+        "mean_fill": 0.0,
+    }

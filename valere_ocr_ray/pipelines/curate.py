@@ -152,6 +152,18 @@ def build_training_shards(
     # audit from the durable output (no re-execution of the pipeline)
     import pyarrow.dataset as pads
 
+    if not os.path.isdir(out_dir):
+        # every doc filtered/deduped away: an empty corpus is a valid
+        # outcome (aggressive thresholds), not a crash — write_parquet
+        # creates no directory for an empty dataset
+        os.makedirs(out_dir, exist_ok=True)
+        return {
+            "n_docs_out": 0,
+            "n_sequences": 0,
+            "total_tokens": 0,
+            "n_shards": 0,
+            "mean_fill": 0.0,
+        }
     tbl = pads.dataset(out_dir, partitioning="hive").to_table(
         columns=["n_toks", "seq_id", "shard"]
     )

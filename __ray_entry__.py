@@ -171,7 +171,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "doc_source_stats": (
-            "SELECT source, count(*) AS n, sum(n_chars) AS sum_chars, "
+            # CAST: DuckDB sum(BIGINT) is HUGEINT → float64 in fetchdf,
+            # so the driver's value hash sees "123.0" vs the engine's
+            # int64 "123" (VERDICT r2 item 1) — same for every sum below
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "max(n_chars) AS max_chars, min(n_chars) AS min_chars "
             "FROM documents GROUP BY source"
         ),
@@ -255,14 +259,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_line_stats": (
             "SELECT doc_id, "
-            r"sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 0 "
+            r"CAST(sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 0 "
             "WHEN upper(line) = line AND lower(line) <> line THEN 1 ELSE 0 END) "
-            "AS n_heading, "
-            r"sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 1 ELSE 0 END) "
-            "AS n_blank, "
-            r"sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 0 "
+            "AS BIGINT) AS n_heading, "
+            r"CAST(sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_blank, "
+            r"CAST(sum(CASE WHEN regexp_matches(line, '^\s*$') THEN 0 "
             "WHEN upper(line) = line AND lower(line) <> line THEN 0 ELSE 1 END) "
-            "AS n_body FROM ("
+            "AS BIGINT) AS n_body FROM ("
             "SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
             "FROM documents) GROUP BY doc_id"
         ),
@@ -293,7 +297,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sliding": (
             "SELECT window_start, event_type, "
-            "sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_m, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_m, "
             "count(*) AS n FROM ("
             "SELECT (epoch_us(ts) // 1000000 // 900 - j) * 900 AS window_start, "
             "event_type, value FROM events, (VALUES (0), (1), (2), (3)) t(j)"
@@ -304,12 +309,85 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
         "doc_contacts": (
+            # reproduces queries._plant_contacts verbatim: the corpus is
+            # lowercase token soup, so deterministic doc_id-derived
+            # contacts are appended to every 3rd doc — the battery now
+            # fires on >0 rows instead of the r2 vacuous 0 == 0
+            "WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
+            "THEN ' Contact Dr. ' || "
+            "(['Alice','Bob','Carol','David','Erin'])[doc_id % 5 + 1] || ' ' || "
+            "(['Smith','Jones','Taylor','Brown','Lee'])[(doc_id // 5) % 5 + 1] || "
+            "' at (' || lpad(CAST(200 + doc_id % 700 AS VARCHAR), 3, '0') || ') ' || "
+            "lpad(CAST(200 + (doc_id * 7) % 700 AS VARCHAR), 3, '0') || '-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' "
+            "ELSE '' END AS text FROM documents) "
             r"SELECT doc_id, 'name' AS kind, unnest(regexp_extract_all(text, "
             r"'\b(?:Mr\.|Mrs\.|Ms\.|Dr\.)?\s*[A-Z][a-z]*\s*[A-Z][a-z]*\b')) AS contact "
-            "FROM documents "
+            "FROM aug "
             r"UNION ALL SELECT doc_id, 'phone' AS kind, unnest(regexp_extract_all(text, "
             r"'\b(?:\(\d{3}\)\s*|\d{3}[-.\s]?)\d{3}[-.\s]??\d{4}\b')) AS contact "
-            "FROM documents"
+            "FROM aug"
+        ),
+        "doc_langid": (
+            # mirrors ops/textstats.langid_batch: marker-regex count per
+            # language, argmax with first-max-wins in (en, es, fr, de)
+            # order, 'und' when no marker fires
+            "WITH s AS (SELECT doc_id, "
+            r"len(regexp_extract_all(lower(text), "
+            r"'\b(?:the|and|of|is|with|for|that)\b')) AS c_en, "
+            r"len(regexp_extract_all(lower(text), "
+            r"'\b(?:el|la|de|que|los|por|una)\b')) AS c_es, "
+            r"len(regexp_extract_all(lower(text), "
+            r"'\b(?:le|la|et|les|des|une|est)\b')) AS c_fr, "
+            r"len(regexp_extract_all(lower(text), "
+            r"'\b(?:der|die|und|das|ein|nicht|mit)\b')) AS c_de "
+            "FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und' "
+            "WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en' "
+            "WHEN c_es >= c_fr AND c_es >= c_de THEN 'es' "
+            "WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS lang_pred FROM s"
+        ),
+        "doc_near_dup_verified": (
+            # ground truth for the LSH+verify pipeline: ALL pairs
+            # sharing a token 3-gram with exact Jaccard >= 0.35 — a
+            # green here proves total LSH recall on this corpus
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "array_to_string(toks[i:i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i "
+            "FROM t)), "
+            "ng AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS n_int FROM g a JOIN g b "
+            "ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "CAST(floor(CAST(n_int AS DOUBLE) / (na.n_g + nb.n_g - n_int) "
+            "* 1000000) AS BIGINT) AS jacc_e6 "
+            "FROM inter JOIN ng na ON na.doc_id = inter.id_a "
+            "JOIN ng nb ON nb.doc_id = inter.id_b "
+            "WHERE CAST(n_int AS DOUBLE) / (na.n_g + nb.n_g - n_int) >= 0.35"
+        ),
+        "doc_tfidf_top": (
+            # mirrors ops/textstats.tfidf_top_terms: lowercase alpha
+            # runs len >= 3, score = round(tf * ln(N/df), 9), top-3 per
+            # doc by (score DESC, term ASC), micro-scaled output
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "regexp_extract_all(lower(text), '[a-z]+'), "
+            "w -> length(w) >= 3)) AS term FROM documents), "
+            "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, term), "
+            "dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) "
+            "AS df FROM tok GROUP BY term), "
+            "s AS (SELECT tf.doc_id, tf.term, "
+            "round(tf.tf * ln(nd.n / dfq.df), 9) AS score "
+            "FROM tf JOIN dfq USING (term), nd), "
+            "r AS (SELECT doc_id, term, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) "
+            "SELECT doc_id, term, CAST(floor(score * 1000000) AS BIGINT) "
+            "AS score_e6 FROM r WHERE rk <= 3"
         ),
         "doc_substring_search": (
             "SELECT doc_id, lang FROM documents WHERE contains(lower(text), 'spark')"
@@ -341,29 +419,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
-            "sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
-            "sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_c, "
+            "CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_c, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_c, "
             "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "orders_by_nation": (
             "SELECT n.n_name AS nation, "
-            "sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS sum_total_c, "
+            "CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_total_c, "
             "count(*) AS n_orders FROM orders o "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
         ),
         "lineitem_part_join": (
-            "SELECT p_brand, sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
+            "SELECT p_brand, "
+            "CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_c, "
             "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"
         ),
         "lineitem_part_join_shuffle": (
-            "SELECT p_brand, sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
+            "SELECT p_brand, "
+            "CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_c, "
             "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"
         ),
         "events_type_agg": (
-            "SELECT event_type, sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_m, "
+            "SELECT event_type, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_m, "
             "count(*) AS n FROM events GROUP BY event_type"
         ),
         "events_user_topk": (
@@ -371,13 +458,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"
         ),
         "lineitem_filter_agg": (
-            "SELECT sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) "
+            "SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) "
+            "AS BIGINT)) AS BIGINT) "
             "AS revenue_c, count(*) AS n FROM lineitem "
             "WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07"
         ),
         "orders_topk_revenue": (
             "SELECT l_orderkey, "
-            "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) "
             "AS revenue_c, count(*) AS n FROM lineitem GROUP BY l_orderkey "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
         ),
@@ -448,13 +537,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_cumsum": (
             "SELECT event_id, user_id, "
-            "sum(CAST(floor(value * 100) AS BIGINT)) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS cum_c "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_c "
             "FROM events"
         ),
         "part_lineitem_left_count": (
-            "SELECT p_partkey, p_name, COALESCE(t.qty_c, 0) AS qty_c, "
-            "COALESCE(t.n, 0) AS n FROM part LEFT JOIN ("
+            "SELECT p_partkey, p_name, "
+            "CAST(COALESCE(t.qty_c, 0) AS BIGINT) AS qty_c, "
+            "CAST(COALESCE(t.n, 0) AS BIGINT) AS n FROM part LEFT JOIN ("
             "SELECT l_partkey, sum(CAST(floor(l_quantity * 100) AS BIGINT)) "
             "AS qty_c, count(*) AS n FROM lineitem GROUP BY l_partkey) t "
             "ON p_partkey = t.l_partkey"
@@ -850,22 +940,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_user_pivot": (
             "SELECT user_id, "
-            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click, "
-            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error, "
-            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase, "
-            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup, "
-            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view "
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_click, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_error, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_purchase, "
+            "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_signup, "
+            "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_view "
             "FROM events GROUP BY user_id"
         ),
         "events_ranged_value_band": (
             "SELECT event_type, "
-            "sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_c, "
             "count(*) AS n FROM events "
             "WHERE value >= 100 AND value < 200 GROUP BY event_type"
         ),
         "supplier_by_region": (
             "SELECT r_name AS region, "
-            "sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS sum_bal_c, "
+            "CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_bal_c, "
             "count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
@@ -899,18 +996,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sessionize_salted": (
             "SELECT user_id, count(*) AS n_events, "
-            "sum(CASE WHEN prev_ts IS NULL OR "
+            "CAST(sum(CASE WHEN prev_ts IS NULL OR "
             "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) "
-            "AS n_sessions FROM ("
+            "AS BIGINT) AS n_sessions FROM ("
             "SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events"
             ") GROUP BY user_id"
         ),
         "events_sessionize": (
             "SELECT user_id, count(*) AS n_events, "
-            "sum(CASE WHEN prev_ts IS NULL OR "
+            "CAST(sum(CASE WHEN prev_ts IS NULL OR "
             "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) "
-            "AS n_sessions FROM ("
+            "AS BIGINT) AS n_sessions FROM ("
             "SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events"
             ") GROUP BY user_id"
@@ -923,7 +1020,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_hourly": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type, "
-            "sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_value_m, count(*) AS n "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_m, count(*) AS n "
             "FROM events GROUP BY 1, 2"
         ),
         "emb_label_counts": "SELECT label, count(*) AS n FROM embeddings GROUP BY label",

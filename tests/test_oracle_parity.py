@@ -71,6 +71,15 @@ def test_query_matches_oracle(contract, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    # dtype KIND must agree: the driver hashes formatted values, so an
+    # engine int64 vs an oracle float64 ("123" vs "123.0") is a fail
+    # even when numerically equal (VERDICT r2 item 1)
+    got_kinds = [got[c].dtype.kind for c in got.columns]
+    want_kinds = [want[c].dtype.kind for c in want.columns]
+    assert got_kinds == want_kinds, (
+        f"{name}: dtype kinds {got_kinds} != oracle {want_kinds} "
+        f"({dict(zip(got.columns, zip(got.dtypes, want.dtypes)))})"
+    )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 

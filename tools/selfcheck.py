@@ -54,6 +54,9 @@ def _normalize(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
+            # do NOT coerce float64→int64 here: the driver's value hash
+            # sees "123.0" vs "123" (VERDICT r2 item 1) — keep the
+            # mirror faithful so a dtype drift fails the self-check too
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
@@ -133,8 +136,15 @@ def main() -> None:
                     "rows_match": len(got) == len(want),
                     "schema_match": list(got.columns) == list(want.columns),
                     "values_match": _values_equal(got, want),
+                    # the driver's actual bar: md5 over the normalized
+                    # CSV — an int64-vs-float64 drift fails THIS even
+                    # when values_match is true (VERDICT r2 item 1)
+                    "hash_match": _value_hash(got) == _value_hash(want),
                 }
-                ok = entry["oracle"]["values_match"]
+                ok = (
+                    entry["oracle"]["values_match"]
+                    and entry["oracle"]["hash_match"]
+                )
             else:
                 entry["oracle"] = None  # rows-only check by design
                 ok = True

@@ -331,11 +331,21 @@ def doc_length_p90_by_lang(sf_dir: str):
 def doc_tfidf_top(sf_dir: str):
     """Per-doc top-3 TF-IDF terms (``ops/textstats.tfidf_top_terms``:
     df via tree combine, broadcast vocab arrays, vectorized scoring).
-    Rows-only (log-float scores; hand-computed unit oracle)."""
+    SQL-oracled: score emitted micro-scaled (``score_e6``) — both sides
+    floor the same ``tf * ln(N/df)`` IEEE double."""
     from valere_ocr_ray.ops.textstats import tfidf_top_terms
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return tfidf_top_terms(ds, k=3)
+    top = tfidf_top_terms(ds, k=3)
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["score_e6"] = np.floor(
+            out.pop("score").to_numpy(dtype=np.float64) * 1_000_000
+        ).astype(np.int64)
+        return out
+
+    return top.map_batches(scale, batch_format="pandas")
 
 
 def doc_train_shuffle_head(sf_dir: str):
@@ -394,10 +404,41 @@ def doc_tag_lookup(sf_dir: str):
     return pa.table({"doc_id": pa.array([first], pa.int64())})
 
 
+_CONTACT_FIRST = ("Alice", "Bob", "Carol", "David", "Erin")
+_CONTACT_LAST = ("Smith", "Jones", "Taylor", "Brown", "Lee")
+
+
+def _plant_contacts(df: pd.DataFrame) -> pd.Series:
+    """Deterministic contact sentence appended to every 3rd doc — the
+    driver-generated documents corpus is lowercase token soup with no
+    phone/name spans at all, which made the F10 battery's oracle
+    vacuous (0 == 0 rows, VERDICT r2 item 2).  The planted spans are
+    derived from doc_id alone, reproduced verbatim by the SQL oracle,
+    and embedded after real doc text so word boundaries are exercised."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    first = np.array(_CONTACT_FIRST)[ids % 5]
+    last = np.array(_CONTACT_LAST)[(ids // 5) % 5]
+    area = 200 + ids % 700
+    mid = 200 + (ids * 7) % 700
+    tail = ids % 10000
+    planted = pd.Series(
+        [
+            f" Contact Dr. {f} {l} at ({a:03d}) {m:03d}-{t:04d}."
+            for f, l, a, m, t in zip(first, last, area, mid, tail)
+        ],
+        index=df.index,
+    )
+    return df["text"].astype(str) + planted.where(
+        pd.Series(ids % 3 == 0, index=df.index), ""
+    )
+
+
 def doc_contacts(sf_dir: str):
     """F10 generic regex battery as a vectorized span-matcher: one row
     per (doc_id, kind, contact) match — pandas ``str.findall`` with the
-    module-compiled verbatim patterns, exploded (no per-row Python)."""
+    module-compiled verbatim patterns, exploded (no per-row Python).
+    Contacts are planted deterministically (``_plant_contacts``) so the
+    oracle has teeth: the battery fires on >0 rows."""
     from valere_ocr_ray.registry.extractors import (
         GENERIC_NAME_PATTERN,
         GENERIC_PHONE_PATTERN,
@@ -409,13 +450,14 @@ def doc_contacts(sf_dir: str):
     )
 
     def f(df: pd.DataFrame) -> pa.Table:
+        text = _plant_contacts(df)
         frames = []
         for kind, pat in (
             ("name", GENERIC_NAME_PATTERN),
             ("phone", GENERIC_PHONE_PATTERN),
         ):
             m = (
-                df.assign(contact=df["text"].str.findall(pat))[
+                df.assign(contact=text.str.findall(pat))[
                     ["doc_id", "contact"]
                 ]
                 .explode("contact")
@@ -433,11 +475,7 @@ def doc_contacts(sf_dir: str):
             schema=schema,
         )
 
-    # final result = the match set (output-sized); materialize it with
-    # an imposed schema — Ray strips schema from all-empty blocks, and
-    # a corpus with zero contacts must still return typed columns
-    rows = ds.map_batches(f, batch_format="pandas").take_all()
-    return pa.Table.from_pylist(rows, schema=schema)
+    return ds.map_batches(f, batch_format="pandas")
 
 
 def pages_contacts(sf_dir: str):
@@ -3251,12 +3289,29 @@ def events_sliding(sf_dir: str):
 def doc_near_dup_verified(sf_dir: str):
     """MinHash-LSH candidates exact-verified by token-3-gram Jaccard on
     the hash exchange (``verify_pairs_exact_exchange`` — zero driver
-    state; equivalence with the broadcast variant is test-pinned)."""
+    state; equivalence with the broadcast variant is test-pinned).
+
+    SQL-oracled: the DuckDB oracle computes ALL pairs sharing a token
+    3-gram with exact Jaccard >= 0.35, so a driver green here proves
+    the LSH recall is total on this corpus, not just internally
+    consistent.  Jaccard is emitted micro-scaled (``jacc_e6`` int64) —
+    both sides floor the same IEEE-double ratio."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     cand = dedup.minhash_lsh_pairs(ds, threshold=0.3)
-    return dedup.verify_pairs_exact_exchange(
-        ds, cand, n=3, threshold=0.35
-    ).select_columns(["id_a", "id_b", "jaccard"])
+    verified = dedup.verify_pairs_exact_exchange(ds, cand, n=3, threshold=0.35)
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy(dtype=np.int64),
+                "id_b": df["id_b"].to_numpy(dtype=np.int64),
+                "jacc_e6": np.floor(
+                    df["jaccard"].to_numpy(dtype=np.float64) * 1_000_000
+                ).astype(np.int64),
+            }
+        )
+
+    return verified.map_batches(scale, batch_format="pandas")
 
 
 def doc_simhash_pairs(sf_dir: str):

@@ -223,8 +223,10 @@ def kmeans_fit(
     returned centroids are the post-update means of that assignment."""
     from valere_ocr_ray.ops.combine import tree_keyed_sum
 
+    # expr filter → Arrow predicate pushdown, not a full Python row
+    # scan of the corpus for k seed rows (VERDICT r2 item 5)
     seed_rows = (
-        ds.filter(lambda r: r[id_col] < k)
+        ds.filter(expr=f"{id_col} < {int(k)}")
         .to_pandas()
         .sort_values(id_col)
     )

@@ -24,16 +24,15 @@ Determinism: every step is a pure function of the input corpus (seeded
 hashes, min-based tie-breaks), so reruns are byte-identical.
 
 Partitioning notes at scale: step 2 is the classic dedup shuffle — the
-corpus crosses the exchange exactly once, keyed by content hash (the
-same movement any hash-partitioned dedup performs; no broadcast, no
-driver materialization).  Step 3's pair list is linear in duplicate
-docs (star mode) and its clustering state lives in exchanged blocks.
-The ONE remaining broadcast is the final cluster-label map —
-proportional to *duplicate* docs (docs appearing in ≥1 verified pair),
-not corpus size; if even that outgrows worker memory (adversarial
-duplicate rates), replace the broadcast with a second
-``content``-style exchange of ``(url_hash ∪ label rows)`` keyed by
-``url_hash`` and annotate in-block.
+corpus crosses the exchange keyed by content hash (the same movement
+any hash-partitioned dedup performs; no broadcast, no driver
+materialization).  Step 3's pair list is linear in duplicate docs
+(star mode) and its clustering state lives in exchanged blocks.  The
+final cluster-label annotate is ALSO an exchange: label rows and
+corpus rows co-locate on a second hash exchange keyed by ``url_hash``
+and merge in-block — zero driver state anywhere in the pipeline (web
+corpora are 30–50% duplicates, so the label set scales with the
+corpus and must never be a driver dict or broadcast).
 """
 
 from __future__ import annotations
@@ -52,8 +51,11 @@ def build_dedup_corpus_ds(
     *,
     minhash_threshold: float = 0.8,
     num_perm: int = 64,
+    num_label_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Lazy Dataset of the deduplicated corpus rows (see module doc)."""
+    import numpy as np
+
     from valere_ocr_ray.ops.exchange import hash_exchange
 
     extracted = build_extraction_ds(pages_dir)
@@ -97,22 +99,62 @@ def build_dedup_corpus_ds(
         num_perm=num_perm,
         star=True,
     )
-    labels = dedup.cluster_labels(pairs, num_partitions=8)
-    # broadcast contract: |labels| = docs in ≥1 verified pair — the
-    # duplicate subset, NOT the corpus (see module doc for the
-    # exchange-based fallback if that ever outgrows worker memory)
-    cluster_map = {
-        int(r["doc_id"]): int(r["cluster"]) for r in labels.take_all()
-    }
-    cluster_ref = ray.put(cluster_map)
+    labels = dedup.cluster_labels(pairs, num_partitions=num_label_partitions)
+
+    # --- exchange-annotate (VERDICT r2 item 6): the label rows and the
+    # corpus rows co-locate on ONE hash exchange keyed by url_hash and
+    # merge in-block — zero driver state.  Web corpora are 30–50%
+    # duplicates, so |labels| scales WITH the corpus; the former
+    # labels.take_all() driver dict was the one remaining
+    # corpus-proportional driver structure in this pipeline.
+    corpus_cols = ["url", "url_hash", "content_hash", "doc_type",
+                   "extracted_text"]
+
+    def corpus_side(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[corpus_cols].copy()
+        out["cluster"] = np.int64(-1)
+        out["is_label"] = False
+        return out
+
+    def label_side(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "url": [""] * n,
+                "url_hash": df["doc_id"].to_numpy(dtype=np.int64),
+                "content_hash": [""] * n,
+                "doc_type": [""] * n,
+                "extracted_text": [""] * n,
+                "cluster": df["cluster"].to_numpy(dtype=np.int64),
+                "is_label": np.ones(n, dtype=bool),
+            }
+        )
+
+    mixed = uniq.map_batches(corpus_side, batch_format="pandas").union(
+        labels.map_batches(label_side, batch_format="pandas")
+    )
+    ex2 = hash_exchange(mixed, ["url_hash"], num_label_partitions)
 
     def annotate(df: pd.DataFrame) -> pd.DataFrame:
-        cm = ray.get(cluster_ref)
-        rep = df["url_hash"].map(lambda h: cm.get(h, h)).astype("int64")
-        df = df.assign(cluster_rep=rep, is_canonical=rep == df["url_hash"])
-        return df
+        lab = (
+            df[df["is_label"]]
+            .drop_duplicates("url_hash")
+            .set_index("url_hash")["cluster"]
+        )
+        rows = df[~df["is_label"]]
+        rep = (
+            rows["url_hash"].map(lab)
+            .fillna(rows["url_hash"])
+            .astype("int64")
+        )
+        out = rows[corpus_cols].copy()
+        out["cluster_rep"] = rep.to_numpy(dtype=np.int64)
+        out["is_canonical"] = out["cluster_rep"].to_numpy() == out[
+            "url_hash"
+        ].to_numpy(dtype=np.int64)
+        return out
 
-    return uniq.map_batches(annotate, batch_format="pandas")
+    return ex2.map_batches(annotate, batch_format="pandas", batch_size=None)
 
 
 def run_dedup_corpus(pages_dir: str, out_dir: str, **kwargs) -> dict:

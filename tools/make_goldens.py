@@ -41,6 +41,15 @@ def oracle_row(i: int) -> dict:
         status, text = "ok", extract_pdf_text(html)
     elif html[:1] in (b"<", b"\xef"):
         status, text = "ok", extract_main_text(html)
+    elif html[:2] in (b"BM", b"P6"):
+        # scanned raster card: the golden expectation is the PRINTED
+        # text (canonicalized) — the OCR kernel under test never runs
+        # here, so a decode/segmentation/classification bug in it
+        # CANNOT leak into the goldens
+        from valere_ocr_ray.extract.glyph_font import canonical_text
+        from valere_ocr_ray.sources.synth import _Rand, _scanned_card_lines
+
+        status, text = "ok", canonical_text(_scanned_card_lines(_Rand(i)))
     else:
         status, text = "error_unparseable", ""
 

@@ -75,6 +75,13 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + data
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB array → binary P6 PPM bytes (the test/synth twin of
+    :func:`decode_ppm`; round-trip is exact)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6, maxval ≤ 255) → RGB array."""
     if payload[:2] != b"P6":

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4  # v4: bucket-95 scanned raster cards (BMP/PPM + glyph OCR)
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -318,6 +318,36 @@ _DUP_PAYLOADS = [
 ]
 
 
+def _scanned_card_lines(r: _Rand) -> list[str]:
+    """The card text the raster printer receives — exposed separately
+    so the golden oracle can assert OCR output against the PRINTED
+    lines (the true expectation) without ever running the OCR kernel."""
+    return [
+        "INSURANCE MEMBER CARD",
+        f"MEMBER NAME: {r.name()}",
+        f"MEMBER ID: A{10000 + r.u32() % 90000}",
+        f"PCP: DR. {r.name()}",
+        f"PCP PHONE: {r.phone()}",
+        f"EFFECTIVE DATE: {r.date()}",
+        f"GROUP NO. G{r.u32() % 100000:05d}",
+        f"PLAN TYPE: {r.pick(_PLANS)}",
+    ]
+
+
+def _scanned_card(r: _Rand, i: int) -> bytes:
+    """Raster insurance card: the card fields printed with the repo's
+    deterministic glyph font into a BMP or PPM — the synth twin of the
+    extraction stage's template-match OCR kernel
+    (``extract/glyph_font``), mirroring the reference's scanned
+    JPG/PNG cards through Textract."""
+    from valere_ocr_ray.extract.glyph_font import render_text_image
+    from valere_ocr_ray.extract.image_decode import encode_bmp, encode_ppm
+
+    img = render_text_image(_scanned_card_lines(r))
+    # i % 100 == 95 is always odd — alternate container by the hundreds
+    return encode_bmp(img) if (i // 100) % 2 == 0 else encode_ppm(img)
+
+
 def build_pdf_bytes(lines: list[str], *, flate: bool = False) -> bytes:
     """Minimal single-page PDF with one text object — the shape
     `extract_pdf_text` parses (and a real PDF viewer opens).
@@ -420,9 +450,23 @@ def synth_row(i: int) -> tuple[str, int, bytes, str, str]:
             slug, html = f"{BLOCKLIST_TOKENS[0]}/asset", _generic_article(r, i)
         elif bucket >= 96:
             slug, html = "article", _long_article(r, i)  # CC-realistic size
+        elif bucket == 95:
+            # scanned raster page (the reference's PRIMARY modality:
+            # JPG/PNG insurance cards through Textract OCR) — here a
+            # BMP/PPM render of the same card fields through the
+            # deterministic glyph-font printer; the extraction stage
+            # reads it back with the template-match OCR kernel
+            slug, html = "insurancecard", _scanned_card(r, i)
         else:
             slug, html = "article", _generic_article(r, i)
-    ext = ".pdf" if html[:5] == b"%PDF-" else ".html"
+    if html[:5] == b"%PDF-":
+        ext = ".pdf"
+    elif html[:2] == b"BM":
+        ext = ".bmp"
+    elif html[:2] == b"P6":
+        ext = ".ppm"
+    else:
+        ext = ".html"
     url = f"https://site{i % 97}.example/{slug}/{i:08d}{ext}"
     # plain-text probe column: head of content for half the rows (F5 path)
     text = ""

@@ -24,6 +24,7 @@ import json
 import pyarrow as pa
 
 from valere_ocr_ray.extract.html_text import extract_main_text_meta
+from valere_ocr_ray.extract.image_decode import ImageFormatError
 from valere_ocr_ray.extract.pdf_text import extract_pdf_text
 from valere_ocr_ray.registry.extractors import extract_document
 from valere_ocr_ray.stages.docmeta import (
@@ -34,8 +35,10 @@ from valere_ocr_ray.stages.docmeta import (
 )
 
 STATUS_ERROR_PARSE = "error_parse"
-# image payload admitted but no OCR backend plugged into the seam —
-# routed, not dropped (a future decoder flips these rows to 'ok')
+# image payload admitted but its FORMAT has no decoder behind the OCR
+# seam (PNG/JPEG — no codecs in this environment) — routed, not
+# dropped; BMP/PPM raster pages go through the real glyph-template OCR
+# (``extract/glyph_font.ocr_image_bytes``) and come back 'ok'
 STATUS_SKIPPED_NO_OCR = "skipped_image_no_ocr"
 
 SPAN_TYPE = pa.list_(
@@ -61,7 +64,17 @@ class PageExtractor:
     """
 
     def __init__(self, ocr_seam=None) -> None:
-        # seam for scanned-page OCR; None → image-only PDFs yield ''
+        # scanned-page OCR seam.  Default: the deterministic 5x7
+        # glyph-template reader over the dependency-free BMP/PPM
+        # decoders (the Textract analog,
+        # ``IDD/finalcodes/InsuranceCard1.py:89-109``); it raises
+        # ImageFormatError for codec-less formats (PNG/JPEG), which
+        # routes to 'skipped_image_no_ocr'.  A Tesseract-class model
+        # drops into the same seam without touching the Ray plumbing.
+        if ocr_seam is None:
+            from valere_ocr_ray.extract.glyph_font import ocr_image_bytes
+
+            ocr_seam = ocr_image_bytes
         self._ocr = ocr_seam
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -85,14 +98,22 @@ class PageExtractor:
                 if kind == KIND_PDF:
                     text = extract_pdf_text(payload)
                     if not text and self._ocr is not None:
-                        text = self._ocr(payload)
+                        try:
+                            text = self._ocr(payload)
+                        except ImageFormatError:
+                            pass  # image-only PDF, no raster decoder
                 elif kind == KIND_HTML:
                     text, sig_tier = extract_main_text_meta(payload)
                 elif kind == KIND_IMAGE:
-                    # the OCR seam: image payloads route here; without a
-                    # backend they carry a skip status, never vanish
+                    # the OCR seam: decodable rasters (BMP/PPM) come
+                    # back as text; codec-less formats carry a skip
+                    # status, never vanish
                     if self._ocr is not None:
-                        text = self._ocr(payload)
+                        try:
+                            text = self._ocr(payload)
+                        except ImageFormatError:
+                            text = ""
+                            row_status = STATUS_SKIPPED_NO_OCR
                     else:
                         text = ""
                         row_status = STATUS_SKIPPED_NO_OCR

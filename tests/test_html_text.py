@@ -44,8 +44,40 @@ def test_two_cell_row_kv():
     assert t("<table><tr><td>MRN</td><td>99</td></tr></table>") == "MRN: 99"
 
 
-def test_multi_cell_row_space_join():
-    assert t("<table><tr><td>a</td><td>b</td><td>c</td></tr></table>") == "a b c"
+def test_multi_cell_row_pipe_join():
+    """Contract §6 (Textract TABLES analog): >= 3 cells with no header
+    row join with ' | '."""
+    assert t("<table><tr><td>a</td><td>b</td><td>c</td></tr></table>") == "a | b | c"
+
+
+def test_multi_cell_row_header_paired():
+    """A preceding all-<th> row of the same width pairs header-wise."""
+    out = t(
+        "<table><tr><th>Name</th><th>Dose</th><th>Qty</th></tr>"
+        "<tr><td>Amox</td><td>500mg</td><td>30</td></tr></table>"
+    )
+    assert out == "Name | Dose | Qty\nName: Amox | Dose: 500mg | Qty: 30"
+
+
+def test_header_width_mismatch_falls_back_to_pipe_join():
+    out = t(
+        "<table><tr><th>A</th><th>B</th><th>C</th></tr>"
+        "<tr><td>1</td><td>2</td><td>3</td><td>4</td></tr></table>"
+    )
+    assert out == "A | B | C\n1 | 2 | 3 | 4"
+
+
+def test_header_does_not_cross_table_boundary():
+    out = t(
+        "<table><tr><th>A</th><th>B</th><th>C</th></tr></table>"
+        "<table><tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    )
+    assert out == "A | B | C\n1 | 2 | 3"
+
+
+def test_two_cell_row_still_kv():
+    """The 2-cell 'k: v' FORMS contract is unchanged by the TABLES work."""
+    assert t("<table><tr><td>k</td><td>v</td></tr></table>") == "k: v"
 
 
 def test_checkbox_checked_emits_x():

@@ -23,8 +23,16 @@ Pinned text contract (golden-relevant; every clause is load-bearing):
    space, then strip; empty blocks vanish.
 5. ``<dt>X</dt><dd>Y</dd>`` emits one block ``"X: Y"`` (the KV-pair
    analog of the reference's KEY_VALUE_SET traversal).
-6. A ``<tr>`` with exactly two cells emits ``"c1: c2"``; otherwise its
-   cells join with a single space.
+6. A ``<tr>`` with exactly two cells emits ``"c1: c2"``.  A row with
+   >= 3 cells is the Textract TABLES analog
+   (``IDD/queryCodes/queryCodeTemplate.py:56-75`` requests
+   FORMS+TABLES): when the table's most recent all-``<th>`` row has
+   the SAME cell count, cells pair header-wise into one block
+   ``"h1: c1 | h2: c2 | ..."``; otherwise the cells join with
+   ``" | "``.  An all-``<th>`` row itself emits ``" | "``-joined (the
+   header line) and becomes the pairing header until the table ends.
+   Header state resets at ``<table>`` boundaries.  A single-cell row
+   emits its cell as a plain block.
 7. ``<input>`` contributes its ``value`` attribute as text; a checked
    checkbox/radio contributes the literal token ``X`` (preserves the
    reference's SELECTION_ELEMENT SELECTED → ``'X '`` → ``Selected``
@@ -90,10 +98,13 @@ class _Walker(HTMLParser):
         self._skip_depth = 0
         self._chrome_depth = 0
         self._a_depth = 0
-        # table-row assembly
+        # table-row assembly (+ TABLES header pairing, contract §6)
         self._in_row = False
         self._row_cells: list[str] = []
         self._in_cell = False
+        self._cell_is_th = False
+        self._row_all_th = True
+        self._table_header: list[str] | None = None
         # dt/dd pairing
         self._pending_dt: str | None = None
         self._in_dt = False
@@ -208,14 +219,20 @@ class _Walker(HTMLParser):
                 if "signature" in ident.lower():
                     self._sig_mark(SIG_TIER_ELEMENT)
             return
+        if tag == "table":
+            self._table_header = None  # header never crosses tables
         if tag == "tr":
             self._flush()
             self._in_row = True
             self._row_cells = []
+            self._row_all_th = True
             return
         if tag in ("td", "th"):
             self._flush()
             self._in_cell = True
+            self._cell_is_th = tag == "th"
+            if tag == "td":
+                self._row_all_th = False
             return
         if tag == "dt":
             self._flush()
@@ -259,8 +276,23 @@ class _Walker(HTMLParser):
             self._row_cells = []
             self._in_row = False
             if self._chrome_depth == 0 and cells:
-                if len(cells) == 2:
+                if self._row_all_th:
+                    # header line: emit " | "-joined, remember for
+                    # pairing the table's subsequent data rows
+                    self._table_header = cells
+                    self._emit(" | ".join(cells))
+                elif len(cells) == 2:
                     self._emit(f"{cells[0]}: {cells[1]}")
+                elif len(cells) >= 3:
+                    hdr = self._table_header
+                    if hdr is not None and len(hdr) == len(cells):
+                        self._emit(
+                            " | ".join(
+                                f"{h}: {c}" for h, c in zip(hdr, cells)
+                            )
+                        )
+                    else:
+                        self._emit(" | ".join(cells))
                 else:
                     self._emit(" ".join(cells))
             return
@@ -276,6 +308,8 @@ class _Walker(HTMLParser):
             self._flush()
             self._flush_pending_dt()
             return
+        if tag == "table":
+            self._table_header = None
         if tag in _BLOCK_TAGS:
             self._flush()
 

@@ -322,10 +322,36 @@ def test_build_training_shards_all_filtered(ray_session, tmp_path):
     s = build_training_shards(
         pages, str(tmp_path / "empty_out"), min_tokens=10**9
     )
-    assert s == {
+    zeroed = {
         "n_docs_out": 0,
         "n_sequences": 0,
         "total_tokens": 0,
         "n_shards": 0,
         "mean_fill": 0.0,
     }
+    assert s == zeroed
+
+    # ADVICE r3: a PRE-CREATED (existing, empty) out_dir must behave
+    # identically — the guard is on shard files, not on the directory
+    pre = str(tmp_path / "pre_created")
+    os.makedirs(pre)
+    assert build_training_shards(pages, pre, min_tokens=10**9) == zeroed
+
+
+def test_build_training_shards_refuses_populated_out_dir(
+    ray_session, tmp_path
+):
+    """write_parquet appends; a re-run into a non-empty out_dir would
+    silently double-count the audit — it must refuse instead."""
+    import pytest as _pytest
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "p")
+    synth_pages(pages, 80)
+    out = str(tmp_path / "out")
+    s1 = build_training_shards(pages, out)
+    assert s1["n_docs_out"] > 0
+    with _pytest.raises(FileExistsError):
+        build_training_shards(pages, out)

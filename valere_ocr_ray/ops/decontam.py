@@ -14,7 +14,8 @@ eval is compromised.  Scale shape here:
 
 One pass over the corpus, zero exchanges, broadcast bytes = O(benchmark
 n-grams) — constant in corpus size.  Matching is on 64-bit window
-hashes (two-lane crc32 → splitmix64, ``ops/dedup._token_hashes64``)
+hashes (md5-derived, ``ops/dedup._token_hashes64`` — truly 64 bits of
+entropy, unlike the crc32 pair it replaced)
 computed by THE SAME function on both sides, so probe/doc agreement is
 deterministic; 64-bit collisions are negligible (~1e-9 at 10^5
 benchmark n-grams × 10^4-token docs).

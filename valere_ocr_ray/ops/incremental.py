@@ -10,8 +10,10 @@ block, hash-exchanges it on the state's own key (so each bucket's new
 rows land in ONE task), merges bucket-by-bucket against the committed
 version, writes ``v<N+1>`` via tmp+rename, and only then commits the
 meta — the same data-then-manifest ordering as
-``pipelines/extract.run_resumable`` (reference resume semantics,
-`sparkocr2.py` offsets file).  A crash mid-update leaves the meta at
+``pipelines/extract.run_resumable`` (reference resume semantics: the
+``ContinuationToken`` cursor loop,
+``IDD/SearchingS3Buckets/S3searchFileContentByString.py:43-59``).  A
+crash mid-update leaves the meta at
 ``v<N>``: rerunning the same shard regenerates identical ``v<N+1>``
 files (merge inputs unchanged), so retries are idempotent and
 half-written files are never visible to readers.

@@ -12,8 +12,9 @@ fixed-size-per-block combine).
 
 Public scheme (Bar-Yossef et al., "Counting distinct elements in a
 data stream", RANDOM 2002).  Hashing uses the TRUE-64-bit token hash
-(``ops/dedup._token_hashes64`` — two independent crc32 streams packed
-to 64 bits, splitmix64-finalized): the estimator assumes uniform
+(``ops/dedup._token_hashes64`` — first 8 md5 digest bytes; a crc32
+pair was rejected because CRC's GF(2)-linearity leaves it ~32 bits of
+entropy): the estimator assumes uniform
 63-bit hashes, and a 32-bit base space would undercount past ~10^8
 distinct tokens and saturate at 2^32 (ADVICE r1).  The 32-bit-base
 hash remains only where that entropy provably suffices (minhash /

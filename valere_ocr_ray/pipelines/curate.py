@@ -19,8 +19,9 @@ stage materializes the corpus on the driver.
 
 Reference parity: composes the reference's extract semantics
 (`IDD/finalcodes/*`) with the training-data suite the engine adds;
-the per-stage audit mirrors the reference's run summaries
-(`sparkocr2.py` counters).
+the per-stage audit mirrors the reference's per-run counting
+(`IDD/finalcodes/InsuranceCard2.py:130-153` answer/empty-value
+counters).
 """
 
 from __future__ import annotations
@@ -147,15 +148,30 @@ def build_training_shards(
         pack,
         num_partitions=n_shards,
     )
+    import glob as _glob
+
+    def _shard_files() -> list[str]:
+        return _glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+
+    # write_parquet APPENDS into an existing directory; a re-run into a
+    # non-empty out_dir would silently inflate the audit with stale
+    # shards — refuse instead of corrupting
+    if _shard_files():
+        raise FileExistsError(
+            f"{out_dir} already contains shard=*/ parquet files; "
+            "write to a fresh directory (or clean it) — re-running "
+            "into a populated corpus would double-count"
+        )
     packed.write_parquet(out_dir, partition_cols=["shard"])
 
     # audit from the durable output (no re-execution of the pipeline)
     import pyarrow.dataset as pads
 
-    if not os.path.isdir(out_dir):
+    if not _shard_files():
         # every doc filtered/deduped away: an empty corpus is a valid
         # outcome (aggressive thresholds), not a crash — write_parquet
-        # creates no directory for an empty dataset
+        # creates no files for an empty dataset (and the caller may
+        # have pre-created out_dir, so the check is on FILES, not dir)
         os.makedirs(out_dir, exist_ok=True)
         return {
             "n_docs_out": 0,

@@ -25,6 +25,24 @@ import ray.data
 from valere_ocr_ray.sources.warc import PAGES_SCHEMA
 
 
+def _ts_to_us(ts) -> int:
+    """Epoch timestamp of UNKNOWN unit → microseconds, by magnitude:
+    seconds (< 1e11, covers through year 5138), milliseconds (< 1e14),
+    else already microseconds.  JSONL exports ship all three
+    conventions; silently treating seconds as µs put every row at
+    1970 (ADVICE r2)."""
+    try:
+        v = int(ts)
+    except (TypeError, ValueError):
+        return 0
+    a = abs(v)
+    if a < 100_000_000_000:  # epoch-seconds
+        return v * 1_000_000
+    if a < 100_000_000_000_000:  # epoch-millis
+        return v * 1_000
+    return v
+
+
 def jsonl_file_to_table(
     path: str,
     *,
@@ -57,11 +75,20 @@ def jsonl_file_to_table(
             if not isinstance(rec, dict):
                 n_bad += 1
                 continue
+            h = rec.get(html_key, "")
+            if isinstance(h, str):
+                hb = h.encode()
+            elif isinstance(h, (bytes, bytearray)) or h is None:
+                hb = bytes(h or b"")
+            else:
+                # a non-str/bytes html value (dict/float JSON) is a bad
+                # RECORD, not a bad file — count it, keep going
+                n_bad += 1
+                continue
             urls.append(str(rec.get(url_key) or "about:missing"))
             ts = rec.get(ts_key, 0)
-            tss.append(int(ts) if isinstance(ts, (int, float)) else 0)
-            h = rec.get(html_key, "")
-            htmls.append(h.encode() if isinstance(h, str) else bytes(h or b""))
+            tss.append(_ts_to_us(ts) if isinstance(ts, (int, float)) else 0)
+            htmls.append(hb)
             texts.append(str(rec.get(text_key) or ""))
             langs.append(str(rec.get(lang_key) or ""))
     tbl = pa.table(

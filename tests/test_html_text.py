@@ -222,6 +222,18 @@ def test_sig_tier2_geometry_analog():
     assert _tier('<p><img src="a.png" alt="logo" width="400" height="40"></p>') == 0
 
 
+def test_sig_tier2_css_sized_images():
+    """Pages sizing images via inline CSS instead of width/height attrs
+    express the same geometry (VERDICT r2 missing #4)."""
+    assert _tier('<p><img src="s.png" style="width:400px;height:40px"></p>') == 2
+    # mixed: attr width + CSS height
+    assert _tier('<p><img src="s.png" width="400" style="height: 40px"></p>') == 2
+    # CSS says too tall -> not geometry
+    assert _tier('<p><img src="s.png" style="width:400px;height:300px"></p>') == 0
+    # percent/em units don't parse as px geometry
+    assert _tier('<p><img src="s.png" style="width:90%;height:4em"></p>') == 0
+
+
 def test_sig_tier_priority_and_chrome_excluded():
     # element tier wins over geometry tier
     html = (

@@ -2399,7 +2399,7 @@ def orders_q3_topk(sf_dir: str):
         lambda df: pd.DataFrame(
             {
                 "l_orderkey": df["l_orderkey"],
-                "o_orderdate": pd.to_datetime(df["o_date_us"]),
+                "o_orderdate": pd.to_datetime(df["o_date_us"], unit="us").astype("datetime64[us]"),
                 "rev_c": df["rev_c"],
             }
         ),

@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_segment_dedup": q.doc_segment_dedup,
         "doc_contamination": q.doc_contamination,
         "doc_pack_sequences": q.doc_pack_sequences,
+        "doc_line_dedup": q.doc_line_dedup,
         "orders_q3_topk": q.orders_q3_topk,
         "events_sessionize": q.events_sessionize,
         # -- r2 hash-dtype fixes (CAST ... AS BIGINT oracles) ---------
@@ -90,8 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_click_and_purchase": q.events_click_and_purchase,
         "events_click_no_purchase": q.events_click_no_purchase,
         "supplier_roster_by_nation": q.supplier_roster_by_nation,
-        "orders_priority_status_rollup": q.orders_priority_status_rollup,
         # ---- end of the driver's 50-query window --------------------
+        "orders_priority_status_rollup": q.orders_priority_status_rollup,
         # documents: remaining text analysis + dedup (SURVEY §2.2,
         # §2.5-2.7 + ops); oracled entries here stay covered by the
         # builder self-check and the parity pytest
@@ -578,6 +579,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d JOIN probes p "
             "ON (' ' || d.text || ' ') LIKE ('% ' || p.phrase || ' %') "
             "GROUP BY d.doc_id"
+        ),
+        "doc_line_dedup": (
+            "WITH planted AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 3 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER TODAY' || chr(10) ELSE '' END) "
+            "|| text "
+            "|| (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED' ELSE '' END) "
+            "|| (CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'FOLLOW US ON SOCIAL MEDIA' ELSE '' END) "
+            "|| (CASE WHEN doc_id % 250 = 0 THEN chr(10) || 'RARE LINE SURVIVES' ELSE '' END) AS text "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx "
+            "FROM planted), "
+            "freq AS (SELECT line FROM lines WHERE length(trim(line)) > 0 "
+            "GROUP BY line HAVING count(DISTINCT doc_id) >= 5) "
+            "SELECT l.doc_id, "
+            "coalesce(string_agg(CASE WHEN l.line IN (SELECT line FROM freq) "
+            "THEN NULL ELSE l.line END, chr(10) ORDER BY l.idx), '') AS text, "
+            "CAST(count(*) FILTER (WHERE l.line IN (SELECT line FROM freq)) AS BIGINT) "
+            "AS n_dropped "
+            "FROM lines l GROUP BY l.doc_id"
         ),
         "doc_shared_ngrams": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "

@@ -80,30 +80,39 @@ def test_all_font_patterns_distinct():
 
 
 def test_extractor_ocr_seam(ray_session):
-    """Image rows through PageExtractor: BMP/PPM -> status ok + the
-    printed text; PNG (no decoder) -> skipped_image_no_ocr."""
+    """Image rows through PageExtractor: BMP/PPM/PNG/JPEG -> status ok +
+    the printed text; a corrupt PNG (undecodable) ->
+    skipped_image_no_ocr."""
+    from valere_ocr_ray.extract.image_decode import encode_png
+    from valere_ocr_ray.extract.jpeg import encode_jpeg
     from valere_ocr_ray.stages.extractor import PageExtractor
 
     lines = ["MEMBER ID: A12345"]
     img = render_text_image(lines)
     batch = pa.table(
         {
-            "url": ["a.bmp", "b.ppm", "c.png"],
+            "url": ["a.bmp", "b.ppm", "c.png", "d.jpg", "e.png"],
             "html": pa.array(
-                [encode_bmp(img), encode_ppm(img), b"\x89PNG\r\n\x1a\nxxxx"],
+                [
+                    encode_bmp(img),
+                    encode_ppm(img),
+                    encode_png(img),
+                    encode_jpeg(img),
+                    b"\x89PNG\r\n\x1a\nxxxx",
+                ],
                 pa.binary(),
             ),
-            "doc_kind": ["image", "image", "image"],
-            "status": ["ok", "ok", "ok"],
+            "doc_kind": ["image"] * 5,
+            "status": ["ok"] * 5,
         }
     )
     out = PageExtractor()(batch)
     texts = out["extracted_text"].to_pylist()
     statuses = out["status"].to_pylist()
     want = canonical_text(lines)
-    assert texts[0] == want and statuses[0] == "ok"
-    assert texts[1] == want and statuses[1] == "ok"
-    assert texts[2] == "" and statuses[2] == "skipped_image_no_ocr"
+    for i in range(4):
+        assert texts[i] == want and statuses[i] == "ok"
+    assert texts[4] == "" and statuses[4] == "skipped_image_no_ocr"
 
 
 def test_charset_covers_synth_card_lines():

@@ -1,4 +1,4 @@
-"""BMP/PPM decoder unit tests (the real kernel behind the multimodal seam)."""
+"""BMP/PPM/PNG decoder unit tests (the real kernels behind the multimodal seam)."""
 
 import numpy as np
 import pytest
@@ -65,3 +65,126 @@ def test_image_feature_geometry_tail():
     assert abs(f[-2] - np.log1p(20)) < 1e-6
     assert abs(f[-1] - np.log1p(10)) < 1e-6
     assert abs(f[:30].sum() - 1.0) < 1e-5  # normalized histogram
+
+
+def _png_with(color_type, raw_rows, w, h, plte=None):
+    import struct
+    import zlib
+
+    from valere_ocr_ray.extract.image_decode import _PNG_SIG, _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += _png_chunk(b"PLTE", plte)
+    return png + _png_chunk(b"IDAT", zlib.compress(raw_rows)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_exact():
+    from valere_ocr_ray.extract.image_decode import decode_png, encode_png
+
+    px = _pixels(w=17, h=11)
+    payload = encode_png(px)
+    assert sniff_image_format(payload) == "png"
+    assert np.array_equal(decode_png(payload), px)
+    assert np.array_equal(decode_image(payload), px)
+
+
+def test_png_all_filter_types():
+    """Forward-filter rows per the PNG spec (sub/up/average/Paeth) and
+    check the decoder inverts each — the part a roundtrip through our
+    filter-0 encoder cannot exercise."""
+    from valere_ocr_ray.extract.image_decode import decode_png
+
+    px = _pixels(w=9, h=6, seed=11)
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = bytearray()
+        prev = np.zeros(w * ch, np.int64)
+        for y in range(h):
+            ft = fts[y % len(fts)]
+            line = flat[y]
+            if ft == 0:
+                f = line.copy()
+            elif ft == 1:
+                f = line.copy()
+                f[ch:] = (line[ch:] - line[:-ch]) % 256
+            elif ft == 2:
+                f = (line - prev) % 256
+            elif ft == 3:
+                left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+                f = (line - ((left + prev) // 2)) % 256
+            else:  # Paeth
+                f = np.empty(w * ch, np.int64)
+                for x in range(w * ch):
+                    a = line[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    f[x] = (line[x] - pred) % 256
+            out.append(ft)
+            out += bytes(f.astype(np.uint8))
+            prev = line
+        got = decode_png(_png_with(2, bytes(out), w, h))
+        assert np.array_equal(got, px), f"filters {fts}"
+
+
+def test_png_color_types():
+    from valere_ocr_ray.extract.image_decode import decode_png
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    raw = b"".join(b"\0" + g[y].tobytes() for y in range(5))
+    assert np.array_equal(
+        decode_png(_png_with(0, raw, 4, 5)), np.repeat(g[:, :, None], 3, 2)
+    )
+    ga = rng.integers(0, 256, (5, 4, 2), dtype=np.uint8)
+    raw = b"".join(b"\0" + ga[y].tobytes() for y in range(5))
+    assert np.array_equal(
+        decode_png(_png_with(4, raw, 4, 5)), np.repeat(ga[:, :, :1], 3, 2)
+    )
+    rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    raw = b"".join(b"\0" + rgba[y].tobytes() for y in range(5))
+    assert np.array_equal(decode_png(_png_with(6, raw, 4, 5)), rgba[:, :, :3])
+    plte = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (5, 4), dtype=np.uint8)
+    raw = b"".join(b"\0" + idx[y].tobytes() for y in range(5))
+    assert np.array_equal(
+        decode_png(_png_with(3, raw, 4, 5, plte.tobytes())), plte[idx]
+    )
+
+
+def test_png_corrupt_and_unsupported_raise():
+    import struct
+    import zlib
+
+    from valere_ocr_ray.extract.image_decode import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    px = _pixels(w=4, h=4)
+    good = encode_png(px)
+    with pytest.raises(ImageFormatError):
+        decode_png(good[:30])  # truncated chunk
+    with pytest.raises(ImageFormatError):
+        decode_png(b"\x89PNG\r\n\x1a\nxxxx")  # garbage after sig
+    # 16-bit depth unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(b"\0" * 26)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ImageFormatError):
+        decode_png(bad)
+    # interlaced unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(b"\0" * 14)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ImageFormatError):
+        decode_png(bad)
+    # corrupt deflate stream
+    bad = _PNG_SIG + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + _png_chunk(b"IDAT", b"notdeflate") + _png_chunk(b"IEND", b"")
+    with pytest.raises(ImageFormatError):
+        decode_png(bad)

@@ -1567,3 +1567,50 @@ def test_ranged_layout_randomized_ranges(ray_session, tmp_path):
             assert len(got) == 0, (lo, hi)
             continue
         assert sorted(got["rid"]) == sorted(want["rid"]), (lo, hi)
+
+
+def test_line_dedup_variants_equal(ray_session):
+    """Broadcast and exchange rewrites agree; frequent lines drop, rare
+    and blank lines survive; every row comes back."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.linededup import (
+        repeated_lines,
+        strip_repeated_lines,
+        strip_repeated_lines_exchange,
+    )
+
+    docs = []
+    for i in range(40):
+        lines = [f"unique line {i} alpha", f"unique {i} beta"]
+        if i % 2 == 0:
+            lines.insert(0, "SUBSCRIBE NOW")
+        if i % 3 == 0:
+            lines.append("COPYRIGHT 2024")
+        if i % 20 == 0:
+            lines.append("RARE LINE")  # 2 docs < min_docs
+        if i == 7:
+            lines.insert(1, "")  # blank structural line
+        docs.append({"doc_id": i, "text": "\n".join(lines)})
+    ds = rd.from_pandas(pd.DataFrame(docs))
+
+    freq = repeated_lines(ds, min_docs=5).to_pandas()
+    assert len(freq) == 2  # SUBSCRIBE + COPYRIGHT
+    a = (
+        strip_repeated_lines(ds, min_docs=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        strip_repeated_lines_exchange(ds, min_docs=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) == 40  # no rows vanish
+    assert a.loc[0, "text"] == "unique line 0 alpha\nunique 0 beta\nRARE LINE"
+    assert int(a.loc[0, "n_dropped"]) == 2
+    assert a.loc[7, "text"] == "unique line 7 alpha\n\nunique 7 beta"  # blank kept
+    assert not a["text"].str.contains("SUBSCRIBE|COPYRIGHT", regex=True).any()

@@ -41,7 +41,11 @@ def oracle_row(i: int) -> dict:
         status, text = "ok", extract_pdf_text(html)
     elif html[:1] in (b"<", b"\xef"):
         status, text = "ok", extract_main_text(html)
-    elif html[:2] in (b"BM", b"P6"):
+    elif (
+        html[:2] in (b"BM", b"P6")
+        or html[:8] == b"\x89PNG\r\n\x1a\n"
+        or html[:3] == b"\xff\xd8\xff"
+    ):
         # scanned raster card: the golden expectation is the PRINTED
         # text (canonicalized) — the OCR kernel under test never runs
         # here, so a decode/segmentation/classification bug in it

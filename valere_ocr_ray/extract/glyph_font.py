@@ -5,8 +5,9 @@ Textract OCR (``IDD/finalcodes/InsuranceCard1.py:89-109``,
 ``Facesheet.py:87-88``).  This container ships no OCR model, but the
 OCR *pipeline shape* — decode pixels, find text lines, segment glyph
 cells, classify each cell, emit byte-stable text — is fully
-implementable over the repo's dependency-free BMP/PPM decoders
-(``extract/image_decode.py``) with a fixed bitmap font:
+implementable over the repo's dependency-free BMP/PPM/PNG/JPEG
+decoders (``extract/image_decode.py``, ``extract/jpeg.py``) with a
+fixed bitmap font:
 
 * ``render_text_image`` is the corpus-synthesis twin: it rasterizes
   text with the module's 5x7 font on a strict 6px-pitch grid (the

@@ -1,32 +1,42 @@
-"""Dependency-free image decoding: BMP (24-bit BI_RGB) + PPM (P6).
+"""Dependency-free image decoding: BMP (24-bit BI_RGB), PPM (P6), PNG.
 
-The container ships no image libraries, but these two formats are
-fully decodable with stdlib ``struct`` + numpy — so the multimodal
-seam (``ops/multimodal.py``) has at least one REAL kernel behind it:
-header parse → pixel array → feature, not a fake.  Formats outside
-these two still route to ``error_no_decoder`` (the documented stub
-path for PIL/ffmpeg-class decoders).
+The container ships no image libraries, but these formats are fully
+decodable with stdlib ``struct``/``zlib`` + numpy — so the multimodal
+seam (``ops/multimodal.py``) has REAL kernels behind it: header parse
+→ pixel array → feature, not a fake.  PNG covers every 8-bit color
+type (gray / gray+alpha / RGB / RGBA / palette, non-interlaced);
+formats outside these (JPEG's DCT/Huffman stack, Adam7-interlaced
+PNG) still route to ``error_no_decoder`` (the documented stub path
+for PIL/ffmpeg-class decoders).
 
-Both decoders return ``(h, w, 3) uint8`` RGB arrays.
+All decoders return ``(h, w, 3) uint8`` RGB arrays.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 
 class ImageFormatError(ValueError):
-    """Payload is not a decodable BMP/PPM image."""
+    """Payload is not a decodable BMP/PPM/PNG image."""
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | None (undecodable here)."""
+    """'bmp' | 'ppm' | 'png' | 'jpeg' | None (undecodable here)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -122,13 +132,181 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+# PNG color type → samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (types 0–4) → (h, w*ch) u8.
+
+    Filters 0 (none), 1 (sub) and 2 (up) are fully vectorized — sub is
+    a per-lane prefix sum mod 256, up is a running elementwise sum that
+    uint8 wraps for free.  3 (average) and 4 (Paeth) depend on the
+    previous PIXEL so they fall back to a per-pixel loop on that row
+    only; our own encoder emits filter 0, and scanner output in the
+    wild is dominated by 0/2.
+    """
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ImageFormatError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = rows[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ft = int(filters[y])
+        line = rows[y, 1:]
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 1:
+            cur = (
+                np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            cur = line + prev  # uint8 wraparound is the mod-256 add
+        elif ft == 3:
+            cur = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int64)
+            p64 = prev.astype(np.int64)
+            l64 = line.astype(np.int64)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = (l64[s] + ((left + p64[s]) >> 1)) & 0xFF
+                cur[s] = left
+        elif ft == 4:
+            cur = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            p64 = prev.astype(np.int64)
+            l64 = line.astype(np.int64)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = p64[s]
+                p = left + up - ul
+                pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+                )
+                left = (l64[s] + pred) & 0xFF
+                cur[s] = left
+                ul = up
+        else:
+            raise ImageFormatError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (color types 0/2/3/4/6) → RGB array.
+
+    Pure stdlib ``zlib`` inflate + numpy unfiltering; alpha is dropped
+    (extraction cares about luminance, and scanned pages are opaque).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ImageFormatError("not a PNG")
+    pos, n = 8, len(payload)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data_start = pos + 8
+        if data_start + length > n:
+            raise ImageFormatError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = payload[data_start : data_start + length]
+        elif ctype == b"PLTE":
+            plte = payload[data_start : data_start + length]
+        elif ctype == b"IDAT":
+            idat += payload[data_start : data_start + length]
+        elif ctype == b"IEND":
+            break
+        pos = data_start + length + 4  # skip CRC
+    if ihdr is None or len(ihdr) < 13:
+        raise ImageFormatError("missing PNG IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if w <= 0 or h <= 0:
+        raise ImageFormatError("degenerate dimensions")
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ImageFormatError(
+            f"unsupported PNG (depth={depth}, compression={comp}, filter={filt})"
+        )
+    if interlace != 0:
+        raise ImageFormatError("Adam7-interlaced PNG unsupported")
+    if color not in _PNG_CHANNELS:
+        raise ImageFormatError(f"unsupported PNG color type {color}")
+    if not idat:
+        raise ImageFormatError("missing PNG IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageFormatError(f"corrupt PNG IDAT: {exc}") from exc
+    channels = _PNG_CHANNELS[color]
+    flat = _png_unfilter(raw, h, w, channels)
+    if color == 0:  # grayscale
+        g = flat.reshape(h, w, 1)
+        return np.repeat(g, 3, axis=2)
+    if color == 4:  # gray + alpha → drop alpha
+        g = flat.reshape(h, w, 2)[:, :, :1]
+        return np.repeat(g, 3, axis=2)
+    if color == 2:  # RGB
+        return flat.reshape(h, w, 3).copy()
+    if color == 6:  # RGBA → drop alpha
+        return flat.reshape(h, w, 4)[:, :, :3].copy()
+    # color == 3: palette
+    if plte is None or len(plte) % 3:
+        raise ImageFormatError("palette PNG without valid PLTE")
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = flat.reshape(h, w)
+    if idx.max(initial=0) >= len(lut):
+        raise ImageFormatError("palette index out of range")
+    return lut[idx]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB array → 8-bit truecolor PNG bytes (filter 0 rows; the
+    test/synth twin of :func:`decode_png`; round-trip is exact)."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    body = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    body[:, 0] = 0
+    body[:, 1:] = pixels.reshape(h, w * 3)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     fmt = sniff_image_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
-    raise ImageFormatError("undecodable format (no BMP/PPM magic)")
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "jpeg":
+        # lazy import: jpeg.py imports ImageFormatError from this module
+        from valere_ocr_ray.extract.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ImageFormatError("undecodable format (no BMP/PPM/PNG/JPEG magic)")
 
 
 def image_feature(pixels: np.ndarray, dim: int = 32) -> np.ndarray:

@@ -1,0 +1,626 @@
+"""Dependency-free baseline JPEG codec (stdlib + numpy).
+
+The reference's primary payload is scanned JPG cards pushed through
+Textract (``IDD/finalcodes/InsuranceCard1.py:83-109``,
+``Facesheet.py:87-88``) — JPEG is the one raster format a web corpus
+is guaranteed to contain, and this container ships no image codec.
+Baseline sequential JPEG is fully decodable with numpy: canonical
+Huffman tables (DHT), dequantization (DQT), 8×8 inverse DCT as a pair
+of matmuls, chroma upsampling and the JFIF YCbCr→RGB transform.
+
+Decoder coverage: SOF0/SOF1 (baseline/extended sequential), 8-bit,
+1-component grayscale or 3-component YCbCr with any H/V sampling
+factors ≤ 2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart markers (DRI/RSTn),
+0xFF00 byte unstuffing.  Progressive (SOF2), arithmetic coding and
+12-bit precision raise :class:`ImageFormatError` → the extraction
+stage's documented ``skipped_image_no_ocr`` route, never a crash.
+
+Encoder (the test/synth twin): baseline, standard Annex K quant
+tables scaled by IJG quality, the spec's K.3 Huffman tables, 4:4:4 or
+4:2:0.  Round-trip is lossy by nature; at quality ≥ 90 the error on
+high-contrast text stays far below the binarization threshold, so
+glyph OCR over a JPEG scan is byte-stable (pinned by test).
+
+Huffman decode is table-driven: the unstuffed entropy segment becomes
+one numpy bit array, and each symbol is a single 65536-entry LUT
+lookup on the next 16 bits — no per-bit Python loop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from valere_ocr_ray.extract.image_decode import ImageFormatError
+
+# ---------------------------------------------------------------------------
+# constants: zigzag, Annex K quant tables, K.3 Huffman tables
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Raster index for each zigzag position (generated, not typed)."""
+    order = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(max(0, s - 7), min(7, s) + 1)]
+        if s % 2 == 0:
+            cells.reverse()
+        order += [i * 8 + j for i, j in cells]
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+
+_QUANT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# spec Annex K.3: (BITS counts for code lengths 1..16, symbol list)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+assert sum(_AC_LUM_BITS) == len(_AC_LUM_VALS) == 162
+assert sum(_AC_CHROMA_BITS) == len(_AC_CHROMA_VALS) == 162
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8.0)[:, None]
+    n = np.arange(8.0)[None, :]
+    m = np.cos((2 * n + 1) * k * np.pi / 16.0)
+    m[0] *= np.sqrt(0.5)
+    return (m * 0.5).astype(np.float64)  # orthonormal: M @ M.T = I
+
+
+_DCT_M = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, int]]:
+    """(symbol, code, length) triples in canonical order."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffLUT:
+    """65536-entry decode LUT: next-16-bits → (symbol, code length)."""
+
+    __slots__ = ("sym", "length")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.sym = np.zeros(1 << 16, dtype=np.int16)
+        self.length = np.zeros(1 << 16, dtype=np.int8)  # 0 = invalid code
+        for symbol, code, length in _canonical_codes(bits, vals):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            self.sym[lo:hi] = symbol
+            self.length[lo:hi] = length
+
+
+class _BitReader:
+    """Numpy bit-array reader over one unstuffed entropy segment."""
+
+    __slots__ = ("bits", "pos", "n")
+
+    def __init__(self, data: bytes) -> None:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        self.bits = np.unpackbits(arr).astype(np.int64)
+        # pad so a 16-bit peek near the end never walks off the array
+        # (pad bits are 0 → interpreted as lengths the LUT marks valid
+        # or invalid; a symbol that *consumes* pad bits is a truncation
+        # error caught by the pos check in decode)
+        self.bits = np.concatenate([self.bits, np.zeros(16, dtype=np.int64)])
+        self.pos = 0
+        self.n = len(arr) * 8
+
+    def peek16(self) -> int:
+        b = self.bits[self.pos : self.pos + 16]
+        return int(b @ _POW2_16)
+
+    def skip(self, k: int) -> None:
+        self.pos += k
+
+    def receive(self, k: int) -> int:
+        if k == 0:
+            return 0
+        b = self.bits[self.pos : self.pos + k]
+        self.pos += k
+        return int(b @ _POW2_16[16 - k :])
+
+
+_POW2_16 = (1 << np.arange(15, -1, -1, dtype=np.int64))
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map the s received bits to a signed value."""
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"\xff\xd8":
+        raise ImageFormatError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffLUT] = {}
+    frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    scan = None
+
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ImageFormatError(f"marker desync at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq != 0:
+                    raise ImageFormatError("16-bit quant tables unsupported")
+                table = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(np.int64)
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = table
+                qt[tq] = raster.reshape(8, 8)
+                sp += 65
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                nv = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + nv])
+                huff[(tc, th)] = _HuffLUT(bits, vals)
+                sp += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: (extended) sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ImageFormatError(f"{prec}-bit precision unsupported")
+            if nc not in (1, 3):
+                raise ImageFormatError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ImageFormatError(f"sampling {hs}x{vs} unsupported")
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageFormatError("progressive/arithmetic JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            tables = {}
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                tables[cs] = (tdta >> 4, tdta & 0xF)
+            scan = (tables, pos + seglen)
+            break
+        # APPn / COM / others: skip
+        pos += seglen
+
+    if frame is None or scan is None:
+        raise ImageFormatError("missing SOF/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ImageFormatError("degenerate dimensions")
+    tables, data_start = scan
+
+    # split entropy data at RST markers, unstuff 0xFF00 within segments
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = data_start
+    while p < n:
+        b = payload[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        m = payload[p + 1] if p + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or next marker
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64))
+        if tq not in qt:
+            raise ImageFormatError(f"missing quant table {tq}")
+        if cid not in tables:
+            raise ImageFormatError(f"scan lacks component {cid}")
+
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    mcu_in_seg = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ImageFormatError("missing restart segment")
+                reader = _BitReader(segments[seg_i])
+                preds = [0] * len(comps)
+                mcu_in_seg = 0
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_lut = huff.get((0, tables[cid][0]))
+                ac_lut = huff.get((1, tables[cid][1]))
+                if dc_lut is None or ac_lut is None:
+                    raise ImageFormatError("missing Huffman table")
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.int64)
+                        # DC
+                        key = reader.peek16()
+                        ln = int(dc_lut.length[key])
+                        if ln == 0:
+                            raise ImageFormatError("invalid DC Huffman code")
+                        reader.skip(ln)
+                        s = int(dc_lut.sym[key])
+                        diff = _extend(reader.receive(s), s)
+                        preds[ci] += diff
+                        coef[0] = preds[ci]
+                        # AC
+                        k = 1
+                        while k < 64:
+                            key = reader.peek16()
+                            ln = int(ac_lut.length[key])
+                            if ln == 0:
+                                raise ImageFormatError("invalid AC Huffman code")
+                            reader.skip(ln)
+                            rs = int(ac_lut.sym[key])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ImageFormatError("AC index overrun")
+                            coef[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        if reader.pos > reader.n + 7:
+                            raise ImageFormatError("truncated entropy data")
+                        block = np.zeros(64, dtype=np.int64)
+                        block[ZIGZAG] = coef
+                        f = block.reshape(8, 8) * q
+                        px = _DCT_M.T @ f.astype(np.float64) @ _DCT_M + 128.0
+                        y0 = (_my * vs + by) * 8
+                        x0 = (_mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_in_seg += 1
+
+    # upsample each plane to full MCU-padded resolution, crop, combine
+    full = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        if hs < hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs < vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (test/synth twin)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    wtr: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    f = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
+    coef = np.round(f / q).astype(np.int64).reshape(64)[ZIGZAG]
+    dc = int(coef[0])
+    diff = dc - pred
+    s = int(diff != 0 and abs(diff).bit_length())
+    code, ln = dc_codes[s]
+    wtr.write(code, ln)
+    if s:
+        wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(coef[1:])[0]
+    prev = 0
+    for idx in nz:
+        k = int(idx) + 1
+        run = k - prev - 1
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        v = int(coef[k])
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+        prev = k
+    if prev != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wtr.write(code, ln)
+    return dc
+
+
+def _pad_to(img: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = img.shape
+    return np.pad(
+        img, ((0, -h % bh), (0, -w % bw)), mode="edge"
+    )
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB array → baseline JFIF JPEG bytes (4:4:4 or 4:2:0).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every N MCUs (4:4:4 path only) — the scanner-output shape that
+    makes a decoder's restart handling testable."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if restart_interval and subsampling != "444":
+        raise ValueError("restart_interval is implemented for 4:4:4 only")
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+    qy = _scaled_quant(_QUANT_LUM, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    qy_r = np.zeros(64, np.int64)
+    qy_r[ZIGZAG] = qy
+    qc_r = np.zeros(64, np.int64)
+    qc_r[ZIGZAG] = qc
+    qy2, qc2 = qy_r.reshape(8, 8), qc_r.reshape(8, 8)
+
+    codes = {
+        name: {s: (c, ln) for s, c, ln in _canonical_codes(bits, vals)}
+        for name, (bits, vals) in {
+            "dcl": (_DC_LUM_BITS, _DC_LUM_VALS),
+            "dcc": (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            "acl": (_AC_LUM_BITS, _AC_LUM_VALS),
+            "acc": (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        }.items()
+    }
+
+    wtr = _BitWriter()
+    if subsampling == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+        yp = _pad_to(y, 8, 8)
+        cbp = _pad_to(cb, 8, 8)
+        crp = _pad_to(cr, 8, 8)
+        mcux, mcuy = yp.shape[1] // 8, yp.shape[0] // 8
+        preds = [0, 0, 0]
+        mcu_i = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    wtr.flush()
+                    wtr.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) & 7
+                    preds = [0, 0, 0]
+                for ci, (plane, q, dck, ack) in enumerate(
+                    [(yp, qy2, "dcl", "acl"), (cbp, qc2, "dcc", "acc"), (crp, qc2, "dcc", "acc")]
+                ):
+                    blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                    preds[ci] = _encode_block(
+                        wtr, blk, q, preds[ci], codes[dck], codes[ack]
+                    )
+                mcu_i += 1
+    else:  # 420
+        samp = [(2, 2), (1, 1), (1, 1)]
+        yp = _pad_to(y, 16, 16)
+        # chroma downsample by 2x2 mean, then pad to 8
+        cb2 = cb[: h & ~1, : w & ~1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) if h >= 2 and w >= 2 else cb
+        cr2 = cr[: h & ~1, : w & ~1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) if h >= 2 and w >= 2 else cr
+        cbp = _pad_to(cb2, 8, 8)
+        crp = _pad_to(cr2, 8, 8)
+        # chroma planes must cover mcux*8 x mcuy*8
+        mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+        cbp = _pad_to(cbp, mcuy * 8, mcux * 8)[: mcuy * 8, : mcux * 8]
+        crp = _pad_to(crp, mcuy * 8, mcux * 8)[: mcuy * 8, : mcux * 8]
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        blk = yp[
+                            (my * 2 + by) * 8 : (my * 2 + by) * 8 + 8,
+                            (mx * 2 + bx) * 8 : (mx * 2 + bx) * 8 + 8,
+                        ]
+                        preds[0] = _encode_block(
+                            wtr, blk, qy2, preds[0], codes["dcl"], codes["acl"]
+                        )
+                for ci, plane in ((1, cbp), (2, crp)):
+                    blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                    preds[ci] = _encode_block(
+                        wtr, blk, qc2, preds[ci], codes["dcc"], codes["acc"]
+                    )
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qy.astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hs, vs), tq in zip((1, 2, 3), samp, (0, 1, 1)):
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for tcth, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += seg(0xC4, bytes([tcth] + bits + vals))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1253,6 +1253,46 @@ def doc_contamination(sf_dir: str):
     )
 
 
+# planted boilerplate lines (deterministic in doc_id, reproduced
+# verbatim by the SQL oracle) — the driver corpus has no cross-doc
+# repeated lines at all, so without planting the line-dedup oracle
+# would be vacuous (the doc_contacts lesson, VERDICT r2 item 2).
+_BOILER_HEADER = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+_BOILER_FOOTER = "COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED"
+_BOILER_SOCIAL = "FOLLOW US ON SOCIAL MEDIA"
+_BOILER_RARE = "RARE LINE SURVIVES"
+
+
+def _plant_boilerplate(df: pd.DataFrame) -> pd.DataFrame:
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    base = df["text"].astype(str)
+    head = pd.Series(np.where(ids % 3 == 0, _BOILER_HEADER + "\n", ""), index=df.index)
+    foot = pd.Series(np.where(ids % 4 == 0, "\n" + _BOILER_FOOTER, ""), index=df.index)
+    social = pd.Series(np.where(ids % 17 == 0, "\n" + _BOILER_SOCIAL, ""), index=df.index)
+    rare = pd.Series(np.where(ids % 250 == 0, "\n" + _BOILER_RARE, ""), index=df.index)
+    return pd.DataFrame(
+        {"doc_id": ids, "text": head + base + foot + social + rare}
+    )
+
+
+def doc_line_dedup(sf_dir: str):
+    """Corpus-level repeated-line removal
+    (``ops/linededup.strip_repeated_lines_exchange`` — RefinedWeb-style
+    boilerplate strip): every line appearing in ≥5 distinct documents
+    is dropped from every document; rebuilt text + per-doc drop count
+    come back for all rows.  Boilerplate lines are planted
+    deterministically (header/footer/social ≥5 docs → stripped; a
+    2-doc 'rare' line → survives), so the oracle has teeth at both
+    polarities.  Zero driver state: line counting is one int-only hash
+    exchange, drop markers ride a doc_id exchange with the text."""
+    from valere_ocr_ray.ops.linededup import strip_repeated_lines_exchange
+
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(_plant_boilerplate, batch_format="pandas")
+    return strip_repeated_lines_exchange(docs, min_docs=5)
+
+
 def doc_shared_ngrams(sf_dir: str):
     """Exact duplicate-span detection (``ops/dedup.shared_ngram_spans``):
     token 8-grams occurring in ≥2 distinct documents, with doc counts —

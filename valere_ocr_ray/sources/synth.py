@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 4  # v4: bucket-95 scanned raster cards (BMP/PPM + glyph OCR)
+CORPUS_VERSION = 5  # v5: scanned cards rotate BMP/PPM/PNG/JPEG containers
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -341,11 +341,21 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
     (``extract/glyph_font``), mirroring the reference's scanned
     JPG/PNG cards through Textract."""
     from valere_ocr_ray.extract.glyph_font import render_text_image
-    from valere_ocr_ray.extract.image_decode import encode_bmp, encode_ppm
+    from valere_ocr_ray.extract.image_decode import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+    from valere_ocr_ray.extract.jpeg import encode_jpeg
 
     img = render_text_image(_scanned_card_lines(r))
-    # i % 100 == 95 is always odd — alternate container by the hundreds
-    return encode_bmp(img) if (i // 100) % 2 == 0 else encode_ppm(img)
+    # i % 100 == 95 is always odd — rotate container by the hundreds so
+    # every decodable raster format (BMP/PPM/PNG/JPEG) appears in the
+    # corpus.  JPEG is lossy, but at quality 90 the glyph binarization
+    # is pixel-exact (pinned by test_glyph_ocr), so the golden text
+    # contract holds across all four containers.
+    enc = (encode_bmp, encode_ppm, encode_png, encode_jpeg)[(i // 100) % 4]
+    return enc(img)
 
 
 def build_pdf_bytes(lines: list[str], *, flate: bool = False) -> bytes:
@@ -465,6 +475,10 @@ def synth_row(i: int) -> tuple[str, int, bytes, str, str]:
         ext = ".bmp"
     elif html[:2] == b"P6":
         ext = ".ppm"
+    elif html[:8] == b"\x89PNG\r\n\x1a\n":
+        ext = ".png"
+    elif html[:3] == b"\xff\xd8\xff":
+        ext = ".jpg"
     else:
         ext = ".html"
     url = f"https://site{i % 97}.example/{slug}/{i:08d}{ext}"

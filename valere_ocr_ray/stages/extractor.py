@@ -36,9 +36,10 @@ from valere_ocr_ray.stages.docmeta import (
 
 STATUS_ERROR_PARSE = "error_parse"
 # image payload admitted but its FORMAT has no decoder behind the OCR
-# seam (PNG/JPEG — no codecs in this environment) — routed, not
-# dropped; BMP/PPM raster pages go through the real glyph-template OCR
-# (``extract/glyph_font.ocr_image_bytes``) and come back 'ok'
+# seam (TIFF/GIF/WebP, progressive JPEG) — routed, not dropped;
+# BMP/PPM/PNG/baseline-JPEG raster pages go through the real
+# glyph-template OCR (``extract/glyph_font.ocr_image_bytes``) and
+# come back 'ok'
 STATUS_SKIPPED_NO_OCR = "skipped_image_no_ocr"
 
 SPAN_TYPE = pa.list_(
@@ -65,12 +66,13 @@ class PageExtractor:
 
     def __init__(self, ocr_seam=None) -> None:
         # scanned-page OCR seam.  Default: the deterministic 5x7
-        # glyph-template reader over the dependency-free BMP/PPM
-        # decoders (the Textract analog,
+        # glyph-template reader over the dependency-free
+        # BMP/PPM/PNG/baseline-JPEG decoders (the Textract analog,
         # ``IDD/finalcodes/InsuranceCard1.py:89-109``); it raises
-        # ImageFormatError for codec-less formats (PNG/JPEG), which
-        # routes to 'skipped_image_no_ocr'.  A Tesseract-class model
-        # drops into the same seam without touching the Ray plumbing.
+        # ImageFormatError for codec-less formats (TIFF/GIF/WebP,
+        # progressive JPEG), which routes to 'skipped_image_no_ocr'.
+        # A Tesseract-class model drops into the same seam without
+        # touching the Ray plumbing.
         if ocr_seam is None:
             from valere_ocr_ray.extract.glyph_font import ocr_image_bytes
 

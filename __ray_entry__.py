@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": q.doc_contamination,
         "doc_pack_sequences": q.doc_pack_sequences,
         "doc_line_dedup": q.doc_line_dedup,
+        "doc_quality_classifier": q.doc_quality_classifier,
         "orders_q3_topk": q.orders_q3_topk,
         "events_sessionize": q.events_sessionize,
         # -- r2 hash-dtype fixes (CAST ... AS BIGINT oracles) ---------
@@ -90,8 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi": q.orders_bloom_semi,
         "events_click_and_purchase": q.events_click_and_purchase,
         "events_click_no_purchase": q.events_click_no_purchase,
-        "supplier_roster_by_nation": q.supplier_roster_by_nation,
         # ---- end of the driver's 50-query window --------------------
+        "supplier_roster_by_nation": q.supplier_roster_by_nation,
         "orders_priority_status_rollup": q.orders_priority_status_rollup,
         # documents: remaining text analysis + dedup (SURVEY §2.2,
         # §2.5-2.7 + ops); oracled entries here stay covered by the
@@ -579,6 +580,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d JOIN probes p "
             "ON (' ' || d.text || ' ') LIKE ('% ' || p.phrase || ' %') "
             "GROUP BY d.doc_id"
+        ),
+        "doc_quality_classifier": (
+            # the trained classifier separates the planted marker
+            # perfectly (margin >> combine jitter; see the query
+            # docstring), so prediction == label row-for-row
+            "SELECT doc_id, CAST(lang = 'es' AS BIGINT) AS label, "
+            "CAST(lang = 'es' AS BIGINT) AS pred FROM documents"
         ),
         "doc_line_dedup": (
             "WITH planted AS (SELECT doc_id, "

@@ -1614,3 +1614,37 @@ def test_line_dedup_variants_equal(ray_session):
     assert int(a.loc[0, "n_dropped"]) == 2
     assert a.loc[7, "text"] == "unique line 7 alpha\n\nunique 7 beta"  # blank kept
     assert not a["text"].str.contains("SUBSCRIBE|COPYRIGHT", regex=True).any()
+
+
+def test_text_classifier_learns_and_is_partition_invariant(ray_session):
+    """Planted-signal corpus: hashed-feature logistic regression reaches
+    ~perfect accuracy, and full-batch gradients make training invariant
+    to the block layout (the property SGD would give up)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.textclf import (
+        fit_text_classifier,
+        score_text_classifier,
+    )
+
+    rng = np.random.default_rng(0)
+    vocab = [f"tok{j}" for j in range(50)]
+    rows = []
+    for i in range(300):
+        toks = list(rng.choice(vocab, 12))
+        y = i % 2
+        if y:
+            toks.insert(i % 12, "spamword")
+        rows.append({"doc_id": i, "text": " ".join(toks), "label": y})
+    df = pd.DataFrame(rows)
+
+    w1, hist = fit_text_classifier(rd.from_pandas(df), dim=128, epochs=8, lr=2.0)
+    assert hist["accuracy"].iloc[-1] >= 0.97
+    scored = score_text_classifier(rd.from_pandas(df), w1).to_pandas()
+    acc = ((scored["p_class1"] > 0.5).astype(int) == scored["label"]).mean()
+    assert acc >= 0.97
+
+    w2, _ = fit_text_classifier(
+        rd.from_pandas(df).repartition(7), dim=128, epochs=8, lr=2.0
+    )
+    assert np.allclose(w1, w2, atol=1e-8)

@@ -164,40 +164,40 @@ def _binarize(pixels: np.ndarray) -> np.ndarray:
     return lum < 128.0
 
 
-def _cell(ink: np.ndarray, y: int, x: int) -> np.ndarray:
-    """5x7 cell crop at (y, x), zero-padded at the image edges."""
-    h, w = ink.shape
-    cell = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-    ylo, yhi = max(y, 0), min(y + GLYPH_H, h)
-    xlo, xhi = max(x, 0), min(x + GLYPH_W, w)
-    if yhi > ylo and xhi > xlo:
-        cell[ylo - y : yhi - y, xlo - x : xhi - x] = ink[ylo:yhi, xlo:xhi]
-    return cell
+# 35-bit cell packing: every 5x7 cell folds to one int64 key, so a
+# whole grid phase classifies with numpy fancy indexing + one matvec —
+# no per-cell Python.  Key tables mirror _PATTERNS.
+_POW35 = (np.uint64(1) << np.arange(35, dtype=np.uint64)).astype(np.int64)
+_GLYPH_KEYS = np.array(
+    sorted(int(g.reshape(35).astype(np.int64) @ _POW35) for g in _GLYPHS.values()),
+    dtype=np.int64,
+)
+_KEY_TO_CHAR = {
+    int(g.reshape(35).astype(np.int64) @ _POW35): ch for ch, g in _GLYPHS.items()
+}
+_PAD = PITCH_Y + GLYPH_H  # covers any phase over/undershoot
 
 
-def _read_grid(
-    ink: np.ndarray, y0: int, x0: int, n_rows: int, n_cols: int
-) -> tuple[int, list[str]]:
-    """Decode the whole page at one grid anchor -> (hits, lines).
-    ``hits`` counts cells that exactly match a non-blank glyph — the
-    true grid phase classifies every inked cell, any other phase cuts
-    glyphs in half and scores unknowns."""
-    hits = 0
+def _grid_keys(
+    padded: np.ndarray, y0: int, x0: int, n_rows: int, n_cols: int
+) -> np.ndarray:
+    """(n_rows, n_cols) int64 cell keys at one grid anchor (coordinates
+    are in the unpadded frame; ``padded`` carries a ``_PAD`` margin)."""
+    ys = y0 + _PAD + np.arange(n_rows)[:, None] * PITCH_Y + np.arange(GLYPH_H)[None, :]
+    xs = x0 + _PAD + np.arange(n_cols)[:, None] * PITCH_X + np.arange(GLYPH_W)[None, :]
+    sub = padded[ys][:, :, xs]  # (R, 7, C, 5)
+    cells = sub.transpose(0, 2, 1, 3).reshape(n_rows * n_cols, 35)
+    return (cells.astype(np.int64) @ _POW35).reshape(n_rows, n_cols)
+
+
+def _keys_to_lines(keys: np.ndarray) -> list[str]:
     lines: list[str] = []
-    for k in range(n_rows):
-        chars: list[str] = []
-        for j in range(n_cols):
-            cell = _cell(ink, y0 + k * PITCH_Y, x0 + j * PITCH_X)
-            ch = _PATTERNS.get(cell.tobytes())
-            if ch is None:
-                chars.append("?")
-            elif ch == " ":
-                chars.append(" ")
-            else:
-                chars.append(ch)
-                hits += 1
+    for row in keys:
+        chars = [
+            " " if k == 0 else _KEY_TO_CHAR.get(int(k), "?") for k in row
+        ]
         lines.append("".join(chars).rstrip(" "))
-    return hits, lines
+    return lines
 
 
 def ocr_image(pixels: np.ndarray) -> str:
@@ -205,8 +205,10 @@ def ocr_image(pixels: np.ndarray) -> str:
 
     Grid recovery: the printer's 6x10 pitch is known (fixed-pitch
     scan), its phase is not — every (vertical, horizontal) offset pair
-    is tried and the one that exactly classifies the most cells wins.
-    Deterministic: ties resolve to the smallest offset."""
+    is tried and the one that exactly classifies the most cells wins
+    (``hits`` counts cells exactly matching a non-blank glyph; the true
+    phase classifies every inked cell, any other phase cuts glyphs in
+    half).  Deterministic: ties resolve to the smallest offset."""
     ink = _binarize(pixels)
     rows_ink = ink.any(axis=1)
     cols_ink = ink.any(axis=0)
@@ -216,17 +218,29 @@ def ocr_image(pixels: np.ndarray) -> str:
     r_last = int(len(rows_ink) - np.argmax(rows_ink[::-1]) - 1)
     x_first = int(np.argmax(cols_ink))
     x_last = int(len(cols_ink) - np.argmax(cols_ink[::-1]) - 1)
-    best: tuple[int, list[str]] = (-1, [])
+    padded = np.pad(ink, _PAD)
+    best_hits = -1
+    best_keys: np.ndarray | None = None
     for vphase in range(GLYPH_H):
         y0 = r_first - vphase
         n_rows = (r_last - y0) // PITCH_Y + 1
         for hphase in range(GLYPH_W):
             x0 = x_first - hphase
             n_cols = (x_last - x0) // PITCH_X + 1
-            hits, lines = _read_grid(ink, y0, x0, n_rows, n_cols)
-            if hits > best[0]:
-                best = (hits, lines)
-    lines = best[1]
+            keys = _grid_keys(padded, y0, x0, n_rows, n_cols)
+            hits = int(
+                np.count_nonzero(
+                    _GLYPH_KEYS[
+                        np.searchsorted(_GLYPH_KEYS, keys.ravel()).clip(
+                            0, len(_GLYPH_KEYS) - 1
+                        )
+                    ]
+                    == keys.ravel()
+                )
+            )
+            if hits > best_hits:
+                best_hits, best_keys = hits, keys
+    lines = _keys_to_lines(best_keys if best_keys is not None else np.zeros((0, 0)))
     while lines and not lines[0]:
         lines.pop(0)
     while lines and not lines[-1]:

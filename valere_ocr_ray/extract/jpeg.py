@@ -168,39 +168,59 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, i
 
 
 class _HuffLUT:
-    """65536-entry decode LUT: next-16-bits → (symbol, code length)."""
+    """65536-entry decode LUT: next-16-bits → (symbol, code length).
+
+    Stored as plain Python lists (scalar list indexing beats numpy
+    scalar indexing ~5× in the per-symbol hot loop) and cached by the
+    raw (bits, vals) spec — real streams reuse the spec's K.3 tables,
+    so the fill cost is paid once per process, not per image."""
 
     __slots__ = ("sym", "length")
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
-        self.sym = np.zeros(1 << 16, dtype=np.int16)
-        self.length = np.zeros(1 << 16, dtype=np.int8)  # 0 = invalid code
-        for symbol, code, length in _canonical_codes(bits, vals):
-            lo = code << (16 - length)
-            hi = lo + (1 << (16 - length))
-            self.sym[lo:hi] = symbol
-            self.length[lo:hi] = length
+        sym = np.zeros(1 << 16, dtype=np.int64)
+        length = np.zeros(1 << 16, dtype=np.int64)  # 0 = invalid code
+        for symbol, code, ln in _canonical_codes(bits, vals):
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            sym[lo:hi] = symbol
+            length[lo:hi] = ln
+        self.sym = sym.tolist()
+        self.length = length.tolist()
+
+
+_LUT_CACHE: dict[bytes, _HuffLUT] = {}
+
+
+def _lut_for(bits: list[int], vals: list[int]) -> _HuffLUT:
+    key = bytes(bits) + bytes(vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) > 64:  # never grows past a handful in practice
+            _LUT_CACHE.clear()
+        lut = _LUT_CACHE[key] = _HuffLUT(bits, vals)
+    return lut
 
 
 class _BitReader:
-    """Numpy bit-array reader over one unstuffed entropy segment."""
+    """Bit reader over one unstuffed entropy segment: a precomputed
+    per-byte 32-bit window list makes each 16-bit peek two shifts and
+    a mask on Python ints — no per-bit work, no numpy scalar reads."""
 
-    __slots__ = ("bits", "pos", "n")
+    __slots__ = ("w32", "pos", "n")
 
     def __init__(self, data: bytes) -> None:
-        arr = np.frombuffer(data, dtype=np.uint8)
-        self.bits = np.unpackbits(arr).astype(np.int64)
-        # pad so a 16-bit peek near the end never walks off the array
-        # (pad bits are 0 → interpreted as lengths the LUT marks valid
-        # or invalid; a symbol that *consumes* pad bits is a truncation
-        # error caught by the pos check in decode)
-        self.bits = np.concatenate([self.bits, np.zeros(16, dtype=np.int64)])
+        b = np.frombuffer(data, dtype=np.uint8)
+        bb = np.concatenate([b, np.zeros(4, dtype=np.uint8)]).astype(np.uint32)
+        self.w32 = (
+            (bb[:-3] << 24) | (bb[1:-2] << 16) | (bb[2:-1] << 8) | bb[3:]
+        ).tolist()
         self.pos = 0
-        self.n = len(arr) * 8
+        self.n = len(b) * 8
 
     def peek16(self) -> int:
-        b = self.bits[self.pos : self.pos + 16]
-        return int(b @ _POW2_16)
+        p = self.pos
+        return (self.w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
 
     def skip(self, k: int) -> None:
         self.pos += k
@@ -208,12 +228,9 @@ class _BitReader:
     def receive(self, k: int) -> int:
         if k == 0:
             return 0
-        b = self.bits[self.pos : self.pos + k]
-        self.pos += k
-        return int(b @ _POW2_16[16 - k :])
-
-
-_POW2_16 = (1 << np.arange(15, -1, -1, dtype=np.int64))
+        p = self.pos
+        self.pos = p + k
+        return ((self.w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - k)
 
 
 def _extend(v: int, s: int) -> int:
@@ -269,7 +286,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[sp + 1 : sp + 17])
                 nv = sum(bits)
                 vals = list(seg[sp + 17 : sp + 17 + nv])
-                huff[(tc, th)] = _HuffLUT(bits, vals)
+                huff[(tc, th)] = _lut_for(bits, vals)
                 sp += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: (extended) sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -341,10 +358,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if cid not in tables:
             raise ImageFormatError(f"scan lacks component {cid}")
 
+    # per-component decode spec: (ci, LUT lists, quant in zigzag order)
+    specs = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        dc_lut = huff.get((0, tables[cid][0]))
+        ac_lut = huff.get((1, tables[cid][1]))
+        if dc_lut is None or ac_lut is None:
+            raise ImageFormatError("missing Huffman table")
+        q_zz = qt[tq].reshape(64)[ZIGZAG].astype(np.float64)
+        specs.append((dc_lut.sym, dc_lut.length, ac_lut.sym, ac_lut.length, q_zz))
+
+    n_blocks_per_mcu = sum(c[1] * c[2] for c in comps)
+    n_blocks = mcux * mcuy * n_blocks_per_mcu
+    coefs = np.zeros((n_blocks, 64), dtype=np.float64)  # zigzag order
+    # block placement: (plane index, y0, x0) per block, filled in decode order
+    place: list[tuple[int, int, int]] = []
+
     seg_i = 0
     reader = _BitReader(segments[0])
+    w32, pos, nbits = reader.w32, 0, reader.n
     preds = [0] * len(comps)
     mcu_in_seg = 0
+    bi = 0
     for _my in range(mcuy):
         for _mx in range(mcux):
             if restart_interval and mcu_in_seg == restart_interval:
@@ -352,57 +387,76 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if seg_i >= len(segments):
                     raise ImageFormatError("missing restart segment")
                 reader = _BitReader(segments[seg_i])
+                w32, pos, nbits = reader.w32, 0, reader.n
                 preds = [0] * len(comps)
                 mcu_in_seg = 0
             for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dc_lut = huff.get((0, tables[cid][0]))
-                ac_lut = huff.get((1, tables[cid][1]))
-                if dc_lut is None or ac_lut is None:
-                    raise ImageFormatError("missing Huffman table")
-                q = qt[tq]
+                dc_sym, dc_len, ac_sym, ac_len, q_zz = specs[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        coef = np.zeros(64, dtype=np.int64)
+                        idxs = [0]
                         # DC
-                        key = reader.peek16()
-                        ln = int(dc_lut.length[key])
+                        key = (w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                        ln = dc_len[key]
                         if ln == 0:
                             raise ImageFormatError("invalid DC Huffman code")
-                        reader.skip(ln)
-                        s = int(dc_lut.sym[key])
-                        diff = _extend(reader.receive(s), s)
-                        preds[ci] += diff
-                        coef[0] = preds[ci]
+                        pos += ln
+                        s = dc_sym[key]
+                        if s:
+                            v = ((w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (
+                                16 - s
+                            )
+                            pos += s
+                            if v < (1 << (s - 1)):
+                                v += 1 - (1 << s)
+                        else:
+                            v = 0
+                        preds[ci] += v
+                        vals = [preds[ci]]
                         # AC
                         k = 1
                         while k < 64:
-                            key = reader.peek16()
-                            ln = int(ac_lut.length[key])
+                            key = (w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                            ln = ac_len[key]
                             if ln == 0:
                                 raise ImageFormatError("invalid AC Huffman code")
-                            reader.skip(ln)
-                            rs = int(ac_lut.sym[key])
-                            r, s = rs >> 4, rs & 0xF
+                            pos += ln
+                            rs = ac_sym[key]
+                            s = rs & 0xF
                             if s == 0:
-                                if r == 15:  # ZRL
+                                if rs == 0xF0:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ImageFormatError("AC index overrun")
-                            coef[k] = _extend(reader.receive(s), s)
+                            v = ((w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (
+                                16 - s
+                            )
+                            pos += s
+                            if v < (1 << (s - 1)):
+                                v += 1 - (1 << s)
+                            idxs.append(k)
+                            vals.append(v)
                             k += 1
-                        if reader.pos > reader.n + 7:
+                        if pos > nbits + 7:
                             raise ImageFormatError("truncated entropy data")
-                        block = np.zeros(64, dtype=np.int64)
-                        block[ZIGZAG] = coef
-                        f = block.reshape(8, 8) * q
-                        px = _DCT_M.T @ f.astype(np.float64) @ _DCT_M + 128.0
-                        y0 = (_my * vs + by) * 8
-                        x0 = (_mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        coefs[bi, idxs] = vals
+                        coefs[bi] *= q_zz
+                        place.append(
+                            (ci, (_my * vs + by) * 8, (_mx * hs + bx) * 8)
+                        )
+                        bi += 1
             mcu_in_seg += 1
+
+    # batch dezigzag + dequantized IDCT over every block at once
+    raster = np.zeros((n_blocks, 64), dtype=np.float64)
+    raster[:, ZIGZAG] = coefs
+    f = raster.reshape(n_blocks, 8, 8)
+    px_all = np.einsum("ij,njk,kl->nil", _DCT_M.T, f, _DCT_M) + 128.0
+    for b, (ci, y0, x0) in enumerate(place):
+        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px_all[b]
 
     # upsample each plane to full MCU-padded resolution, crop, combine
     full = []

@@ -67,19 +67,17 @@ def linear_probe_fit(
             delta = p
             delta[np.arange(len(y)), y] -= 1.0  # (n, k)
             grad = delta.T @ x  # (k, d+1), summed over rows
-            out = pd.DataFrame(
-                {
-                    "cls": np.arange(w.shape[0], dtype="int64"),
-                    "n": np.int64(len(y)),
-                    "loss": loss / w.shape[0],  # spread so the sum is total
-                    "correct": np.int64(correct),
-                }
-            )
             # n/loss/correct are per-batch totals replicated per class
-            # row; divide by k on readout (documented below)
-            for j, g in enumerate(gcols):
-                out[g] = grad[:, j]
-            return out
+            # row; divide by k on readout (documented below).  Build
+            # all columns in one dict → no per-insert fragmentation.
+            cols_out = {
+                "cls": np.arange(w.shape[0], dtype="int64"),
+                "n": np.full(w.shape[0], len(y), dtype="int64"),
+                "loss": np.full(w.shape[0], loss / w.shape[0], dtype="float64"),
+                "correct": np.full(w.shape[0], correct, dtype="int64"),
+            }
+            cols_out.update({g: grad[:, j] for j, g in enumerate(gcols)})
+            return pd.DataFrame(cols_out)
 
         agg = tree_keyed_sum(
             ds.map_batches(partial, batch_format="pandas"),

@@ -1293,6 +1293,50 @@ def doc_line_dedup(sf_dir: str):
     return strip_repeated_lines_exchange(docs, min_docs=5)
 
 
+def doc_quality_classifier(sf_dir: str):
+    """Text-side quality classifier (``ops/textclf``): hashed-token
+    features + distributed full-batch logistic regression (the
+    CCNet/fastText quality-scoring step).  A deterministic marker
+    phrase is planted into ``lang='es'`` docs so the task is linearly
+    separable; 6 broadcast-weights/tree-combine epochs reach 100%
+    train accuracy with decision margin ≥0.07 at every sf (far above
+    the ~1e-12 combine-order jitter), so the predicted class is exact
+    and the oracle is simply ``pred == label``.  The driver only ever
+    holds the (2, dim+1) weights; the corpus streams per epoch."""
+    from valere_ocr_ray.ops.textclf import fit_text_classifier, score_text_classifier
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    marker = " " + " ".join(["calidad contenido"] * 32)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        es = (df["lang"] == "es").to_numpy()
+        txt = df["text"].astype(str) + pd.Series(
+            np.where(es, marker, ""), index=df.index
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "text": txt,
+                "label": es.astype("int64"),
+            }
+        )
+
+    planted = docs.map_batches(plant, batch_format="pandas")
+    weights, _hist = fit_text_classifier(planted, dim=256, epochs=6, lr=10.0)
+    scored = score_text_classifier(planted, weights)
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "label": df["label"].to_numpy(dtype=np.int64),
+                "pred": (df["p_class1"].to_numpy() > 0.5).astype("int64"),
+            }
+        )
+
+    return scored.map_batches(out, batch_format="pandas")
+
+
 def doc_shared_ngrams(sf_dir: str):
     """Exact duplicate-span detection (``ops/dedup.shared_ngram_spans``):
     token 8-grams occurring in ≥2 distinct documents, with doc counts —

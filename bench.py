@@ -108,6 +108,7 @@ def _run_benchmarks() -> dict:
         timed("doc_segment_dedup", q.doc_segment_dedup)
         timed("orders_q3_topk", q.orders_q3_topk)
         timed("doc_pack_sequences", q.doc_pack_sequences)
+        timed("doc_line_dedup", q.doc_line_dedup)
 
     ray.shutdown()
     return {

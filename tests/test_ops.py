@@ -1610,6 +1610,27 @@ def test_line_dedup_variants_equal(ray_session):
     )
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert len(a) == 40  # no rows vanish
+    # string ids (url-keyed corpora) work through both variants too
+    sdocs = pd.DataFrame(
+        [
+            {"u": f"url{i}", "text": ("HDR\n" if i % 2 == 0 else "") + f"body {i}"}
+            for i in range(20)
+        ]
+    )
+    sa = (
+        strip_repeated_lines(rd.from_pandas(sdocs), min_docs=5, id_col="u")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    sb = (
+        strip_repeated_lines_exchange(rd.from_pandas(sdocs), min_docs=5, id_col="u")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sa, sb[sa.columns])
+    assert int(sa["n_dropped"].sum()) == 10
     assert a.loc[0, "text"] == "unique line 0 alpha\nunique 0 beta\nRARE LINE"
     assert int(a.loc[0, "n_dropped"]) == 2
     assert a.loc[7, "text"] == "unique line 7 alpha\n\nunique 7 beta"  # blank kept

@@ -46,14 +46,16 @@ from valere_ocr_ray.ops.exchange import grouped_map, hash_exchange
 
 def _line_frame(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
     """Explode docs to (doc_id, line_idx, line_hash) — non-blank lines
-    only, hashes as int64 views of the uint64 md5 fold."""
-    ids: list[int] = []
+    only, hashes as int64 views of the uint64 md5 fold.  The id column
+    keeps its input dtype (int64 doc ids or string urls both work as
+    exchange keys)."""
+    ids: list = []
     idxs: list[int] = []
     lines: list[str] = []
     for doc_id, text in zip(df[id_col], df[text_col]):
         for j, line in enumerate(str(text).split("\n")):
             if line.strip():
-                ids.append(int(doc_id))
+                ids.append(doc_id)
                 idxs.append(j)
                 lines.append(line)
     h = (
@@ -61,9 +63,12 @@ def _line_frame(df: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
         if lines
         else np.zeros(0, dtype=np.int64)
     )
+    id_dtype = df[id_col].dtype
+    if not ids and id_dtype == object:
+        id_dtype = "string"  # Ray's size estimator chokes on empty object cols
     return pd.DataFrame(
         {
-            "doc_id": np.asarray(ids, dtype=np.int64),
+            "doc_id": pd.Series(ids, dtype=id_dtype),
             "line_idx": np.asarray(idxs, dtype=np.int64),
             "line_hash": h,
         }
@@ -183,13 +188,21 @@ def strip_repeated_lines_exchange(
 
     def markers(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
+            id_dtype = df["doc_id"].dtype if "doc_id" in df.columns else "int64"
+            if id_dtype == object:
+                id_dtype = "string"
             return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"), "line_idx": pd.Series(dtype="int64")}
+                {
+                    "doc_id": pd.Series(dtype=id_dtype),
+                    "line_idx": pd.Series(dtype="int64"),
+                }
             )
         nd = df.drop_duplicates(["line_hash", "doc_id"]).groupby("line_hash").size()
         hot = nd[nd >= min_docs].index
         out = df[df["line_hash"].isin(hot)]
-        return out[["doc_id", "line_idx"]].astype("int64")
+        out2 = out[["doc_id", "line_idx"]].copy()
+        out2["line_idx"] = out2["line_idx"].astype("int64")
+        return out2
 
     drops = ex1.map_batches(markers, batch_format="pandas", batch_size=None)
 
@@ -197,7 +210,7 @@ def strip_repeated_lines_exchange(
     def text_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "doc_id": df[id_col].to_numpy(dtype=np.int64),
+                "doc_id": df[id_col].to_numpy(),
                 "line_idx": np.full(len(df), -1, dtype=np.int64),
                 "side": np.ones(len(df), dtype=np.int64),
                 "text": df[text_col].astype(str).tolist(),
@@ -207,7 +220,7 @@ def strip_repeated_lines_exchange(
     def marker_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "doc_id": df["doc_id"].to_numpy(),
                 "line_idx": df["line_idx"].to_numpy(dtype=np.int64),
                 "side": np.zeros(len(df), dtype=np.int64),
                 "text": [""] * len(df),
@@ -225,7 +238,7 @@ def strip_repeated_lines_exchange(
         if not len(txt):
             return pd.DataFrame(
                 {
-                    id_col: pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype=g["doc_id"].dtype),
                     text_col: pd.Series(dtype="object"),
                     "n_dropped": pd.Series(dtype="int64"),
                 }
@@ -235,7 +248,7 @@ def strip_repeated_lines_exchange(
         kept = [ln for j, ln in enumerate(lines) if j not in drop_idx]
         return pd.DataFrame(
             {
-                id_col: [int(txt["doc_id"].iloc[0])],
+                id_col: [txt["doc_id"].iloc[0]],
                 text_col: ["\n".join(kept)],
                 "n_dropped": np.asarray([len(lines) - len(kept)], dtype="int64"),
             }

@@ -3742,6 +3742,42 @@ def pages_doc_type_counts(sf_dir: str):
     return pages_extract(sf_dir).groupby("doc_type").aggregate(Count(alias_name="n"))
 
 
+def pages_line_dedup(sf_dir: str):
+    """Corpus-level boilerplate-line strip over the FLAGSHIP surface:
+    extract the pages corpus, then drop every text line that appears in
+    ≥20 distinct extracted documents (site-template nav/footer lines —
+    the synth corpus's repeated card/section headers fire this for
+    real).  Returns per-doc drop counts for the affected docs plus the
+    corpus totals row (url='') so the result is small and stable."""
+    from valere_ocr_ray.ops.linededup import strip_repeated_lines
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir).select_columns(["url", "extracted_text"])
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    stripped = strip_repeated_lines(
+        ds, min_docs=20, text_col="extracted_text", id_col="url"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_dropped"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "k": np.asarray([0], dtype=np.int64),
+                "n_dropped": np.asarray([nd.sum()], dtype=np.int64),
+                "n_docs_hit": np.asarray([(nd > 0).sum()], dtype=np.int64),
+                "n_docs": np.asarray([len(df)], dtype=np.int64),
+            }
+        )
+
+    # per-block partials → k-row tree combine: the driver sees ONE row
+    return tree_keyed_sum(
+        stripped.map_batches(partial, batch_format="pandas"),
+        ["k"],
+        ["n_dropped", "n_docs_hit", "n_docs"],
+    ).drop_columns(["k"])
+
+
 def pages_exact_dedup(sf_dir: str):
     """O4 exact dedup over the pages corpus — content_hash cardinality
     ≈ corpus size, so the combine runs on the hash exchange."""

@@ -130,7 +130,15 @@ def main() -> None:
             entry["schema"] = {c: str(got[c].dtype) for c in got.columns}
             entry["value_hash"] = _value_hash(got)
             if name in oracles:
-                want = _normalize(con.sql(oracles[name]).df())
+                # pages oracles hard-code the driver's sf0.01 corpus
+                # path; when sweeping another sf, point them at that
+                # sf's (already ensured) synthesized corpus instead
+                from valere_ocr_ray.sources.synth import pages_dir_for_sf
+
+                sql = oracles[name].replace(
+                    "/tmp/valere_pages/sf0.01", pages_dir_for_sf(sf_dir)
+                )
+                want = _normalize(con.sql(sql).df())
                 entry["oracle"] = {
                     "rows": int(len(want)),
                     "rows_match": len(got) == len(want),

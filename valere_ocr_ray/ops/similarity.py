@@ -27,13 +27,19 @@ class BruteForceTopK:
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:
         q = ray.get(queries_ref)  # fetched once per actor, zero-copy plasma
-        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        # float64 scoring: the query matrix is tiny (n_queries × dim), so
+        # the per-batch matmul is still cheap, and f64 keeps the scores
+        # oracle-comparable (a DuckDB DOUBLE cosine agrees to ~1e-15,
+        # far inside the 6-decimal rounding below).  For huge n_queries
+        # the scale path would be f32 select + f64 rescore of the k
+        # winners; not needed at k·n_queries this size.
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        mat = _normalize(np.stack(df[self.vec_col].to_numpy()).astype(np.float32))
+        mat = _normalize(np.stack(df[self.vec_col].to_numpy()).astype(np.float64))
         sims = mat @ self.q.T  # (batch, n_queries)
         n, nq = sims.shape
         k = min(self.k, n)
@@ -73,8 +79,11 @@ def knn_brute_force(
         batch_size=4096,
         concurrency=(1, 8),
     )
-    # final reduce over k·n_batches candidate rows — small by design
+    # final reduce over k·n_batches candidate rows — small by design.
+    # Round BEFORE ranking so ties break on id deterministically and the
+    # emitted score is reproducible by an exact-cosine oracle.
     df = partials.to_pandas()
+    df["cosine"] = df["cosine"].round(6)
     df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
     return df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
 

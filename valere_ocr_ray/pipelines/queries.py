@@ -3706,8 +3706,10 @@ def emb_knn_filtered(sf_dir: str):
 
 def emb_knn_brute(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    head = ds.take(3)
-    queries = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in head])
+    # probes pinned by key (vec_id 0/1/2, query_id == vec_id) so the
+    # result is reproducible by the exact-cosine SQL oracle
+    head = sorted(ds.filter(expr="vec_id < 3").take(3), key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in head])
     return similarity.knn_brute_force(ds, queries, k=10)
 
 
@@ -3780,7 +3782,10 @@ def pages_line_dedup(sf_dir: str):
 
 def pages_exact_dedup(sf_dir: str):
     """O4 exact dedup over the pages corpus — content_hash cardinality
-    ≈ corpus size, so the combine runs on the hash exchange."""
+    ≈ corpus size, so the combine runs on the hash exchange.  The
+    projection drops the internal md5 (DuckDB 1.0 can't md5 a BLOB) so
+    the oracle can reproduce the grouping by grouping the html payload
+    itself — same partition assuming no md5 collision."""
     from valere_ocr_ray.ops.exchange import hash_exchange
 
     pages_dir = ensure_pages(sf_dir)
@@ -3792,9 +3797,10 @@ def pages_exact_dedup(sf_dir: str):
         )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("content_hash", as_index=False).agg(
+        out = df.groupby("content_hash", as_index=False).agg(
             url=("url", "min"), n_copies=("n_copies", "sum")
         )
+        return out[["url", "n_copies"]]
 
     pre = ds.map_batches(partial, batch_format="pandas")
     ex = hash_exchange(pre, ["content_hash"], 16)
@@ -3822,12 +3828,21 @@ def pages_near_dup_pairs(sf_dir: str):
 
 def pages_url_tokens(sf_dir: str):
     """F6 key tokenizer over the pages corpus urls (sorted distinct
-    word tokens per url, vectorized per batch)."""
+    word tokens per url, vectorized per batch).  The query surface
+    joins the token list with spaces so the value compares stably
+    against the SQL oracle (list-column hashing differs between a
+    pandas list cell and DuckDB's fetched numpy array)."""
     from valere_ocr_ray.ops import urlmeta
 
     pages_dir = ensure_pages(sf_dir)
     ds = rd.read_parquet(pages_dir, columns=["url"])
-    return ds.map_batches(urlmeta.url_tokens_batch, batch_format="pandas")
+
+    def tokens_str(df: pd.DataFrame) -> pd.DataFrame:
+        out = urlmeta.url_tokens_batch(df)
+        out["url_tokens"] = out["url_tokens"].map(" ".join)
+        return out
+
+    return ds.map_batches(tokens_str, batch_format="pandas")
 
 
 def pages_dedup_corpus(sf_dir: str):

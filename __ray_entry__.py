@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_distinct_users_kmv": q.events_type_distinct_users_kmv,
         "doc_nchars_quantiles_sketch": q.doc_nchars_quantiles_sketch,
         "doc_shared_ngrams": q.doc_shared_ngrams,
+        "doc_redact": q.doc_redact,
+        "doc_c4_filters": q.doc_c4_filters,
+        "doc_cross_source_dupes": q.doc_cross_source_dupes,
+        "doc_dsir_weights": q.doc_dsir_weights,
         "doc_ngram_novelty": q.doc_ngram_novelty,
         "doc_segment_rebuild": q.doc_segment_rebuild,
         "doc_mix_sample": q.doc_mix_sample,
@@ -190,6 +194,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # the pages oracles read the deterministically-synthesized corpus for
 # that sf (selfcheck rewrites this path when sweeping another sf)
 _PAGES_GLOB = "/tmp/valere_pages/sf0.01/*.parquet"
+
+# shared SQL fragments: the deterministic contact-planting CTE body
+# (queries._plant_contacts verbatim) and the F10 phone/name patterns
+# (registry/extractors.GENERIC_*_PATTERN verbatim — RE2-compatible)
+_AUG_CONTACTS = (
+    "SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 "
+    "THEN ' Contact Dr. ' || "
+    "(['Alice','Bob','Carol','David','Erin'])[doc_id % 5 + 1] || ' ' || "
+    "(['Smith','Jones','Taylor','Brown','Lee'])[(doc_id // 5) % 5 + 1] || "
+    "' at (' || lpad(CAST(200 + doc_id % 700 AS VARCHAR), 3, '0') || ') ' || "
+    "lpad(CAST(200 + (doc_id * 7) % 700 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' "
+    "ELSE '' END AS text FROM documents"
+)
+_PH = r"\b(?:\(\d{3}\)\s*|\d{3}[-.\s]?)\d{3}[-.\s]??\d{4}\b"
+_NM = r"\b(?:Mr\.|Mrs\.|Ms\.|Dr\.)?\s*[A-Z][a-z]*\s*[A-Z][a-z]*\b"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1125,6 +1145,78 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_extract_all(url, '[A-Za-z]+(?:_[A-Za-z]+)*(?:pdf|jpg|jpeg|png)?'), "
             f"x -> length(x) >= 3))), ' ') AS url_tokens "
             f"FROM read_parquet('{_PAGES_GLOB}')"
+        ),
+        "doc_redact": (
+            # mirrors queries.doc_redact exactly: plant contacts (same
+            # CTE as doc_contacts), replace phones first, count names on
+            # the phone-redacted text, then replace names
+            "WITH aug AS (" + _AUG_CONTACTS + "), "
+            "p AS (SELECT doc_id, text, regexp_replace(text, '" + _PH + "', "
+            "'[PHONE]', 'g') AS red1 FROM aug) "
+            "SELECT doc_id, regexp_replace(red1, '" + _NM + "', '[NAME]', 'g') "
+            "AS red_text, "
+            "len(regexp_extract_all(text, '" + _PH + "')) AS n_phones, "
+            "len(regexp_extract_all(red1, '" + _NM + "')) AS n_names FROM p"
+        ),
+        "doc_c4_filters": (
+            # C4 §2.2 heuristics, integer-scaled per-mil ratios
+            "WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln "
+            "FROM documents), "
+            "agg AS (SELECT doc_id, count(*) AS n_lines, "
+            "sum(CASE WHEN regexp_matches(ln, '[.!?\"]\\s*$') THEN 1 ELSE 0 END) "
+            "AS n_term, "
+            "sum(CASE WHEN regexp_matches(trim(ln), '^[-*•]') THEN 1 ELSE 0 END) "
+            "AS n_bullet FROM l GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(agg.n_lines AS BIGINT) AS n_lines, "
+            "len(regexp_extract_all(d.text, '[.!?]')) AS n_sentences, "
+            "CAST(agg.n_term * 1000 // greatest(agg.n_lines, 1) AS BIGINT) "
+            "AS term_per_mil, "
+            "CAST(agg.n_bullet * 1000 // greatest(agg.n_lines, 1) AS BIGINT) "
+            "AS bullet_per_mil, "
+            "CAST(contains(lower(d.text), 'lorem ipsum') AS BIGINT) AS has_lorem, "
+            "CAST(contains(d.text, '{') AS BIGINT) AS has_brace, "
+            "CAST(NOT contains(lower(d.text), 'lorem ipsum') "
+            "AND NOT contains(d.text, '{') "
+            "AND len(regexp_extract_all(d.text, '[.!?]')) >= 3 AS BIGINT) AS keep "
+            "FROM documents d JOIN agg USING (doc_id)"
+        ),
+        "doc_cross_source_dupes": (
+            # planted duplicates (queries._plant_dupes verbatim): every
+            # 7th doc becomes one of 11 shared strings, so the audit
+            # fires on >0 rows instead of a vacuous 0 == 0
+            "WITH aug AS (SELECT doc_id, source, CASE WHEN doc_id % 7 = 0 "
+            "THEN 'shared boilerplate passage ' || CAST(doc_id % 11 AS VARCHAR) "
+            "ELSE text END AS text FROM documents) "
+            "SELECT min(doc_id) AS doc_id, "
+            "count(DISTINCT source) AS n_sources, count(*) AS n_copies "
+            "FROM aug GROUP BY md5(text) HAVING count(DISTINCT source) > 1"
+        ),
+        "doc_dsir_weights": (
+            # ops/dsir.py bit-for-bit: md5_number_lower == lower 8 md5
+            # digest bytes little-endian (the engine's bucket hash);
+            # log-ratio floor-scaled to int64 before the per-doc sum so
+            # the value hash is summation-order-proof
+            "WITH toks AS (SELECT doc_id, source, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "g1 AS (SELECT doc_id, source, unnest(t) AS g FROM toks), "
+            "g2 AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g FROM toks, "
+            "unnest(range(1, len(t))) AS u(i)), "
+            "grams AS (SELECT doc_id, source, "
+            "CAST(md5_number_lower(g) % 1024 AS BIGINT) AS b FROM "
+            "(SELECT * FROM g1 UNION ALL SELECT * FROM g2)), "
+            "raw AS (SELECT b, count(*) AS c FROM grams GROUP BY b), "
+            "tgt AS (SELECT b, count(*) AS c FROM grams WHERE source = 'src0' "
+            "GROUP BY b), "
+            "tot AS (SELECT (SELECT count(*) FROM grams WHERE source = 'src0') AS t, "
+            "(SELECT count(*) FROM grams) AS r), "
+            "lr AS (SELECT raw.b, CAST(floor((ln((coalesce(tgt.c, 0) + 1) / "
+            "(tot.t + 1024)) - ln((raw.c + 1) / (tot.r + 1024))) * 1000000) "
+            "AS BIGINT) AS lrs FROM raw LEFT JOIN tgt USING (b), tot), "
+            "docb AS (SELECT doc_id, b, count(*) AS c FROM grams "
+            "GROUP BY doc_id, b) "
+            "SELECT doc_id, CAST(sum(docb.c) AS BIGINT) AS n_grams, "
+            "CAST(sum(docb.c * lr.lrs) AS BIGINT) AS weight_scaled "
+            "FROM docb JOIN lr USING (b) GROUP BY doc_id"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features:

@@ -1669,3 +1669,95 @@ def test_text_classifier_learns_and_is_partition_invariant(ray_session):
         rd.from_pandas(df).repartition(7), dim=128, epochs=8, lr=2.0
     )
     assert np.allclose(w1, w2, atol=1e-8)
+
+
+def test_dsir_bucket_hash_matches_duckdb_md5_number_lower():
+    """The engine's bucket hash must equal DuckDB's md5_number_lower
+    (lower 8 md5 digest bytes, little-endian) — the contract the SQL
+    oracle relies on."""
+    import duckdb
+
+    from valere_ocr_ray.ops.dsir import _bucket_of_grams
+
+    grams = pd.Series(["hello", "foo bar", "a", "7", "hello"])
+    got = _bucket_of_grams(grams, 1024)
+    want = (
+        duckdb.sql(
+            "SELECT md5_number_lower(g) % 1024 AS b FROM (VALUES ('hello'), "
+            "('foo bar'), ('a'), ('7'), ('hello')) AS t(g)"
+        )
+        .df()["b"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    assert (got == want).all()
+
+
+def test_dsir_weights_match_local_numpy_and_partitioning(ray_session):
+    """dsir_weights equals a single-process numpy reference, and is
+    invariant to the block layout (partials are algebraic)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dsir import (
+        _bucket_of_grams,
+        _TOKEN_RE,
+        dsir_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "target token"]
+    rows = []
+    for i in range(120):
+        toks = list(rng.choice(vocab[:4], 8))
+        src = "t" if i % 4 == 0 else "r"
+        if src == "t":
+            toks.append("targetword")
+        rows.append({"doc_id": i, "source": src, "text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+    K = 256
+
+    # local reference
+    def doc_gram_buckets(text):
+        t = _TOKEN_RE.findall(text.lower())
+        grams = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return _bucket_of_grams(pd.Series(grams), K) if grams else np.zeros(0, np.int64)
+
+    ct = np.zeros(K, np.int64)
+    cr = np.zeros(K, np.int64)
+    per_doc = {}
+    for r in rows:
+        b = doc_gram_buckets(r["text"])
+        per_doc[r["doc_id"]] = b
+        np.add.at(cr, b, 1)
+        if r["source"] == "t":
+            np.add.at(ct, b, 1)
+    lr = np.log((ct + 1.0) / (ct.sum() + K)) - np.log((cr + 1.0) / (cr.sum() + K))
+    lrs = np.floor(lr * 1_000_000).astype(np.int64)
+    want = {
+        d: (len(b), int(lrs[b].sum())) for d, b in per_doc.items() if len(b)
+    }
+
+    for nparts in (1, 5):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = dsir_weights(ds, target_source="t", k=K).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(want)
+        for _, row in got.iterrows():
+            ng, ws = want[row["doc_id"]]
+            assert row["n_grams"] == ng and row["weight_scaled"] == ws
+    # target docs must score higher than raw-only docs on average
+    t_ids = {r["doc_id"] for r in rows if r["source"] == "t"}
+    mt = got[got["doc_id"].isin(t_ids)]["weight_scaled"].mean()
+    mr = got[~got["doc_id"].isin(t_ids)]["weight_scaled"].mean()
+    assert mt > mr
+
+
+def test_cross_source_dupes_partition_invariant(ray_session):
+    """doc_cross_source_dupes gives identical results at 1 vs many
+    partitions (the exchange co-locates each text hash)."""
+    from valere_ocr_ray.pipelines import queries as q
+
+    a = q.doc_cross_source_dupes("/root/testdata/sf0.001")
+    df = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (df["n_sources"] > 1).all()
+    assert len(df) > 0

@@ -478,6 +478,172 @@ def doc_contacts(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def doc_redact(sf_dir: str):
+    """PII-redaction REWRITE over the documents table (the SQL-oracled
+    sibling of ``pages_redact``): phone spans → ``[PHONE]`` then name
+    spans → ``[NAME]``, one vectorized ``str.replace`` each, with per-doc
+    replacement counts.  Contacts are planted via ``_plant_contacts``
+    (same CTE in the oracle) so the rewrite fires on >0 spans.  Scale
+    shape: pure map_batches, no shuffle — the pre-training privacy
+    scrub."""
+    from valere_ocr_ray.registry.extractors import (
+        GENERIC_NAME_PATTERN,
+        GENERIC_PHONE_PATTERN,
+    )
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        text = _plant_contacts(df)
+        n_ph = text.str.count(GENERIC_PHONE_PATTERN).astype("int64")
+        red = text.str.replace(GENERIC_PHONE_PATTERN, "[PHONE]", regex=True)
+        n_nm = red.str.count(GENERIC_NAME_PATTERN).astype("int64")
+        red = red.str.replace(GENERIC_NAME_PATTERN, "[NAME]", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "red_text": red,
+                "n_phones": n_ph,
+                "n_names": n_nm,
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+def doc_c4_filters(sf_dir: str):
+    """C4/FineWeb-style page-level cleaning signals (Raffel et al. 2020
+    §2.2 heuristics): terminal-punctuation line fraction, bullet-line
+    fraction, 'lorem ipsum' / curly-brace code markers, sentence count,
+    and the composed keep verdict.  Ratios are integer-scaled per-mil so
+    the value hash is summation-order-proof; one vectorized map_batches
+    pass, no shuffle."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        ex = df.assign(_ln=text.str.split("\n"))[["doc_id", "_ln"]].explode("_ln")
+        ln = ex["_ln"].astype(str)
+        per_line = pd.DataFrame(
+            {
+                "doc_id": ex["doc_id"].to_numpy(dtype=np.int64),
+                "term": ln.str.contains(r'[.!?"]\s*$', regex=True).to_numpy(),
+                "bullet": ln.str.strip().str.match(r"[-*•]").to_numpy(),
+            }
+        )
+        agg = per_line.groupby("doc_id", as_index=False).agg(
+            n_lines=("term", "size"), n_term=("term", "sum"), n_bullet=("bullet", "sum")
+        )
+        doc = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_sentences": text.str.count(r"[.!?]").astype("int64"),
+                "has_lorem": text.str.lower()
+                .str.contains("lorem ipsum", regex=False)
+                .astype("int64"),
+                "has_brace": text.str.contains("{", regex=False).astype("int64"),
+            }
+        )
+        out = doc.merge(agg, on="doc_id", how="left")
+        n_lines = out["n_lines"].fillna(0).astype("int64")
+        out["n_lines"] = n_lines
+        out["term_per_mil"] = (
+            out["n_term"].fillna(0).astype("int64") * 1000 // n_lines.clip(lower=1)
+        )
+        out["bullet_per_mil"] = (
+            out["n_bullet"].fillna(0).astype("int64") * 1000 // n_lines.clip(lower=1)
+        )
+        out["keep"] = (
+            (out["has_lorem"] == 0)
+            & (out["has_brace"] == 0)
+            & (out["n_sentences"] >= 3)
+        ).astype("int64")
+        return out[
+            [
+                "doc_id",
+                "n_lines",
+                "n_sentences",
+                "term_per_mil",
+                "bullet_per_mil",
+                "has_lorem",
+                "has_brace",
+                "keep",
+            ]
+        ]
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+def _md5_hex_str(t: str) -> str:
+    import hashlib
+
+    return hashlib.md5(t.encode("utf-8")).hexdigest()
+
+
+def _plant_dupes(df: pd.DataFrame) -> pd.Series:
+    """Deterministic cross-source duplicates: every 7th doc's text is
+    replaced by one of 11 shared boilerplate strings (derived from
+    doc_id alone, reproduced verbatim by the SQL oracle) — the
+    driver-generated corpus has zero duplicate texts, which would make
+    the cross-source audit's oracle vacuous (VERDICT r2 item 2 class)."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    shared = pd.Series(
+        [f"shared boilerplate passage {i % 11}" for i in ids], index=df.index
+    )
+    return df["text"].astype(str).where(pd.Series(ids % 7 != 0, index=df.index), shared)
+
+
+def doc_cross_source_dupes(sf_dir: str):
+    """Cross-corpus exact dedup: texts that appear under MORE than one
+    ``source`` in the documents table — the "did my crawl duplicate an
+    existing corpus" audit.  Per-block (text-hash, source) partials →
+    hash exchange → distinct-source count per hash; only (hash, source,
+    ints) move on the wire, never text.  Returns one row per duplicated
+    text with its source count and a representative doc_id."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _plant_dupes(df).map(_md5_hex_str)
+        return (
+            df.assign(text_hash=h)
+            .groupby(["text_hash", "source"], as_index=False)
+            .agg(doc_id=("doc_id", "min"), n=("doc_id", "size"))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        per_src = df.groupby(["text_hash", "source"], as_index=False).agg(
+            doc_id=("doc_id", "min"), n=("n", "sum")
+        )
+        out = per_src.groupby("text_hash", as_index=False).agg(
+            doc_id=("doc_id", "min"),
+            n_sources=("source", "nunique"),
+            n_copies=("n", "sum"),
+        )
+        out = out[out["n_sources"] > 1]
+        return out[["doc_id", "n_sources", "n_copies"]].astype(
+            {"doc_id": "int64", "n_sources": "int64", "n_copies": "int64"}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    ex = hash_exchange(pre, ["text_hash"], 16)
+    return ex.map_batches(combine, batch_format="pandas", batch_size=None)
+
+
+def doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023) for selecting raw docs
+    that look like the target source (``src0``): hashed unigram+bigram
+    bag-of-ngrams log-ratio per doc (``ops/dsir.py``).  Bucket counts
+    tree-combine to ≤K rows; the K-int log-ratio table broadcasts once;
+    scoring is a stateless pass — weights are exact int64 (scaled 1e6)
+    so the SQL oracle matches bit-for-bit."""
+    from valere_ocr_ray.ops.dsir import dsir_weights
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+    return dsir_weights(ds, target_source="src0")
+
+
 def pages_contacts(sf_dir: str):
     """F10 battery over the extracted pages corpus (where phones/names
     actually occur — the documents table is lowercase-only)."""

@@ -43,10 +43,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_doc_type_counts": q.pages_doc_type_counts,
         "pages_exact_dedup": q.pages_exact_dedup,
         "pages_url_tokens": q.pages_url_tokens,
+        "pages_kind_counts": q.pages_kind_counts,
+        "pages_domain_stats": q.pages_domain_stats,
+        "pages_url_canonical": q.pages_url_canonical,
         "pages_training_shards": q.pages_training_shards,
         "pages_dedup_corpus": q.pages_dedup_corpus,
         # -- ANN family representative (exact-cosine oracle) ----------
         "emb_knn_brute": q.emb_knn_brute,
+        # -- round-3 LLM-data-op additions (all oracled) --------------
+        "doc_dsir_weights": q.doc_dsir_weights,
+        "doc_c4_filters": q.doc_c4_filters,
+        "doc_redact": q.doc_redact,
+        "doc_cross_source_dupes": q.doc_cross_source_dupes,
         # -- round-2 LLM-data-op representatives (all oracled) --------
         "doc_segment_dedup": q.doc_segment_dedup,
         "doc_contamination": q.doc_contamination,
@@ -116,10 +124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_distinct_users_kmv": q.events_type_distinct_users_kmv,
         "doc_nchars_quantiles_sketch": q.doc_nchars_quantiles_sketch,
         "doc_shared_ngrams": q.doc_shared_ngrams,
-        "doc_redact": q.doc_redact,
-        "doc_c4_filters": q.doc_c4_filters,
-        "doc_cross_source_dupes": q.doc_cross_source_dupes,
-        "doc_dsir_weights": q.doc_dsir_weights,
         "doc_ngram_novelty": q.doc_ngram_novelty,
         "doc_segment_rebuild": q.doc_segment_rebuild,
         "doc_mix_sample": q.doc_mix_sample,
@@ -1217,6 +1221,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(sum(docb.c) AS BIGINT) AS n_grams, "
             "CAST(sum(docb.c * lr.lrs) AS BIGINT) AS weight_scaled "
             "FROM docb JOIN lr USING (b) GROUP BY doc_id"
+        ),
+        "pages_kind_counts": (
+            # stages/docmeta._sniff_kinds reproduced over hex prefixes
+            # (DuckDB 1.0 can't slice a BLOB; to_hex is UPPERCASE);
+            # precedence pdf > html > image, same as the engine's
+            # if_else stack
+            f"SELECT CASE WHEN left(to_hex(html), 10) = '255044462D' THEN 'pdf' "
+            f"WHEN left(to_hex(html), 2) IN ('3C', 'EF') THEN 'html' "
+            f"WHEN left(to_hex(html), 8) = '89504E47' "
+            f"OR left(to_hex(html), 6) = 'FFD8FF' "
+            f"OR left(to_hex(html), 4) IN ('424D', '5036') THEN 'image' "
+            f"ELSE 'unknown' END AS doc_kind, count(*) AS n "
+            f"FROM read_parquet('{_PAGES_GLOB}') GROUP BY 1"
+        ),
+        "pages_domain_stats": (
+            f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_pages, "
+            f"CAST(sum(octet_length(html)) AS BIGINT) AS sum_bytes "
+            f"FROM read_parquet('{_PAGES_GLOB}') GROUP BY 1"
+        ),
+        "pages_url_canonical": (
+            # planted tracking params/fragments via the same
+            # md5_number_lower the engine computes, then strip + lower
+            f"WITH aug AS (SELECT url || "
+            f"CASE WHEN md5_number_lower(url) % 4 = 0 "
+            f"THEN '?utm_source=feed&utm_campaign=x' ELSE '' END || "
+            f"CASE WHEN md5_number_lower(url) % 5 = 0 THEN '#frag' ELSE '' END "
+            f"AS url FROM read_parquet('{_PAGES_GLOB}')) "
+            f"SELECT url, lower(regexp_replace(url, '[?#].*$', '')) "
+            f"AS canonical_url, "
+            f"CAST(url != lower(regexp_replace(url, '[?#].*$', '')) AS BIGINT) "
+            f"AS was_rewritten FROM aug"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features:

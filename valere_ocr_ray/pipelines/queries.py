@@ -4011,6 +4011,94 @@ def pages_url_tokens(sf_dir: str):
     return ds.map_batches(tokens_str, batch_format="pandas")
 
 
+def pages_kind_counts(sf_dir: str):
+    """F1 magic-byte kind sniff straight off the raw corpus (pruned
+    read: html column only, no extraction) — doc_kind counts.  The
+    sniff is prefix-byte CASE logic (``stages/docmeta._sniff_kinds``),
+    reproduced by the oracle over ``to_hex(html)`` prefixes, so the F1
+    predicate itself is driver-green.  Partial counts per block → tiny
+    4-row tree combine."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+    from valere_ocr_ray.stages.docmeta import _sniff_kinds
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["html"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        kinds = _sniff_kinds(b["html"].combine_chunks()).to_pandas()
+        vc = kinds.value_counts()
+        return pd.DataFrame(
+            {"doc_kind": vc.index.astype(str), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_keyed_sum(pre, ["doc_kind"], ["n"])
+
+
+def pages_domain_stats(sf_dir: str):
+    """Per-host corpus stats off the raw pages table (pruned read: url
+    + html only): page count and total payload bytes per host — the
+    domain-level aggregation a crawl-curation pipeline gates on (host
+    blocklists, per-domain caps).  Host cardinality scales with the
+    corpus, so partials ride the hash exchange like every other
+    corpus-cardinality keyed op."""
+    from valere_ocr_ray.ops.exchange import hash_exchange
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        urls = b["url"].to_pandas().astype(str)
+        host = urls.str.split("/").str[2].fillna("")
+        nbytes = pc.binary_length(b["html"].combine_chunks()).to_pandas()
+        df = pd.DataFrame({"host": host, "n_pages": 1, "sum_bytes": nbytes})
+        return df.groupby("host", as_index=False).agg(
+            n_pages=("n_pages", "sum"), sum_bytes=("sum_bytes", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("host", as_index=False).agg(
+            n_pages=("n_pages", "sum"), sum_bytes=("sum_bytes", "sum")
+        )
+        return out.astype({"n_pages": "int64", "sum_bytes": "int64"})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    ex = hash_exchange(pre, ["host"], 16)
+    return ex.map_batches(combine, batch_format="pandas", batch_size=None)
+
+
+def pages_url_canonical(sf_dir: str):
+    """URL canonicalization (the CCNet/RefinedWeb pre-dedup step):
+    strip query string + fragment, lowercase.  Tracking params are
+    planted deterministically (``md5_number_lower(url) % 4 == 0`` gets
+    ``?utm_source=...``, ``% 5 == 0`` gets ``#frag`` — the same hash
+    the SQL oracle computes) so the strip fires on >0 urls."""
+    import hashlib
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url"])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].astype(str)
+        h = urls.map(
+            lambda u: int.from_bytes(hashlib.md5(u.encode()).digest()[8:16], "little")
+        )
+        aug = urls + (h % 4 == 0).map({True: "?utm_source=feed&utm_campaign=x", False: ""})
+        aug = aug + (h % 5 == 0).map({True: "#frag", False: ""})
+        canonical = aug.str.replace(r"[?#].*$", "", regex=True).str.lower()
+        return pd.DataFrame(
+            {
+                "url": aug,
+                "canonical_url": canonical,
+                "was_rewritten": (aug != canonical).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(canon, batch_format="pandas")
+
+
 def pages_dedup_corpus(sf_dir: str):
     """The canonical composition: extract → exact dedup → near-dup
     clustering → flagged corpus (pipelines/dedup_corpus.py)."""

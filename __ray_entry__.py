@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # builder self-check and the parity pytest
         "doc_sentences": q.doc_sentences,
         "doc_sections": q.doc_sections,
+        "doc_section_texts": q.doc_section_texts,
         "doc_hash_sample": q.doc_hash_sample,
         "doc_train_shuffle_head": q.doc_train_shuffle_head,
         "doc_fingerprint": q.doc_fingerprint,
@@ -1252,6 +1253,50 @@ def oracle_sql() -> dict[str, str]:
             f"AS canonical_url, "
             f"CAST(url != lower(regexp_replace(url, '[?#].*$', '')) AS BIGINT) "
             f"AS was_rewritten FROM aug"
+        ),
+        "doc_section_texts": (
+            # extract/sections.split_sections as a window-function state
+            # machine: cur = last heading-or-blank marker (IGNORE NULLS
+            # scan), repeated-heading RESET = only the last instance's
+            # body survives, PARAGRAPH accumulates unheaded body lines;
+            # structure planted via queries._plant_section_structure
+            "WITH aug AS (SELECT doc_id, text || chr(10) || 'HEADER ' || "
+            "CAST(doc_id % 4 AS VARCHAR) || chr(10) || 'section body line' || "
+            "CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'NOTES' || "
+            "chr(10) || 'note line' || chr(10) || 'HEADER ' || "
+            "CAST(doc_id % 4 AS VARCHAR) || chr(10) || 'reset body' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'EMPTY HEAD' ELSE '' END "
+            "AS text FROM documents), "
+            "l AS (SELECT doc_id, t[i] AS ln, i FROM "
+            "(SELECT doc_id, string_split(text, chr(10)) AS t FROM aug), "
+            "unnest(range(1, len(t) + 1)) AS u(i)), "
+            "c AS (SELECT doc_id, ln, i, (trim(ln) = '') AS is_blank, "
+            "(trim(ln) != '' AND ln = upper(ln) AND ln != lower(ln)) "
+            "AS is_heading FROM l), "
+            "s AS (SELECT doc_id, ln, i, is_blank, is_heading, "
+            "last_value(CASE WHEN is_blank THEN '' WHEN is_heading THEN ln END "
+            "IGNORE NULLS) OVER w AS cur, "
+            "last_value(CASE WHEN is_heading THEN i END IGNORE NULLS) OVER w "
+            "AS hline FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "body AS (SELECT doc_id, ln, i, "
+            "CASE WHEN cur IS NULL OR cur = '' THEN 'PARAGRAPH' ELSE cur END "
+            "AS section, "
+            "CASE WHEN cur IS NULL OR cur = '' THEN 0 ELSE hline END AS inst "
+            "FROM s WHERE NOT is_blank AND NOT is_heading), "
+            "heads AS (SELECT doc_id, ln AS section, max(i) AS lastocc "
+            "FROM c WHERE is_heading GROUP BY doc_id, ln), "
+            "hc AS (SELECT h.doc_id, h.section, "
+            "coalesce(trim(string_agg(b.ln, ' ' ORDER BY b.i)), '') AS content "
+            "FROM heads h LEFT JOIN body b ON b.doc_id = h.doc_id "
+            "AND b.section = h.section AND b.inst = h.lastocc "
+            "GROUP BY h.doc_id, h.section), "
+            "para AS (SELECT doc_id, 'PARAGRAPH' AS section, "
+            "trim(string_agg(ln, ' ' ORDER BY i)) AS content FROM body "
+            "WHERE section = 'PARAGRAPH' GROUP BY doc_id) "
+            "SELECT doc_id, section, content FROM hc "
+            "UNION ALL SELECT doc_id, section, content FROM para"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features:

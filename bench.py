@@ -109,6 +109,7 @@ def _run_benchmarks() -> dict:
         timed("orders_q3_topk", q.orders_q3_topk)
         timed("doc_pack_sequences", q.doc_pack_sequences)
         timed("doc_line_dedup", q.doc_line_dedup)
+        timed("doc_dsir_weights", q.doc_dsir_weights)
 
     ray.shutdown()
     return {

@@ -41,14 +41,27 @@ DEFAULT_K = 1024
 _SCALE = 1_000_000
 
 
+# gram → raw 64-bit hash memo, shared across batches within a worker
+# process (natural-language gram vocabularies repeat heavily batch to
+# batch); capped so a 100 TB vocabulary can't grow worker heaps
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_CAP = 2_000_000
+
+
+def _hash64(g: str) -> int:
+    h = _HASH_CACHE.get(g)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little")
+        if len(_HASH_CACHE) < _HASH_CACHE_CAP:
+            _HASH_CACHE[g] = h
+    return h
+
+
 def _bucket_of_grams(grams: pd.Series, k: int) -> np.ndarray:
     """md5_number_lower(g) % k for each gram — hashing unique values only."""
     codes, uniques = pd.factorize(grams, sort=False)
     uh = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") % k
-            for g in uniques
-        ),
+        (_hash64(g) % k for g in uniques),
         dtype=np.int64,
         count=len(uniques),
     )
@@ -131,34 +144,35 @@ def dsir_weights(
         ds, target_source=target_source, k=k, text_col=text_col
     )
     counts = tree_keyed_sum(partials, ["bucket"], ["c_target", "c_raw"]).to_pandas()
-    lrs_ref = ray.put(log_ratio_table(counts, k))
+    # the log-ratio table is K int64s (8 KB at the default K) — small
+    # enough to ship inside the task closure itself: task pools reuse
+    # the session's warm workers (no actor-pool process spin-up), and
+    # the table serializes once per task submission, not per row.  For
+    # a large K (≥1M buckets) switch to ray.put + an actor pool.
+    lrs = log_ratio_table(counts, k)
 
-    class Score:
-        def __init__(self) -> None:
-            self.lrs = ray.get(lrs_ref)  # K ints, fetched once per actor
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            grams = _doc_grams(df, text_col)
-            if grams.empty:
-                return pd.DataFrame(
-                    {
-                        "doc_id": np.zeros(0, np.int64),
-                        "n_grams": np.zeros(0, np.int64),
-                        "weight_scaled": np.zeros(0, np.int64),
-                    }
-                )
-            b = _bucket_of_grams(grams["gram"], len(self.lrs))
-            per = pd.DataFrame(
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        grams = _doc_grams(df, text_col)
+        if grams.empty:
+            return pd.DataFrame(
                 {
-                    "doc_id": grams["doc_id"].to_numpy(dtype=np.int64),
-                    "w": self.lrs[b],
+                    "doc_id": np.zeros(0, np.int64),
+                    "n_grams": np.zeros(0, np.int64),
+                    "weight_scaled": np.zeros(0, np.int64),
                 }
             )
-            agg = per.groupby("doc_id", as_index=False).agg(
-                n_grams=("w", "size"), weight_scaled=("w", "sum")
-            )
-            return agg.astype(
-                {"doc_id": "int64", "n_grams": "int64", "weight_scaled": "int64"}
-            )
+        b = _bucket_of_grams(grams["gram"], len(lrs))
+        per = pd.DataFrame(
+            {
+                "doc_id": grams["doc_id"].to_numpy(dtype=np.int64),
+                "w": lrs[b],
+            }
+        )
+        agg = per.groupby("doc_id", as_index=False).agg(
+            n_grams=("w", "size"), weight_scaled=("w", "sum")
+        )
+        return agg.astype(
+            {"doc_id": "int64", "n_grams": "int64", "weight_scaled": "int64"}
+        )
 
-    return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(score, batch_format="pandas")

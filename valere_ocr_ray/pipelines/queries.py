@@ -208,6 +208,57 @@ def doc_sections(sf_dir: str):
     )
 
 
+def _plant_section_structure(df: pd.DataFrame) -> pd.Series:
+    """Deterministic section framing around each doc's (single-line)
+    text — the driver corpus has ZERO heading/blank lines, which would
+    leave the F8 splitter's oracle exercising nothing but the
+    PARAGRAPH fallback.  Derived from doc_id alone, reproduced
+    verbatim by the SQL oracle; exercises: body-before-heading
+    (PARAGRAPH), heading+body, blank-line close, REPEATED-heading
+    reset (every 3rd doc), and a trailing empty section (every 5th)."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    n4 = pd.Series((ids % 4).astype(str), index=df.index)
+    base = df["text"].astype(str) + "\nHEADER " + n4 + "\nsection body line"
+    reset = "\n\nNOTES\nnote line\nHEADER " + n4 + "\nreset body"
+    empty = "\nEMPTY HEAD"
+    out = base
+    out = out + reset.where(pd.Series(ids % 3 == 0, index=df.index), "")
+    out = out + pd.Series(np.where(ids % 5 == 0, empty, ""), index=df.index)
+    return out
+
+
+def doc_section_texts(sf_dir: str):
+    """F8 section splitter, exploded to one (doc_id, section, content)
+    row per section — the SQL-verifiable form of ``doc_sections``
+    (whose insertion-ordered JSON map is kept for byte-stable output).
+    Structure is planted via ``_plant_section_structure`` so the
+    heading / blank-close / repeated-heading-reset / empty-section
+    semantics all fire; the oracle reproduces the state machine with
+    IGNORE-NULLS window scans."""
+    from valere_ocr_ray.extract.sections import split_sections
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("section", pa.string()), ("content", pa.string())]
+    )
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        aug = _plant_section_structure(df)
+        dids: list[int] = []
+        secs: list[str] = []
+        conts: list[str] = []
+        for did, t in zip(df["doc_id"].to_numpy(dtype=np.int64), aug):
+            for k, v in split_sections(t).items():
+                dids.append(int(did))
+                secs.append(k)
+                conts.append(v)
+        return pa.Table.from_pydict(
+            {"doc_id": dids, "section": secs, "content": conts}, schema=schema
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def doc_line_stats(sf_dir: str):
     """F8's per-line classification (heading / blank / body counts) —
     the SQL-mirrorable projection of the section splitter."""

@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_filtered": q.emb_knn_filtered,
         "emb_knn_ivf": q.emb_knn_ivf,
         "emb_dup_pairs": q.emb_dup_pairs,
+        "emb_dup_pairs_exact": q.emb_dup_pairs_exact,
         # pages: the flagship extraction surface (engine-synthesized
         # corpus → rows-only checks) + multimodal plumbing
         "pages_near_dup_pairs": q.pages_near_dup_pairs,
@@ -1297,6 +1298,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE section = 'PARAGRAPH' GROUP BY doc_id) "
             "SELECT doc_id, section, content FROM hc "
             "UNION ALL SELECT doc_id, section, content FROM para"
+        ),
+        "emb_dup_pairs_exact": (
+            # planted duplicates (queries.emb_dup_pairs_exact verbatim):
+            # every 10th vector takes its successor's embedding, so
+            # cosine-1.0 pairs exist; engine scores float64 rounded to
+            # 6 decimals — DOUBLE cosine here reproduces them exactly
+            "WITH aug AS (SELECT e.vec_id, CASE WHEN e.vec_id % 10 = 0 "
+            "AND n.vec_id IS NOT NULL THEN n.embedding ELSE e.embedding END "
+            "AS embedding FROM embeddings e "
+            "LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.9"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features:

@@ -659,6 +659,54 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pairs_exact(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """EXACT cosine near-dup pairs — the recall-1.0 baseline the LSH
+    variant (``embedding_dup_pairs``) is measured against.
+
+    The full normalized matrix broadcasts once via ``ray.put``; each
+    batch matmuls against it and emits its (i<j, cosine>=t) pairs, so
+    the quadratic work distributes over batches while every pair is
+    produced exactly once (dedup by ``id_a < id_b`` within the batch's
+    row range).  Scale contract: broadcast is N×d floats — the corpus
+    must fit one worker's heap (fine for probe/eval sets up to ~10M×64);
+    beyond that, use the LSH buckets.  Scores are float64, rounded to 6
+    decimals, so the SQL cross-join oracle reproduces them exactly."""
+    import pyarrow as pa
+
+    all_rows = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = all_rows[id_col].to_numpy(dtype=np.int64)
+    mat_all = np.stack(all_rows[vec_col].to_numpy()).astype(np.float64)
+    mat_all /= np.linalg.norm(mat_all, axis=1, keepdims=True) + 1e-12
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_a, mat_a = ray.get(ref)  # zero-copy plasma read per task
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        sims = mat @ mat_a.T  # (batch, N)
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < ids_a[jj]  # each unordered pair exactly once
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii],
+                "id_b": ids_a[jj],
+                "cosine": np.round(sims[ii, jj], 6),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        pairs, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # clustering verified pairs
 # ---------------------------------------------------------------------------

@@ -3943,6 +3943,26 @@ def emb_dup_pairs(sf_dir: str):
     return dedup.embedding_dup_pairs(ds, dim=64, threshold=0.9)
 
 
+def emb_dup_pairs_exact(sf_dir: str):
+    """Exact-cosine near-dup pairs (recall-1.0 baseline for the LSH
+    variant), SQL-oracled.  The driver corpus has NO cosine-0.9 pairs
+    (max off-diagonal ≈ 0.51), so duplicates are planted: every 10th
+    vector takes its successor's embedding (deterministic, mirrored by
+    the oracle's self-join) — the audit fires on real pairs instead of
+    a vacuous empty set.  Planting materializes the probe set
+    driver-side, which is this op's documented contract anyway (the
+    exact variant broadcasts the full matrix; LSH is the scale path)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pdf = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    emb = pdf["embedding"].to_numpy()
+    nxt = dict(zip(ids, emb))
+    pdf["embedding"] = [
+        nxt.get(i + 1, e) if i % 10 == 0 else e for i, e in zip(ids, emb)
+    ]
+    return dedup.embedding_dup_pairs_exact(rd.from_pandas(pdf), threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # pages — the flagship extraction surface (rows-only checks: the pages
 # corpus is engine-synthesized, not one of the driver's DuckDB views)

@@ -214,8 +214,12 @@ _AUG_CONTACTS = (
     "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' "
     "ELSE '' END AS text FROM documents"
 )
-_PH = r"\b(?:\(\d{3}\)\s*|\d{3}[-.\s]?)\d{3}[-.\s]??\d{4}\b"
-_NM = r"\b(?:Mr\.|Mrs\.|Ms\.|Dr\.)?\s*[A-Z][a-z]*\s*[A-Z][a-z]*\b"
+# imported, not re-literaled: an edit to the battery patterns must not
+# leave the doc_redact oracle on a stale copy
+from valere_ocr_ray.registry.extractors import (  # noqa: E402
+    GENERIC_NAME_PATTERN as _NM,
+    GENERIC_PHONE_PATTERN as _PH,
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1753,11 +1753,62 @@ def test_dsir_weights_match_local_numpy_and_partitioning(ray_session):
 
 
 def test_cross_source_dupes_partition_invariant(ray_session):
-    """doc_cross_source_dupes gives identical results at 1 vs many
-    partitions (the exchange co-locates each text hash)."""
+    """The cross-source dedup kernel gives identical results at 1 vs 7
+    partitions (the exchange co-locates each text hash), and the query
+    over the driver corpus fires on real planted dupes."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.exchange import hash_exchange
     from valere_ocr_ray.pipelines import queries as q
 
-    a = q.doc_cross_source_dupes("/root/testdata/sf0.001")
-    df = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert (df["n_sources"] > 1).all()
+    # the query surface: planted dupes present, all multi-source
+    df = (
+        q.doc_cross_source_dupes("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     assert len(df) > 0
+    assert (df["n_sources"] > 1).all()
+
+    # partition invariance of the same partial→exchange→combine kernel
+    rng = np.random.default_rng(3)
+    rows = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "source": [f"s{i % 5}" for i in range(60)],
+            "text": [f"shared {i % 9}" if i % 2 == 0 else f"uniq {i}" for i in range(60)],
+        }
+    )
+    del rng
+
+    def run(nparts: int) -> pd.DataFrame:
+        ds = rd.from_pandas(rows).repartition(nparts)
+
+        def partial(d: pd.DataFrame) -> pd.DataFrame:
+            h = d["text"].astype(str).map(q._md5_hex_str)
+            return (
+                d.assign(text_hash=h)
+                .groupby(["text_hash", "source"], as_index=False)
+                .agg(doc_id=("doc_id", "min"), n=("doc_id", "size"))
+            )
+
+        def combine(d: pd.DataFrame) -> pd.DataFrame:
+            per_src = d.groupby(["text_hash", "source"], as_index=False).agg(
+                doc_id=("doc_id", "min"), n=("n", "sum")
+            )
+            out = per_src.groupby("text_hash", as_index=False).agg(
+                doc_id=("doc_id", "min"),
+                n_sources=("source", "nunique"),
+                n_copies=("n", "sum"),
+            )
+            out = out[out["n_sources"] > 1]
+            return out[["doc_id", "n_sources", "n_copies"]].astype("int64")
+
+        ex = hash_exchange(ds.map_batches(partial, batch_format="pandas"), ["text_hash"], 4)
+        got = ex.map_batches(combine, batch_format="pandas", batch_size=None).to_pandas()
+        return got.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

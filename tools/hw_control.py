@@ -97,12 +97,20 @@ def _run(procs: int) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
     procs = [4, 8, 16, 32]
-    for a in sys.argv[1:]:
+    positional: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--procs"):
-            procs = [int(p) for p in a.split("=", 1)[1].split(",")]
+            val = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            procs = [int(p) for p in val.split(",")]
+            i += 1 if "=" in a else 2
+        else:
+            positional.append(a)
+            i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
     _load(sf_dir)
     n = len(_URLS)
     out: dict = {

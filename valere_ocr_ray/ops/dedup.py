@@ -677,8 +677,6 @@ def embedding_dup_pairs_exact(
     must fit one worker's heap (fine for probe/eval sets up to ~10M×64);
     beyond that, use the LSH buckets.  Scores are float64, rounded to 6
     decimals, so the SQL cross-join oracle reproduces them exactly."""
-    import pyarrow as pa
-
     all_rows = ds.select_columns([id_col, vec_col]).to_pandas()
     ids_all = all_rows[id_col].to_numpy(dtype=np.int64)
     mat_all = np.stack(all_rows[vec_col].to_numpy()).astype(np.float64)
@@ -687,10 +685,9 @@ def embedding_dup_pairs_exact(
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids_a, mat_a = ray.get(ref)  # zero-copy plasma read per task
-        ids = df[id_col].to_numpy(dtype=np.int64)
-        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
-        sims = mat @ mat_a.T  # (batch, N)
+        rows = df["_row"].to_numpy(dtype=np.int64)
+        ids = ids_a[rows]
+        sims = mat_a[rows] @ mat_a.T  # (batch, N)
         ii, jj = np.nonzero(sims >= threshold)
         keep = ids[ii] < ids_a[jj]  # each unordered pair exactly once
         ii, jj = ii[keep], jj[keep]
@@ -702,9 +699,14 @@ def embedding_dup_pairs_exact(
             }
         )
 
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        pairs, batch_format="pandas"
-    )
+    # the input is already materialized for the broadcast — the batched
+    # pass fans out over ROW-INDEX spans against the plasma matrix (one
+    # object-store write total), instead of re-executing the upstream
+    # dataset a second time
+    index = pd.DataFrame({"_row": np.arange(len(ids_all), dtype=np.int64)})
+    return ray.data.from_pandas(index).repartition(
+        max(1, len(ids_all) // 4096)
+    ).map_batches(pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

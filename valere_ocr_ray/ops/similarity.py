@@ -43,15 +43,25 @@ class BruteForceTopK:
         sims = mat @ self.q.T  # (batch, n_queries)
         n, nq = sims.shape
         k = min(self.k, n)
-        idx = np.argpartition(-sims, k - 1, axis=0)[:k]  # per-query top-k rows
         ids = df[self.id_col].to_numpy()
-        qcol = np.repeat(np.arange(nq, dtype=np.int64), k)
-        rows = idx.T.ravel()
+        # batch-local selection under the SAME total order as the final
+        # global rank — rounded score desc, then id asc — so a 1e-6 tie
+        # straddling a batch's k-th slot cannot evict the row the
+        # global (and the exact-cosine oracle's) tie-break would keep
+        r_sims = np.round(sims, 6)
+        out_rows = []
+        out_q = []
+        for qi in range(nq):
+            order = np.lexsort((ids, -r_sims[:, qi]))[:k]
+            out_rows.append(order)
+            out_q.append(np.full(k, qi, dtype=np.int64))
+        rows = np.concatenate(out_rows)
+        qcol = np.concatenate(out_q)
         return pd.DataFrame(
             {
                 "query_id": qcol,
                 self.id_col: ids[rows],
-                "cosine": sims[rows, qcol].astype(np.float64),
+                "cosine": r_sims[rows, qcol].astype(np.float64),
             }
         )
 

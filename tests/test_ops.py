@@ -1812,3 +1812,30 @@ def test_cross_source_dupes_partition_invariant(ray_session):
     a, b = run(1), run(7)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_knn_brute_force_tie_across_batch_boundary(ray_session):
+    """Ties at the k-th slot must break on id under the rounded-score
+    total order even when the tied rows live in different blocks: the
+    batch-local selection uses the same (rounded desc, id asc) order as
+    the global reduce, so the exact-cosine oracle's pick survives."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.similarity import knn_brute_force
+
+    q = np.zeros((1, 4), dtype=np.float64)
+    q[0, 0] = 1.0
+    rows = []
+    # ids 0..9: exactly equal cosine (same direction, different scale);
+    # ids 100..103: lower score fillers
+    for i in range(10):
+        rows.append({"vec_id": i, "embedding": [float(i + 1), 0.0, 0.0, 0.0]})
+    for i in range(100, 104):
+        rows.append({"vec_id": i, "embedding": [1.0, 1.0, 0.0, 0.0]})
+    df = pd.DataFrame(rows)
+    for nparts in (1, 7):
+        got = knn_brute_force(
+            rd.from_pandas(df).repartition(nparts), q, k=5
+        )
+        # all ten tied rows round to cosine 1.0 — the five SMALLEST ids win
+        assert got["vec_id"].tolist() == [0, 1, 2, 3, 4], (nparts, got)

@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentences": q.doc_sentences,
         "doc_sections": q.doc_sections,
         "doc_section_texts": q.doc_section_texts,
+        "doc_simhash_md5": q.doc_simhash_md5,
         "doc_hash_sample": q.doc_hash_sample,
         "doc_train_shuffle_head": q.doc_train_shuffle_head,
         "doc_fingerprint": q.doc_fingerprint,
@@ -1302,6 +1303,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE section = 'PARAGRAPH' GROUP BY doc_id) "
             "SELECT doc_id, section, content FROM hc "
             "UNION ALL SELECT doc_id, section, content FROM para"
+        ),
+        "doc_simhash_md5": (
+            # bit-vote SimHash over md5_number_lower token hashes;
+            # assembly in HUGEINT (1<<63 overflows UBIGINT's shift),
+            # emitted as the same 16-lower-hex-char string the engine
+            # formats
+            r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+            r"'\S+')) AS tok FROM documents), "
+            "h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM toks), "
+            "bits AS (SELECT doc_id, b, "
+            "sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc "
+            "FROM h, unnest(range(0, 64)) AS u(b) GROUP BY doc_id, b), "
+            "sh AS (SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN "
+            "CAST(1 AS HUGEINT) << b ELSE 0 END) AS UBIGINT) AS v "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE WHEN sh.v IS NULL THEN "
+            "'0000000000000000' ELSE lpad(lower(to_hex(sh.v)), 16, '0') END "
+            "AS simhash_hex FROM documents d LEFT JOIN sh USING (doc_id)"
         ),
         "emb_dup_pairs_exact": (
             # planted duplicates (queries.emb_dup_pairs_exact verbatim):

@@ -791,6 +791,46 @@ def doc_simhash(sf_dir: str):
     )
 
 
+def doc_simhash_md5(sf_dir: str):
+    """SimHash-64 with md5-derived token hashes — the SQL-ORACLED
+    member of the SimHash family (``doc_simhash`` keeps the faster
+    crc+splitmix hash for production; same bit-vote algorithm).  Token
+    hash == DuckDB ``md5_number_lower``; output is a 16-hex-char string
+    (a full uint64 doesn't round-trip losslessly through the driver's
+    float-tolerant compare).  Per-batch vectorized: one factorize +
+    hash per unique token, one ``np.add.at`` over (doc, bit)."""
+    from valere_ocr_ray.ops.dsir import _hash64
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split()
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        flat = [t for lst in toks for t in lst]
+        if flat:
+            codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+            uh = np.fromiter(
+                (_hash64(g) for g in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            hv = uh[codes]
+        else:
+            hv = np.zeros(0, np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = np.zeros((len(df), 64), np.int64)
+        np.add.at(votes, doc_idx, 2 * bits - 1)
+        sim = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "simhash_hex": [format(int(v), "016x") for v in sim],
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational operators (SQL-oracled)
 # ---------------------------------------------------------------------------

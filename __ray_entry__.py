@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": q.emb_knn_ivf,
         "emb_dup_pairs": q.emb_dup_pairs,
         "emb_dup_pairs_exact": q.emb_dup_pairs_exact,
+        "emb_lsh_recall": q.emb_lsh_recall,
         # pages: the flagship extraction surface (engine-synthesized
         # corpus → rows-only checks) + multimodal plumbing
         "pages_near_dup_pairs": q.pages_near_dup_pairs,

@@ -3983,30 +3983,83 @@ def emb_dup_pairs(sf_dir: str):
     return dedup.embedding_dup_pairs(ds, dim=64, threshold=0.9)
 
 
-def emb_dup_pairs_exact(sf_dir: str):
-    """Exact-cosine near-dup pairs (recall-1.0 baseline for the LSH
-    variant), SQL-oracled.  The driver corpus has NO cosine-0.9 pairs
-    (max off-diagonal ≈ 0.51), so duplicates are planted: every 10th
-    vector takes its successor's embedding (deterministic, mirrored by
-    the oracle's self-join) — the audit fires on real pairs instead of
-    a vacuous empty set.  Planting materializes the probe set
-    driver-side, which is this op's documented contract anyway (the
-    exact variant broadcasts the full matrix; LSH is the scale path)."""
+def _planted_dup_embeddings(sf_dir: str):
+    """Embeddings with deterministic planted duplicates: every 10th
+    vector takes its successor's embedding (mirrored by the oracle's
+    self-join) — the driver corpus has NO cosine-0.9 pairs (max
+    off-diagonal ≈ 0.51), so dup audits would otherwise be vacuous.
+    Planting materializes the probe set driver-side, the documented
+    contract of the exact variant anyway."""
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     pdf = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     emb = pdf["embedding"].to_numpy()
     nxt = dict(zip(ids, emb))
-    pdf["embedding"] = [
-        nxt.get(i + 1, e) if i % 10 == 0 else e for i, e in zip(ids, emb)
+    planted = [
+        np.asarray(nxt.get(i + 1, e) if i % 10 == 0 else e, dtype=np.float32).tolist()
+        for i, e in zip(ids, emb)
     ]
-    return dedup.embedding_dup_pairs_exact(rd.from_pandas(pdf), threshold=0.9)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(planted, pa.list_(pa.float32())),
+        }
+    )
+    # materialized to parquet and read back: a from_arrow dataset trips
+    # Ray 2.49's pandas-block dtype reconstruction on object columns of
+    # ndarrays inside the downstream grouped_map ("numpy.ndarray(...)
+    # is not recognized"); the parquet read path is the proven one
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join("/tmp/valere_planted_emb", base)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    marker = os.path.join(out_dir, "_DONE")
+    stamp = f"{len(ids)}:v1"
+    if not (os.path.exists(marker) and open(marker).read().strip() == stamp):
+        pq.write_table(t, path)
+        with open(marker, "w") as f:
+            f.write(stamp)
+    return rd.read_parquet(path)
+
+
+def emb_dup_pairs_exact(sf_dir: str):
+    """Exact-cosine near-dup pairs (recall-1.0 baseline for the LSH
+    variant) over the planted-duplicate corpus, SQL-oracled."""
+    return dedup.embedding_dup_pairs_exact(
+        _planted_dup_embeddings(sf_dir), threshold=0.9
+    )
 
 
 # ---------------------------------------------------------------------------
 # pages — the flagship extraction surface (rows-only checks: the pages
 # corpus is engine-synthesized, not one of the driver's DuckDB views)
 # ---------------------------------------------------------------------------
+
+
+def emb_lsh_recall(sf_dir: str):
+    """Recall audit of the hyperplane-LSH near-dup pass against the
+    exact-cosine baseline (planted duplicates, threshold 0.9): one row
+    of {n_exact, n_lsh, n_hit, recall_per_mil}.  Identical planted
+    vectors always share every LSH bucket, so recall on the planted
+    corpus must be 1000 per-mil — the audit a pipeline runs before
+    trusting the approximate path at scale.  Rows-only (the LSH side
+    is hash-based)."""
+    planted = _planted_dup_embeddings(sf_dir)
+    exact = dedup.embedding_dup_pairs_exact(planted, threshold=0.9).to_pandas()
+    lsh = dedup.embedding_dup_pairs(planted, dim=64, threshold=0.9).to_pandas()
+    ex = {(int(a), int(b)) for a, b in zip(exact["id_a"], exact["id_b"])}
+    got = {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    n_hit = len(ex & got)
+    return pd.DataFrame(
+        {
+            "n_exact": [np.int64(len(ex))],
+            "n_lsh": [np.int64(len(got))],
+            "n_hit": [np.int64(n_hit)],
+            "recall_per_mil": [np.int64(n_hit * 1000 // max(len(ex), 1))],
+        }
+    )
 
 
 def pages_extract(sf_dir: str):

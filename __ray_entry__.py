@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pages: the flagship extraction surface (engine-synthesized
         # corpus → rows-only checks) + multimodal plumbing
         "pages_near_dup_pairs": q.pages_near_dup_pairs,
+        "pages_dsir_weights": q.pages_dsir_weights,
         "pages_line_dedup": q.pages_line_dedup,
         "pages_contacts": q.pages_contacts,
         "pages_redact": q.pages_redact,

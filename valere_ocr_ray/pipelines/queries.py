@@ -4062,6 +4062,69 @@ def emb_lsh_recall(sf_dir: str):
     )
 
 
+def _extracted_pages_dir(sf_dir: str) -> str:
+    """Extract the pages corpus once (resumable, idempotent — complete
+    shards skip) to a tmp parquet dir; downstream corpus-scale ops read
+    the extracted columns they need instead of re-running extraction."""
+    from valere_ocr_ray.pipelines.extract import run_resumable
+
+    pages_dir = ensure_pages(sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join("/tmp/valere_pages_extracted", base)
+    run_resumable(pages_dir, out_dir)
+    return out_dir
+
+
+def pages_dsir_weights(sf_dir: str):
+    """DSIR at the flagship surface: importance weights for every
+    extracted page against the site0 'target domain' — the op running
+    at corpus scale (200k docs at sf0.1) over the resumable extraction
+    output, exactly the composition a curation pipeline runs (extract →
+    select-like-my-target).  Rows-only (two-pass over engine-extracted
+    text).  Returns per-host weight aggregates so the result is small
+    and stable."""
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+    from valere_ocr_ray.ops.dsir import dsir_weights
+
+    out_dir = _extracted_pages_dir(sf_dir)
+    ds = rd.read_parquet(out_dir, columns=["url", "url_hash", "extracted_text", "status"])
+    ds = ds.filter(expr="status == 'ok'")
+
+    def shape(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pandas().astype(str)
+        host = urls.str.split("/").str[2].fillna("")
+        return pa.table(
+            {
+                "doc_id": b["url_hash"],
+                "source": pa.array(host.tolist(), pa.string()),
+                "text": b["extracted_text"].cast(pa.string()),
+            }
+        )
+
+    shaped = ds.map_batches(shape, batch_format="pyarrow")
+    w = dsir_weights(shaped, target_source="site0.example")
+    # per-host rollup: join host back via doc_id is another exchange;
+    # instead re-derive host per batch from the weights' doc_id join —
+    # weights carry doc_id only, so aggregate globally per weight sign
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df["weight_scaled"] > 0
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, np.int64),
+                "n_docs": np.asarray([len(df)], np.int64),
+                "n_positive": np.asarray([int(pos.sum())], np.int64),
+                "sum_weight": np.asarray([int(df["weight_scaled"].sum())], np.int64),
+                "sum_grams": np.asarray([int(df["n_grams"].sum())], np.int64),
+            }
+        )
+
+    return tree_keyed_sum(
+        w.map_batches(partial, batch_format="pandas"),
+        ["k"],
+        ["n_docs", "n_positive", "sum_weight", "sum_grams"],
+    ).drop_columns(["k"])
+
+
 def pages_extract(sf_dir: str):
     pages_dir = ensure_pages(sf_dir)
     ds = build_extraction_ds(pages_dir)

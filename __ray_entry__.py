@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sections": q.doc_sections,
         "doc_section_texts": q.doc_section_texts,
         "doc_simhash_md5": q.doc_simhash_md5,
+        "doc_fingerprint_md5": q.doc_fingerprint_md5,
+        "doc_minhash_sig_md5": q.doc_minhash_sig_md5,
         "doc_hash_sample": q.doc_hash_sample,
         "doc_train_shuffle_head": q.doc_train_shuffle_head,
         "doc_fingerprint": q.doc_fingerprint,
@@ -1305,6 +1307,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE section = 'PARAGRAPH' GROUP BY doc_id) "
             "SELECT doc_id, section, content FROM hc "
             "UNION ALL SELECT doc_id, section, content FROM para"
+        ),
+        "doc_minhash_sig_md5": (
+            # 8 salted-md5 permutation minima over DISTINCT tokens —
+            # the MinHash signature stage, reproduced row-for-row
+            r"WITH toks AS (SELECT DISTINCT doc_id, unnest("
+            r"regexp_extract_all(text, '\S+')) AS tok FROM documents), "
+            "m AS (SELECT doc_id, p AS perm, "
+            "min(md5_number_lower(tok || '#' || CAST(p AS VARCHAR))) AS v "
+            "FROM toks, unnest(range(0, 8)) AS u(p) GROUP BY doc_id, p) "
+            "SELECT doc_id, perm, lpad(lower(to_hex(v)), 16, '0') "
+            "AS min_hash_hex FROM m"
+        ),
+        "doc_fingerprint_md5": (
+            # min md5_number_lower over 8-token shingles (1-based
+            # inclusive list slice t[i:i+7] = 8 tokens; range(1, n-6)
+            # yields the same n-7 windows as the engine's
+            # range(len-W+1)); whole-text hash at <=8 tokens
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') "
+            "AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN CAST(0 AS UBIGINT) "
+            "WHEN len(t) <= 8 THEN md5_number_lower(array_to_string(t, ' ')) "
+            "ELSE (SELECT min(md5_number_lower(array_to_string(t[i:i+7], ' '))) "
+            "FROM unnest(range(1, len(t) - 6)) AS u(i)) END AS v FROM toks) "
+            "SELECT doc_id, lpad(lower(to_hex(v)), 16, '0') AS fingerprint_hex "
+            "FROM sh"
         ),
         "doc_simhash_md5": (
             # bit-vote SimHash over md5_number_lower token hashes;

@@ -791,6 +791,80 @@ def doc_simhash(sf_dir: str):
     )
 
 
+def doc_minhash_sig_md5(sf_dir: str):
+    """MinHash signature construction with md5-derived salted
+    permutation hashes — the SQL-ORACLED member of the MinHash family
+    (``doc_minhash_pairs`` keeps the faster vectorized mix): for each
+    of 8 permutations p, ``min(md5_number_lower(token || '#p'))`` over
+    the doc's DISTINCT whitespace tokens, emitted as one row per
+    (doc_id, perm) with the 16-hex-char minimum.  Equal signature rows
+    across docs estimate token-set Jaccard — the LSH banding input."""
+    from valere_ocr_ray.ops.dsir import _hash64
+
+    P = 8
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        dids: list[int] = []
+        perms: list[int] = []
+        mins: list[str] = []
+        for did, t in zip(df["doc_id"].to_numpy(dtype=np.int64), df["text"].astype(str)):
+            toks = set(t.split())
+            if not toks:
+                continue  # token-less docs have no signature (SQL mirror)
+            for p in range(P):
+                v = min(_hash64(f"{tok}#{p}") for tok in toks)
+                dids.append(int(did))
+                perms.append(p)
+                mins.append(format(v, "016x"))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(dids, np.int64),
+                "perm": np.asarray(perms, np.int64),
+                "min_hash_hex": mins,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def doc_fingerprint_md5(sf_dir: str):
+    """Winnowing fingerprint with md5-derived shingle hashes — the
+    SQL-ORACLED member of the fingerprint family (``doc_fingerprint``
+    keeps the faster FNV-1a): min ``md5_number_lower`` over 8-token
+    shingles (whole-text hash when a doc has ≤8 tokens), emitted as a
+    16-hex-char string.  Equal fingerprints ⇒ near-identical token
+    streams with high probability."""
+    from valere_ocr_ray.ops.dsir import _hash64
+
+    W = 8
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out: list[str] = []
+        for t in df["text"].astype(str):
+            toks = t.split()
+            if not toks:
+                out.append(format(0, "016x"))
+                continue
+            if len(toks) <= W:
+                out.append(format(_hash64(" ".join(toks)), "016x"))
+                continue
+            best = min(
+                _hash64(" ".join(toks[i : i + W]))
+                for i in range(len(toks) - W + 1)
+            )
+            out.append(format(best, "016x"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "fingerprint_hex": out,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def doc_simhash_md5(sf_dir: str):
     """SimHash-64 with md5-derived token hashes — the SQL-ORACLED
     member of the SimHash family (``doc_simhash`` keeps the faster

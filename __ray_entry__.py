@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_md5": q.doc_simhash_md5,
         "doc_fingerprint_md5": q.doc_fingerprint_md5,
         "doc_minhash_sig_md5": q.doc_minhash_sig_md5,
+        "doc_dup_clusters_verified": q.doc_dup_clusters_verified,
         "doc_hash_sample": q.doc_hash_sample,
         "doc_train_shuffle_head": q.doc_train_shuffle_head,
         "doc_fingerprint": q.doc_fingerprint,
@@ -1307,6 +1308,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE section = 'PARAGRAPH' GROUP BY doc_id) "
             "SELECT doc_id, section, content FROM hc "
             "UNION ALL SELECT doc_id, section, content FROM para"
+        ),
+        "doc_dup_clusters_verified": (
+            # connected components over the exact-Jaccard pair set
+            # (same CTE as doc_near_dup_verified) via recursive
+            # transitive closure; cluster = component-min doc_id, the
+            # contract of ops/dedup.cluster_labels
+            "WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') "
+            "AS toks FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') "
+            "AS gram FROM (SELECT doc_id, toks, "
+            "unnest(range(1, len(toks) - 1)) AS i FROM t)), "
+            "ng AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS n_int FROM g a JOIN g b "
+            "ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pr AS (SELECT id_a, id_b FROM inter "
+            "JOIN ng na ON na.doc_id = inter.id_a "
+            "JOIN ng nb ON nb.doc_id = inter.id_b "
+            "WHERE CAST(n_int AS DOUBLE) / (na.n_g + nb.n_g - n_int) >= 0.35), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pr "
+            "UNION ALL SELECT id_b, id_a FROM pr), "
+            "nodes AS (SELECT DISTINCT a FROM edges), "
+            "walk(doc_id, lbl) AS (SELECT a, a FROM nodes "
+            "UNION SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.doc_id = e.b) "
+            "SELECT doc_id, min(lbl) AS cluster FROM walk GROUP BY doc_id"
         ),
         "doc_minhash_sig_md5": (
             # 8 salted-md5 permutation minima over DISTINCT tokens —

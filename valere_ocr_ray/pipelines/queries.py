@@ -3729,6 +3729,34 @@ def doc_near_dup_verified(sf_dir: str):
     return verified.map_batches(scale, batch_format="pandas")
 
 
+def doc_dup_clusters_verified(sf_dir: str):
+    """Connected components over the EXACT-verified near-dup pairs —
+    the SQL-ORACLED member of the clustering family (``doc_dup_clusters``
+    clusters the raw signature-threshold pairs): LSH candidates →
+    exact-Jaccard verify on the exchange → distributed min-label
+    propagation (``ops/dedup.cluster_labels``).  A driver green proves
+    the label-propagation rounds reach the same fixpoint as SQL
+    transitive closure (recursive CTE) over the identical pair set."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_pairs(ds, threshold=0.3)
+    verified = dedup.verify_pairs_exact_exchange(ds, cand, n=3, threshold=0.35)
+    labels = dedup.cluster_labels(
+        verified.select_columns(["id_a", "id_b"]), num_partitions=8
+    )
+    df = labels.to_pandas()
+    if not len(df):
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "cluster": pa.array(df["cluster"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def doc_simhash_pairs(sf_dir: str):
     """Near-dup pairs at hamming(simhash64) <= 3 via 4×16-bit band
     buckets (pigeonhole-exact at this radius)."""

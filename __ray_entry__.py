@@ -1181,7 +1181,10 @@ def oracle_sql() -> dict[str, str]:
             "agg AS (SELECT doc_id, count(*) AS n_lines, "
             "sum(CASE WHEN regexp_matches(ln, '[.!?\"]\\s*$') THEN 1 ELSE 0 END) "
             "AS n_term, "
-            "sum(CASE WHEN regexp_matches(trim(ln), '^[-*•]') THEN 1 ELSE 0 END) "
+            # trim char set == python str.strip() whitespace (\n can't
+            # occur inside a split line)
+            "sum(CASE WHEN regexp_matches(trim(ln, ' ' || chr(9) || chr(13) "
+            "|| chr(12) || chr(11)), '^[-*•]') THEN 1 ELSE 0 END) "
             "AS n_bullet FROM l GROUP BY doc_id) "
             "SELECT d.doc_id, CAST(agg.n_lines AS BIGINT) AS n_lines, "
             "len(regexp_extract_all(d.text, '[.!?]')) AS n_sentences, "
@@ -1282,8 +1285,11 @@ def oracle_sql() -> dict[str, str]:
             "l AS (SELECT doc_id, t[i] AS ln, i FROM "
             "(SELECT doc_id, string_split(text, chr(10)) AS t FROM aug), "
             "unnest(range(1, len(t) + 1)) AS u(i)), "
-            "c AS (SELECT doc_id, ln, i, (trim(ln) = '') AS is_blank, "
-            "(trim(ln) != '' AND ln = upper(ln) AND ln != lower(ln)) "
+            "c AS (SELECT doc_id, ln, i, "
+            "(trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) = '') "
+            "AS is_blank, "
+            "(trim(ln, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) != '' "
+            "AND ln = upper(ln) AND ln != lower(ln)) "
             "AS is_heading FROM l), "
             "s AS (SELECT doc_id, ln, i, is_blank, is_heading, "
             "last_value(CASE WHEN is_blank THEN '' WHEN is_heading THEN ln END "

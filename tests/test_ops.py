@@ -1839,3 +1839,24 @@ def test_knn_brute_force_tie_across_batch_boundary(ray_session):
         )
         # all ten tied rows round to cosine 1.0 — the five SMALLEST ids win
         assert got["vec_id"].tolist() == [0, 1, 2, 3, 4], (nparts, got)
+
+
+def test_cluster_labels_long_chain_pointer_jumping(ray_session):
+    """A chain graph's diameter exceeds any reasonable round cap —
+    pointer jumping (lab[v] = min(lab[v], lab[lab[v]])) must fold it in
+    O(log n) rounds.  Before the jump phase, a 300-node chain capped at
+    64 rounds silently returned 236 bogus clusters."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import cluster_labels
+
+    n = 1000
+    pairs = pd.DataFrame(
+        {
+            "id_a": np.arange(n - 1, dtype=np.int64),
+            "id_b": np.arange(1, n, dtype=np.int64),
+        }
+    )
+    labels = cluster_labels(rd.from_pandas(pairs), num_partitions=4).to_pandas()
+    assert len(labels) == n
+    assert (labels["cluster"] == 0).all()

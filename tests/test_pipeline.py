@@ -355,3 +355,45 @@ def test_build_training_shards_refuses_populated_out_dir(
     assert s1["n_docs_out"] > 0
     with _pytest.raises(FileExistsError):
         build_training_shards(pages, out)
+
+
+def test_build_training_shards_optional_stages(ray_session, tmp_path):
+    """c4_rules and boilerplate_min_docs are additive gates: flags-off
+    output is byte-identical to the default, flags-on output is a
+    subset (C4 drops marker docs; boilerplate strip removes template
+    lines so token counts shrink, and template-sharing pages become
+    exact-dedupable)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    synth_pages(pages, 400)
+
+    base = build_training_shards(
+        pages, str(tmp_path / "o_base"), budget=128, n_shards=4
+    )
+    off = build_training_shards(
+        pages,
+        str(tmp_path / "o_off"),
+        budget=128,
+        n_shards=4,
+        c4_rules=False,
+        boilerplate_min_docs=None,
+    )
+    assert base == off  # defaults unchanged
+
+    on = build_training_shards(
+        pages,
+        str(tmp_path / "o_on"),
+        budget=128,
+        n_shards=4,
+        c4_rules=True,
+        boilerplate_min_docs=5,
+    )
+    assert 0 < on["n_docs_out"] <= base["n_docs_out"]
+    assert on["total_tokens"] < base["total_tokens"]  # template lines gone
+    df = rd.read_parquet(str(tmp_path / "o_on")).to_pandas()
+    assert df["clean_text"].is_unique
+    assert (df["clean_text"].str.len() > 0).all()

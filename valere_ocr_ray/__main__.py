@@ -92,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--num-cpus", type=int, default=None)
     cu.add_argument("--budget", type=int, default=512)
     cu.add_argument("--shards", type=int, default=8)
+    cu.add_argument(
+        "--c4", action="store_true",
+        help="add C4 §2.2 page markers to the quality gate",
+    )
+    cu.add_argument(
+        "--boilerplate-min-docs", type=int, default=None,
+        help="strip lines appearing in >= N docs before dedup (linededup)",
+    )
 
     a = p.parse_args(argv)
 
@@ -148,7 +156,12 @@ def main(argv: list[str] | None = None) -> int:
             from valere_ocr_ray.pipelines.curate import build_training_shards
 
             s = build_training_shards(
-                a.input, a.out, budget=a.budget, n_shards=a.shards
+                a.input,
+                a.out,
+                budget=a.budget,
+                n_shards=a.shards,
+                c4_rules=a.c4,
+                boilerplate_min_docs=a.boilerplate_min_docs,
             )
             print(json.dumps(s, indent=2, sort_keys=True))
         elif a.cmd == "warc-convert":

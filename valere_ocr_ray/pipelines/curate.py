@@ -49,11 +49,22 @@ def build_training_shards(
     min_tokens: int = 15,
     min_alpha: int = 600,
     max_top2_per_mil: int = 200,
+    c4_rules: bool = False,
+    boilerplate_min_docs: int | None = None,
 ) -> dict:
     """Run the whole curation flow; returns the audit summary
     ``{n_docs_out, n_sequences, total_tokens, n_shards, mean_fill}``.
     Output rows: ``(url_hash, clean_text, n_toks, shard, seq_id,
-    start_off)`` under ``out_dir/shard=<s>/``."""
+    start_off)`` under ``out_dir/shard=<s>/``.
+
+    Optional stages (default OFF — the flagship contract is
+    unchanged): ``c4_rules`` adds the C4 §2.2 page markers to the
+    quality gate (lorem-ipsum / curly-brace / <3-sentence drops,
+    in-batch); ``boilerplate_min_docs`` inserts corpus-level
+    repeated-line removal (``ops/linededup``, RefinedWeb/CCNet
+    boilerplate strip) between the quality gate and exact dedup —
+    stripping nav/footer template lines BEFORE hashing makes
+    template-sharing pages exact-dedupable."""
     extracted = build_extraction_ds(pages_dir)
     ok = extracted.filter(expr="status == 'ok'").select_columns(
         ["url_hash", "extracted_text"]
@@ -79,9 +90,34 @@ def build_training_shards(
             & (qual["alpha_ratio"].to_numpy() >= min_alpha)
             & (rep["top2_per_mil"].to_numpy() <= max_top2_per_mil)
         )
+        if c4_rules:
+            text = df["extracted_text"].astype(str)
+            keep &= (
+                ~text.str.lower().str.contains("lorem ipsum", regex=False)
+                & ~text.str.contains("{", regex=False)
+                & (text.str.count(r"[.!?]") >= 3)
+            ).to_numpy()
         return df[keep]
 
     clean = ok.map_batches(keep_quality, batch_format="pandas")
+
+    if boilerplate_min_docs:
+        from valere_ocr_ray.ops.linededup import strip_repeated_lines
+
+        clean = strip_repeated_lines(
+            clean,
+            min_docs=boilerplate_min_docs,
+            text_col="extracted_text",
+            id_col="url_hash",
+            num_partitions=num_partitions,
+        ).map_batches(
+            # fully-boilerplate docs come back empty — drop them here so
+            # the dedup/pack stages never see zero-token rows
+            lambda df: df.loc[
+                df["extracted_text"].str.len() > 0, ["url_hash", "extracted_text"]
+            ],
+            batch_format="pandas",
+        )
 
     # 2. exact dedup: md5 per batch, keep-canonical on the exchange
     import hashlib

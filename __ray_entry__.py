@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_md5": q.doc_fingerprint_md5,
         "doc_minhash_sig_md5": q.doc_minhash_sig_md5,
         "doc_dup_clusters_verified": q.doc_dup_clusters_verified,
+        "events_distinct_users_kmv_est": q.events_distinct_users_kmv_est,
         "doc_hash_sample": q.doc_hash_sample,
         "doc_train_shuffle_head": q.doc_train_shuffle_head,
         "doc_fingerprint": q.doc_fingerprint,
@@ -1314,6 +1315,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE section = 'PARAGRAPH' GROUP BY doc_id) "
             "SELECT doc_id, section, content FROM hc "
             "UNION ALL SELECT doc_id, section, content FROM para"
+        ),
+        "events_distinct_users_kmv_est": (
+            # the KMV ESTIMATOR itself, reproduced: md5_number_upper ==
+            # the engine's first-8-md5-bytes little-endian value hash;
+            # bottom-64 of the 63-bit space, then (k-1)*2^63/h_k.
+            # 63*2^63 is exactly representable in a double.
+            "WITH h AS (SELECT DISTINCT "
+            "CAST(md5_number_upper(CAST(user_id AS VARCHAR)) >> 1 AS BIGINT) "
+            "AS hv FROM events), "
+            "bot AS (SELECT hv FROM h ORDER BY hv LIMIT 64), "
+            "agg AS (SELECT count(*) AS n, max(hv) AS kth FROM bot) "
+            "SELECT CASE WHEN n < 64 THEN n ELSE "
+            "CAST(round(63 * 9223372036854775808.0 / "
+            "greatest(CAST(kth AS DOUBLE), 1.0)) AS BIGINT) END "
+            "AS n_distinct_est FROM agg"
         ),
         "doc_dup_clusters_verified": (
             # connected components over the exact-Jaccard pair set

@@ -3788,6 +3788,48 @@ def lineitem_distinct_parts(sf_dir: str):
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 
+def events_distinct_users_kmv_est(sf_dir: str):
+    """KMV distinct estimate in its SATURATED regime, SQL-ORACLED: the
+    sketch hash is ``md5_number_upper(CAST(user_id AS VARCHAR)) >> 1``
+    (bit-identical to ``ops/sketch._value_hashes64``), so DuckDB can
+    rebuild the bottom-k and reproduce the ``(k-1)·2^63/h_k`` estimate
+    EXACTLY — the approximate path itself is driver-verifiable, not
+    just its exact-regime twin.  k=64 < the corpus's user cardinality,
+    so this exercises the estimator, not the exact fallback."""
+    from valere_ocr_ray.ops import sketch
+
+    k = 64
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # hash the STRING form: integer columns would otherwise take
+        # _value_hashes64's splitmix64 fast path, which SQL can't
+        # reproduce — the md5 string path IS md5_number_upper
+        sk = sketch.kmv_from_hashes(
+            sketch._value_hashes64(df["user_id"].astype(str).drop_duplicates()), k
+        )
+        return pd.DataFrame({"sketch": [sk.tolist()]})
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        merged = sketch.kmv_merge(
+            [np.asarray(s, dtype=np.int64) for s in df["sketch"]], k
+        )
+        return pd.DataFrame({"sketch": [merged.tolist()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    for w in (8, 1):
+        parts = parts.repartition(w).map_batches(
+            merge_block, batch_format="pandas", batch_size=None
+        )
+    rows = parts.take_all()  # exactly one row
+    merged = sketch.kmv_merge(
+        [np.asarray(r["sketch"], dtype=np.int64) for r in rows], k
+    )
+    return pa.table(
+        {"n_distinct_est": pa.array([sketch.kmv_estimate(merged, k)], pa.int64())}
+    )
+
+
 def doc_distinct_tokens_kmv(sf_dir: str):
     """Approximate distinct-token count via a mergeable KMV bottom-k
     sketch (ops/sketch.py) — fixed k int64s per block instead of a

@@ -473,6 +473,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
             "FROM documents) WHERE length(tok) >= 3"
         ),
+        "doc_distinct_tokens_kmv": (
+            # the sketch runs in its EXACT regime here (k=4096 far above
+            # the corpus vocabulary at every sf), where the KMV estimate
+            # IS the distinct count; the saturated regime is oracled by
+            # events_distinct_users_kmv_est
+            "SELECT count(DISTINCT tok) AS n_distinct_est FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
+            "FROM documents) WHERE length(tok) >= 3"
+        ),
         "doc_top_tokens": (
             "SELECT tok, count(*) AS n FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "

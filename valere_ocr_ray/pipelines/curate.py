@@ -104,6 +104,12 @@ def build_training_shards(
     if boilerplate_min_docs:
         from valere_ocr_ray.ops.linededup import strip_repeated_lines
 
+        # the line-frequency count pass AND the rewrite pass both
+        # consume `clean` — without a checkpoint the lazy DAG re-runs
+        # extraction+quality once per consumer (measured +114 s at 200k
+        # pages).  materialize() pins the filtered text blocks in the
+        # object store (spillable), the legitimate diamond-reuse case.
+        clean = clean.materialize()
         clean = strip_repeated_lines(
             clean,
             min_docs=boilerplate_min_docs,

@@ -1,6 +1,7 @@
 """Large-scale training-data operations (beyond the reference's own
 operators): deduplication families (``dedup``), similarity search
-(``similarity``), text analysis (``textstats``), sectioning + URL
+(``similarity``), DSIR importance weights (``dsir``), boilerplate-line
+removal (``linededup``), text analysis (``textstats``), sectioning + URL
 projections (``urlmeta``), approximate distinct sketches (``sketch``),
 multimodal plumbing (``multimodal``), as-of/range joins (``asof``),
 and the keyed-combine machinery for high-cardinality groupbys
@@ -19,11 +20,13 @@ from valere_ocr_ray.ops import (  # noqa: F401
     combine,
     decontam,
     dedup,
+    dsir,
     exchange,
     incremental,
     invindex,
     joins,
     linear,
+    linededup,
     multimodal,
     packing,
     ranged,
@@ -41,11 +44,13 @@ __all__ = [
     "combine",
     "decontam",
     "dedup",
+    "dsir",
     "exchange",
     "incremental",
     "invindex",
     "joins",
     "linear",
+    "linededup",
     "multimodal",
     "packing",
     "ranged",

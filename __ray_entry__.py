@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_contacts": q.pages_contacts,
         "pages_redact": q.pages_redact,
         "media_features": q.media_features,
+        # sketch / streaming-state / CDC additions (round-3 tail; the
+        # first two are SQL-oracled, CDC is pinned by pytest invariants)
+        "events_heavy_hitters": q.events_heavy_hitters,
+        "events_incremental_totals": q.events_incremental_totals,
+        "doc_cdc_dedup": q.doc_cdc_dedup,
     }
 
 
@@ -1424,8 +1429,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.9"
         ),
+        "events_heavy_hitters": (
+            # Misra-Gries candidates + exact verify == plain
+            # count-threshold report (strict >, n/16 of all events);
+            # count(*) is BIGINT (not HUGEINT) so no cast needed
+            "SELECT event_type, count(*) AS cnt FROM events "
+            "GROUP BY event_type "
+            "HAVING count(*) * 16 > (SELECT count(*) FROM events) "
+            "ORDER BY cnt DESC, event_type"
+        ),
+        "events_incremental_totals": (
+            # two-shard micro-batch fold into persisted keyed state ==
+            # one-shot aggregate over the union; value integer-scaled
+            # floor(value*100) on BOTH sides (summation-order-proof)
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_c "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
-        # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features:
+        # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features /
+        # doc_cdc_dedup (chunk boundaries are a rolling-hash fold):
         # heuristic, hash-based or non-SQL-expressible composed ops —
         # driver records rows-only checks.
     }

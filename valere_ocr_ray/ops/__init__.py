@@ -2,7 +2,8 @@
 operators): deduplication families (``dedup``), similarity search
 (``similarity``), DSIR importance weights (``dsir``), boilerplate-line
 removal (``linededup``), text analysis (``textstats``), sectioning + URL
-projections (``urlmeta``), approximate distinct sketches (``sketch``),
+projections (``urlmeta``), approximate distinct sketches (``sketch``), Misra-Gries heavy
+hitters (``heavyhitters``), content-defined-chunking dedup (``cdc``),
 multimodal plumbing (``multimodal``), as-of/range joins (``asof``),
 and the keyed-combine machinery for high-cardinality groupbys
 (``exchange`` — custom hash exchange; ``combine`` — tree reduce;
@@ -17,11 +18,13 @@ from valere_ocr_ray.ops import (  # noqa: F401
     asof,
     bloom,
     bucketed,
+    cdc,
     combine,
     decontam,
     dedup,
     dsir,
     exchange,
+    heavyhitters,
     incremental,
     invindex,
     joins,
@@ -41,11 +44,13 @@ __all__ = [
     "asof",
     "bloom",
     "bucketed",
+    "cdc",
     "combine",
     "decontam",
     "dedup",
     "dsir",
     "exchange",
+    "heavyhitters",
     "incremental",
     "invindex",
     "joins",

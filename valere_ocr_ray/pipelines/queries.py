@@ -4509,3 +4509,73 @@ def media_features(sf_dir: str):
         )
 
     return feats.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sketch / streaming-state / CDC additions (round 3 tail)
+# ---------------------------------------------------------------------------
+
+
+def events_heavy_hitters(sf_dir: str):
+    """Heavy grouping keys of the events stream — every event_type
+    holding > 1/16 of all events, via the Misra-Gries candidate sketch
+    + exact-verify pass (``ops/heavyhitters.py``): zero exchanges, ≤k
+    counters per block on the wire, final counts EXACT (SQL-oracled).
+    This is the skew audit run before salting a keyed exchange."""
+    from valere_ocr_ray.ops.heavyhitters import heavy_hitters
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return heavy_hitters(ds, "event_type", k=64, denom=16, count_col="cnt")
+
+
+def events_incremental_totals(sf_dir: str):
+    """Micro-batch ingest fold: the events table arrives as TWO shards
+    ('click' rows first, everything else second), each folded into the
+    persisted per-user keyed state (``ops/incremental.py`` — versioned
+    hash-bucket parquet, atomic data-then-manifest commit); the read-
+    back committed state must equal the one-shot SQL aggregate over the
+    union.  State dir is fresh per call; doubles are integer-scaled
+    (floor(value*100)) before folding so sums stay exact int64."""
+    import tempfile
+
+    from valere_ocr_ray.ops.incremental import read_state, update_keyed_state
+
+    state = tempfile.mkdtemp(prefix="vor_inc_state_")
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "n_events": np.ones(len(df), dtype="int64"),
+                "value_c": np.floor(df["value"] * 100).astype("int64"),
+            }
+        )
+
+    first = ds.filter(expr="event_type == 'click'")
+    rest = ds.filter(expr="event_type != 'click'")
+    for shard in (first, rest):
+        update_keyed_state(
+            state,
+            shard.map_batches(scale, batch_format="pandas"),
+            ["user_id"],
+            ["n_events", "value_c"],
+            num_buckets=8,
+        )
+    return read_state(state).sort("user_id")
+
+
+def doc_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup audit over the documents corpus
+    (``ops/cdc.py`` — gear rolling hash, boundaries are functions of
+    local content so shifted near-duplicates still share chunks): one
+    exact stats row.  The planted cross-source duplicate docs guarantee
+    dup_chunks > 0.  Rows-only (chunk boundaries aren't
+    SQL-expressible); the chunking invariants are pinned by pytest and
+    the exact-dedup sibling ``doc_exact_dedup`` is SQL-oracled."""
+    from valere_ocr_ray.ops.cdc import cdc_dedup_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return cdc_dedup_stats(ds, "text", min_size=64, mask_bits=8, max_size=2048)

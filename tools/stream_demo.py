@@ -1,0 +1,153 @@
+"""Streaming / micro-batch ingest demo at scale (owns its Ray session).
+
+Simulates a continuous-ingest deployment of ``ops/incremental``: K
+deterministic event shards (seeded per shard — no stored input) arrive
+one at a time and are folded into the persisted per-key state.  The
+receipt demonstrates the three properties a long-running ingest needs:
+
+1. **Cost ∝ shard size, not history** — per-shard wall time stays flat
+   as the state accumulates versions (only touched buckets rewrite,
+   and a bucket rewrite is one vectorized concat+groupby).
+2. **Flat driver memory** — driver RSS is bounded by the meta dict
+   (one int per bucket), not the number of rows ever ingested.
+3. **Exactness** — the committed state equals an independent local
+   bincount over every shard regenerated from the seeds.
+
+Usage:  python tools/stream_demo.py [n_shards] [rows_per_shard]
+Prints one JSON line; paste the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_KEYS = 100_000  # distinct users — each bucket holds ~N_KEYS/num_buckets
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def _derive_cols(shard: int, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Counter-based deterministic columns from a global row index —
+    the same formula runs vectorized inside Ray tasks (shard synthesis
+    never touches the driver) and locally (the exactness recompute)."""
+    from valere_ocr_ray.ops.exchange import _mix64
+
+    h = _mix64((idx + shard * 1_000_000_007).astype(np.int64).view(np.uint64))
+    keys = (h % np.uint64(N_KEYS)).astype(np.int64)
+    vals = ((h >> np.uint64(32)) % np.uint64(10_000)).astype(np.int64)
+    return keys, vals
+
+
+def _shard_ds(shard: int, rows: int):
+    """The shard as a Dataset generated IN TASKS (rd.range + a
+    map_batches deriving columns from the row index) — the driver holds
+    block refs only, matching a real ingest where shards arrive from
+    storage, not from driver memory."""
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        idx = b["id"].to_numpy()
+        keys, vals = _derive_cols(shard, idx)
+        return pa.table(
+            {
+                "user_id": keys,
+                "n": np.ones(len(idx), np.int64),
+                "value_c": vals,
+            }
+        )
+
+    return rd.range(rows, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+def main() -> None:
+    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from valere_ocr_ray.ops.incremental import read_state, update_keyed_state
+
+    state = tempfile.mkdtemp(prefix="vor_stream_demo_")
+    shard_secs = []
+    rss_start = _rss_mb()
+    t_all = time.perf_counter()
+    for s in range(n_shards):
+        ds = _shard_ds(s, rows)
+        t0 = time.perf_counter()
+        update_keyed_state(state, ds, ["user_id"], ["n", "value_c"], num_buckets=32)
+        shard_secs.append(round(time.perf_counter() - t0, 3))
+    total_s = time.perf_counter() - t_all
+    rss_end = _rss_mb()
+
+    # exactness: local bincount over the regenerated shards
+    exp_n = np.zeros(N_KEYS, np.int64)
+    exp_v = np.zeros(N_KEYS, np.int64)
+    for s in range(n_shards):
+        k, v = _derive_cols(s, np.arange(rows, dtype=np.int64))
+        exp_n += np.bincount(k, minlength=N_KEYS).astype(np.int64)
+        exp_v += np.bincount(k, weights=v, minlength=N_KEYS).astype(np.int64)
+    got = read_state(state).to_pandas().set_index("user_id").sort_index()
+    seen = got.index.to_numpy()
+    exact = (
+        len(got) == int((exp_n > 0).sum())
+        and np.array_equal(got["n"].to_numpy(), exp_n[seen])
+        and np.array_equal(got["value_c"].to_numpy(), exp_v[seen])
+    )
+
+    n_rows = n_shards * rows
+    half = len(shard_secs) // 2
+    drift = (sum(shard_secs[half:]) / (len(shard_secs) - half)) / max(
+        sum(shard_secs[:half]) / half, 1e-9
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "incremental ingest fold throughput",
+                "value": round(n_rows / total_s, 1),
+                "unit": "rows/sec",
+                "n_shards": n_shards,
+                "rows_per_shard": rows,
+                "total_rows": n_rows,
+                "total_sec": round(total_s, 2),
+                "shard_secs": shard_secs,
+                "late_vs_early_shard_cost": round(drift, 3),
+                "driver_rss_mb_start": round(rss_start, 1),
+                "driver_rss_mb_end": round(rss_end, 1),
+                "state_exact_vs_recompute": bool(exact),
+            }
+        )
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,8 @@ def distinct_tokens_kmv(
 def _value_hashes64(values: pd.Series) -> np.ndarray:
     """Uniform 64-bit hashes of an arbitrary value column: integer
     dtypes vectorize through splitmix64; everything else routes through
-    the string token hash (two independent crc32 lanes → 64 bits)."""
+    the string token hash (first 8 md5 digest bytes — full 64-bit
+    entropy, same construction the KMV module header documents)."""
     from valere_ocr_ray.ops.exchange import _mix64
 
     v = values.to_numpy()

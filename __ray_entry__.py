@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": q.events_heavy_hitters,
         "events_incremental_totals": q.events_incremental_totals,
         "doc_cdc_dedup": q.doc_cdc_dedup,
+        # two-seed LSH union recall audit (rows-only: LSH side is
+        # hash-based; pinned by pytest superset/recall invariants)
+        "doc_lsh_union_recall": q.doc_lsh_union_recall,
     }
 
 

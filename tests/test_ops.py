@@ -102,6 +102,56 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert all(4 not in p for p in got)
 
 
+def test_minhash_lsh_two_seed_union(ray_session):
+    """seeds=(s1,s2) candidates are a SUPERSET of seeds=(s1,) — seed-1
+    buckets exist identically in both runs — and the union finds
+    gray-zone pairs a single seed misses on a corpus built to sit in
+    the miss zone (j≈0.52 at r=4)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import minhash_lsh_pairs
+
+    rows = []
+    for g in range(40):
+        head = " ".join(f"tok{g}x{j}" for j in range(28))
+        for m in (1, 2):
+            tail = " ".join(f"v{m}g{g}x{j}" for j in range(12))
+            rows.append({"doc_id": g * 2 + m, "text": head + " " + tail})
+    ds = rd.from_items(rows)
+
+    def pairset(seeds):
+        p = minhash_lsh_pairs(
+            ds, num_perm=32, bands=8, threshold=0.45, seeds=seeds
+        ).to_pandas()
+        return {(int(a), int(b)) for a, b in zip(p["id_a"], p["id_b"])}
+
+    one = pairset((42,))
+    two = pairset((42, 1337))
+    true_pairs = {(g * 2 + 1, g * 2 + 2) for g in range(40)}
+    assert one <= two
+    assert one <= true_pairs and two <= true_pairs  # no false positives here
+    assert len(two) > len(one)  # the union actually buys recall
+    # single-seed path unchanged: seeds=None ≡ seeds=(seed,)
+    legacy = minhash_lsh_pairs(
+        ds, num_perm=32, bands=8, threshold=0.45, seed=42
+    ).to_pandas()
+    got_legacy = {(int(a), int(b)) for a, b in zip(legacy["id_a"], legacy["id_b"])}
+    assert got_legacy == one
+
+
+def test_doc_lsh_union_recall_query(ray_session):
+    from valere_ocr_ray.pipelines import queries as q
+
+    out = q.doc_lsh_union_recall(SF)
+    row = out.iloc[0]
+    assert row["two_superset_of_one"] == 1
+    assert row["recall_2seed_per_mil"] >= row["recall_1seed_per_mil"]
+    assert row["n_true"] > 0  # denominator non-vacuous
+    assert row["n_2seed"] >= row["n_1seed"]
+    # verified sets are subsets of the truth sweep
+    assert row["recall_2seed_per_mil"] <= 1000
+
+
 def test_verify_pairs_exact_jaccard(ray_session):
     from valere_ocr_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard, verify_pairs_exact
 

@@ -301,21 +301,48 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 512,
     seed: int = 42,
+    seeds: tuple[int, ...] | None = None,
     star: bool = False,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (signature-estimated Jaccard >= threshold).
 
     ``star=True`` bounds output to O(n) pairs-with-representative (see
-    ``_bucket_pairs``) — use for corpora with huge near-dup cliques."""
+    ``_bucket_pairs``) — use for corpora with huge near-dup cliques.
+
+    ``seeds=(s1, s2, ...)`` runs INDEPENDENT permutation sets and
+    UNIONS their candidates — the recall-boost path for the gray zone
+    just above threshold, where one seed's detection probability
+    ``1-(1-j^r)^b`` is well below 1: misses are independent across
+    seeds, so the union's miss probability multiplies to
+    ``(1-j^r)^(b·len(seeds))``.  Band rows from every seed ride the
+    SAME exchange (band_id offset by seed index keeps buckets
+    seed-disjoint); cost scales linearly in ``len(seeds)`` while the
+    exchange count stays at one.  Default (``seeds=None``) is the
+    single-``seed`` path unchanged."""
     from valere_ocr_ray.ops.exchange import grouped_agg, grouped_map
 
-    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        lambda df: _minhash_batch(df, num_perm, k_shingle, seed),
+    seed_list = tuple(seeds) if seeds is not None else (seed,)
+    base = ds.select_columns(["doc_id", "text"])
+
+    def _band_rows_for(df: pd.DataFrame, s: int, off: int) -> pd.DataFrame:
+        out = _explode_bands(
+            _minhash_batch(df, num_perm, k_shingle, s), bands
+        )
+        if off and len(out):
+            out["band_id"] = out["band_id"] + off
+        return out
+
+    band_rows = base.map_batches(
+        lambda df, _s=seed_list[0]: _band_rows_for(df, _s, 0),
         batch_format="pandas",
     )
-    band_rows = sigs.map_batches(
-        lambda df: _explode_bands(df, bands), batch_format="pandas"
-    )
+    for si, s in enumerate(seed_list[1:], start=1):
+        band_rows = band_rows.union(
+            base.map_batches(
+                lambda df, _s=s, _off=si * bands: _band_rows_for(df, _s, _off),
+                batch_format="pandas",
+            )
+        )
     # bucket pairing + pair-dedup over the custom hash exchange —
     # Dataset.groupby's sort-reduce costs ~1 ms/key, fatal at bucket
     # cardinality (ops/exchange.py)

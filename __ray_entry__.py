@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first two are SQL-oracled, CDC is pinned by pytest invariants)
         "events_heavy_hitters": q.events_heavy_hitters,
         "events_incremental_totals": q.events_incremental_totals,
+        "doc_incremental_dedup": q.doc_incremental_dedup,
         "doc_cdc_dedup": q.doc_cdc_dedup,
         # two-seed LSH union recall audit (rows-only: LSH side is
         # hash-based; pinned by pytest superset/recall invariants)
@@ -1448,6 +1449,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_events, "
             "CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS value_c "
             "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "doc_incremental_dedup": (
+            # 4 ordered arrival shards (doc_id % 4) deduped against the
+            # persisted hash state == first-occurrence-wins on min
+            # shard; planted boilerplates (_plant_dupes verbatim) are
+            # the cross-shard duplicates
+            "WITH t AS (SELECT doc_id, doc_id % 4 AS shard, "
+            "CASE WHEN doc_id % 7 = 0 "
+            "THEN 'shared boilerplate passage ' || CAST(doc_id % 11 AS VARCHAR) "
+            "ELSE text END AS ptext FROM documents), "
+            "f AS (SELECT ptext, min(shard) AS first_shard FROM t GROUP BY ptext), "
+            "nv AS (SELECT first_shard AS shard, count(*) AS n_novel "
+            "FROM f GROUP BY first_shard), "
+            "ri AS (SELECT shard, count(*) AS n_rows_in FROM t GROUP BY shard) "
+            "SELECT ri.shard, ri.n_rows_in, "
+            "COALESCE(nv.n_novel, 0) AS n_novel, "
+            "ri.n_rows_in - COALESCE(nv.n_novel, 0) AS n_dup "
+            "FROM ri LEFT JOIN nv ON ri.shard = nv.shard ORDER BY ri.shard"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features /

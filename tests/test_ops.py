@@ -1340,6 +1340,50 @@ def test_incremental_state_matches_full_recompute(ray_session, tmp_path):
         update_keyed_state(state, rd.from_pandas(c), ["k"], ["other"])
 
 
+def test_dedup_against_state(ray_session, tmp_path):
+    """First-occurrence-wins across ordered shards; in-shard dups keep
+    min id; replaying a shard (crash-retry) yields zero novel rows; a
+    shard with no novel keys rewrites no bucket."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.incremental import dedup_against_state, read_state
+
+    state = str(tmp_path / "dstate")
+    s0 = pd.DataFrame(
+        {"doc_id": [3, 1, 2, 4], "h": ["a", "a", "b", "c"], "x": [30, 10, 20, 40]}
+    )
+    novel, info = dedup_against_state(
+        state, rd.from_pandas(s0).repartition(2), key_col="h", id_col="doc_id",
+        num_buckets=4,
+    )
+    got = novel.to_pandas().sort_values("h").reset_index(drop=True)
+    # in-shard dup on 'a' keeps min doc_id=1
+    assert got["doc_id"].tolist() == [1, 2, 4] and info["n_novel"] == 3
+
+    s1 = pd.DataFrame({"doc_id": [5, 6], "h": ["b", "d"], "x": [50, 60]})
+    novel1, info1 = dedup_against_state(
+        state, rd.from_pandas(s1), key_col="h", id_col="doc_id"
+    )
+    assert novel1.to_pandas()["h"].tolist() == ["d"]  # 'b' seen in shard 0
+
+    # replay of shard 1 (crash-retry shape): everything is a dup now,
+    # and no bucket advances
+    novel2, info2 = dedup_against_state(
+        state, rd.from_pandas(s1), key_col="h", id_col="doc_id"
+    )
+    assert info2["n_novel"] == 0 and info2["n_buckets_updated"] == 0
+
+    # accumulated key state is exactly the distinct keys in arrival set
+    keys = sorted(read_state(state).to_pandas()["h"])
+    assert keys == ["a", "b", "c", "d"]
+
+    # key-column mismatch is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_against_state(state, rd.from_pandas(s1), key_col="x", id_col="doc_id")
+
+
 def test_compact_parquet(ray_session, tmp_path):
     import glob
 

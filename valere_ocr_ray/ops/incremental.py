@@ -149,6 +149,129 @@ def update_keyed_state(
     }
 
 
+def dedup_against_state(
+    state_dir: str,
+    new_ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    id_col: str,
+    num_buckets: int = 16,
+) -> tuple[ray.data.Dataset, dict]:
+    """Incremental exact dedup: filter a newly-arrived shard against the
+    ACCUMULATED corpus hash state, return only the novel rows, and fold
+    their keys in — the continuous-ingest form of ``ops/dedup.
+    exact_dedup`` (a web crawl re-sees 30-50% of its pages every
+    batch; re-deduping the full history per shard is O(corpus) per
+    arrival, this is O(shard + touched-bucket keys)).
+
+    Shard rows ride ONE hash exchange on ``key_col`` to the state's
+    bucket layout; each touched bucket's task (a) keeps the min-
+    ``id_col`` row per in-shard duplicate key, (b) drops keys already
+    in the bucket's committed key file (vectorized ``isin``), (c) when
+    any novel key survives, writes the bucket's ``v<N+1>`` key file via
+    tmp+rename.  Buckets with no novel keys are NOT rewritten.  Meta
+    commits only after the novel rows are materialized (data-then-
+    manifest, same crash contract as ``update_keyed_state``: a crash
+    mid-update leaves the previous version visible and the rerun is
+    idempotent).  The materialize is bounded by the SHARD size — the
+    micro-batch unit — never the corpus.
+
+    Returns ``(novel_rows, {version, n_novel, n_buckets_updated})``.
+    """
+    meta = _load_meta(state_dir)
+    if meta is None:
+        meta = {
+            "mode": "dedup",
+            "keys": [key_col],
+            "sums": [],
+            "num_buckets": num_buckets,
+            "version": 0,
+            "buckets": {},
+        }
+        os.makedirs(state_dir, exist_ok=True)
+    else:
+        if meta.get("mode") != "dedup" or meta["keys"] != [key_col]:
+            raise ValueError(
+                f"state at {state_dir} is not a dedup state on {key_col!r}"
+            )
+        num_buckets = meta["num_buckets"]
+    vnext = meta["version"] + 1
+    committed = dict(meta["buckets"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.Table.from_pandas(df[[key_col]], preserve_index=False)
+        df = df.copy()
+        df["__bucket"] = (
+            _key_hash(tbl, [key_col]) % np.uint64(num_buckets)
+        ).astype("int64")
+        return df
+
+    def filter_and_commit(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g
+        b = int(g["__bucket"].iloc[0])
+        g = g.sort_values([key_col, id_col], kind="mergesort").drop_duplicates(
+            key_col, keep="first"
+        )
+        cur_v = committed.get(str(b))
+        if cur_v is not None:
+            seen = pq.read_table(_bucket_file(state_dir, b, cur_v))
+            g = g[~g[key_col].isin(seen[key_col].to_pandas())]
+            seen_keys = seen[key_col].to_pandas()
+        else:
+            seen_keys = pd.Series([], dtype=g[key_col].dtype)
+        if not len(g):
+            return g  # nothing novel: bucket stays at its version
+        keys_next = (
+            pd.concat([seen_keys, g[key_col]], ignore_index=True)
+            .sort_values(kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out = _bucket_file(state_dir, b, vnext)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(keys_next.to_frame(key_col), preserve_index=False),
+            tmp,
+        )
+        os.replace(tmp, out)
+        return g
+
+    novel = grouped_map(
+        new_ds.map_batches(pre, batch_format="pandas"),
+        ["__bucket"],
+        filter_and_commit,
+        num_partitions=num_buckets,
+    ).materialize()  # force the bucket writes before the meta commit
+
+    # which buckets advanced = the distinct __bucket values among novel
+    # rows (a bucket writes v<N+1> iff it emitted at least one row)
+    def bucket_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": df["__bucket"].unique().astype("int64")})
+
+    n_novel = novel.count()
+    if n_novel:
+        touched = novel.map_batches(
+            bucket_ids, batch_format="pandas", batch_size=None
+        ).to_pandas()["b"].unique()
+    else:
+        touched = np.array([], dtype=np.int64)
+    for b in touched:
+        meta["buckets"][str(int(b))] = vnext
+    meta["version"] = vnext
+    tmp = _meta_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _meta_path(state_dir))
+    return novel.drop_columns(["__bucket"]), {
+        "version": vnext,
+        "n_novel": int(n_novel),
+        "n_buckets_updated": int(len(touched)),
+    }
+
+
 def read_state(state_dir: str) -> ray.data.Dataset:
     """The current committed aggregate as a Dataset (only each bucket's
     committed version is visible — in-flight updates never leak)."""

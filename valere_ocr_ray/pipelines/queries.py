@@ -682,6 +682,59 @@ def doc_cross_source_dupes(sf_dir: str):
     return ex.map_batches(combine, batch_format="pandas", batch_size=None)
 
 
+def doc_incremental_dedup(sf_dir: str):
+    """Continuous-ingest exact dedup: the documents table arrives as 4
+    ordered shards (``doc_id % 4``, processed 0→3); each shard rides
+    one hash exchange against the PERSISTED hash state accumulated from
+    earlier shards (``ops/incremental.dedup_against_state``) and only
+    novel texts fold in — first-occurrence-wins across arrival order,
+    O(shard) per arrival instead of re-deduping the full history.
+    Cross-shard duplicates come from the planted boilerplates
+    (``_plant_dupes`` — the raw corpus is unique soup, which would make
+    this vacuous).  The driver-side loop is over the 4 ARRIVALS (the
+    micro-batch unit), never over rows.  One int64 row per shard
+    {shard, n_rows_in, n_novel, n_dup}; SQL oracle = min-shard
+    first-occurrence over the identical planted text."""
+    import shutil
+    import tempfile
+
+    from valere_ocr_ray.ops.incremental import dedup_against_state
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "shard": (df["doc_id"].to_numpy(dtype=np.int64) % 4),
+                "text_h": _plant_dupes(df).map(_md5_hex_str),
+            }
+        )
+        return out
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    state = tempfile.mkdtemp(prefix="vor_incdedup_")
+    rows = []
+    try:
+        for s in range(4):
+            shard = planted.filter(expr=f"shard == {s}")
+            n_in = shard.count()
+            novel, info = dedup_against_state(
+                state, shard, key_col="text_h", id_col="doc_id", num_buckets=8
+            )
+            rows.append(
+                {
+                    "shard": s,
+                    "n_rows_in": n_in,
+                    "n_novel": info["n_novel"],
+                    "n_dup": n_in - info["n_novel"],
+                }
+            )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return pd.DataFrame(rows).astype("int64")
+
+
 def doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023) for selecting raw docs
     that look like the target source (``src0``): hashed unigram+bigram

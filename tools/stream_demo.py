@@ -14,6 +14,14 @@ receipt demonstrates the three properties a long-running ingest needs:
    bincount over every shard regenerated from the seeds.
 
 Usage:  python tools/stream_demo.py [n_shards] [rows_per_shard]
+        python tools/stream_demo.py --dedup [n_shards] [rows_per_shard]
+
+``--dedup`` runs the incremental-exact-dedup leg instead
+(``ops/incremental.dedup_against_state``): each shard carries ~50%
+content re-seen from earlier shards (a web crawl's revisit rate); the
+receipt shows per-shard cost flat as the seen-key state grows and the
+novel count exact vs a local first-occurrence recompute.
+
 Prints one JSON line; paste the numbers into BASELINE.md.
 """
 
@@ -78,9 +86,115 @@ def _shard_ds(shard: int, rows: int):
     )
 
 
+def _dedup_keys(shard: int, idx: np.ndarray, rows: int) -> np.ndarray:
+    """Counter-based content ids drawn from a universe that GROWS by
+    rows//2 per shard — so every shard re-sees roughly half its content
+    from earlier arrivals (a crawl's revisit rate), deterministically
+    recomputable locally for the exactness check."""
+    from valere_ocr_ray.ops.exchange import _mix64
+
+    h = _mix64((idx + shard * 2_000_003).astype(np.int64).view(np.uint64))
+    universe = np.uint64((shard + 1) * (rows // 2))
+    return (h % universe).astype(np.int64)
+
+
+def _dedup_shard_ds(shard: int, rows: int):
+    import ray.data as rd
+
+    def gen(b: pa.Table) -> pa.Table:
+        idx = b["id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": (idx + shard * rows).astype(np.int64),
+                "content_h": _dedup_keys(shard, idx, rows),
+                "value_c": np.ones(len(idx), np.int64),
+            }
+        )
+
+    return rd.range(rows, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+def run_dedup(n_shards: int, rows: int) -> None:
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from valere_ocr_ray.ops.incremental import dedup_against_state, read_state
+
+    state = tempfile.mkdtemp(prefix="vor_stream_dedup_")
+    shard_secs, novel_counts = [], []
+    rss_start = _rss_mb()
+    t_all = time.perf_counter()
+    for s in range(n_shards):
+        ds = _dedup_shard_ds(s, rows)
+        t0 = time.perf_counter()
+        _, info = dedup_against_state(
+            state, ds, key_col="content_h", id_col="doc_id", num_buckets=32
+        )
+        shard_secs.append(round(time.perf_counter() - t0, 3))
+        novel_counts.append(info["n_novel"])
+    total_s = time.perf_counter() - t_all
+    rss_end = _rss_mb()
+
+    # exactness: local first-occurrence replay over regenerated shards
+    import pandas as pd
+
+    all_keys = np.concatenate(
+        [_dedup_keys(s, np.arange(rows, dtype=np.int64), rows) for s in range(n_shards)]
+    )
+    first = ~pd.Series(all_keys).duplicated().to_numpy()
+    exp_novel = [int(first[s * rows : (s + 1) * rows].sum()) for s in range(n_shards)]
+    n_state_keys = read_state(state).count()
+    exact = novel_counts == exp_novel and n_state_keys == int(first.sum())
+
+    n_rows = n_shards * rows
+    half = len(shard_secs) // 2
+    drift = (sum(shard_secs[half:]) / (len(shard_secs) - half)) / max(
+        sum(shard_secs[:half]) / half, 1e-9
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "incremental dedup ingest throughput",
+                "value": round(n_rows / total_s, 1),
+                "unit": "rows/sec",
+                "n_shards": n_shards,
+                "rows_per_shard": rows,
+                "total_rows": n_rows,
+                "total_sec": round(total_s, 2),
+                "shard_secs": shard_secs,
+                "novel_per_shard": novel_counts,
+                "n_state_keys": int(n_state_keys),
+                "late_vs_early_shard_cost": round(drift, 3),
+                "driver_rss_mb_start": round(rss_start, 1),
+                "driver_rss_mb_end": round(rss_end, 1),
+                "novel_exact_vs_recompute": bool(exact),
+            }
+        )
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    ray.shutdown()
+
+
 def main() -> None:
-    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    args = [a for a in sys.argv[1:] if a != "--dedup"]
+    if "--dedup" in sys.argv[1:]:
+        run_dedup(
+            int(args[0]) if args else 16,
+            int(args[1]) if len(args) > 1 else 500_000,
+        )
+        return
+    n_shards = int(args[0]) if args else 16
+    rows = int(args[1]) if len(args) > 1 else 500_000
 
     import ray
     import ray.data as rd

@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": q.events_heavy_hitters,
         "events_incremental_totals": q.events_incremental_totals,
         "doc_incremental_dedup": q.doc_incremental_dedup,
+        # near-dup sibling: persisted MinHash band state (rows-only —
+        # LSH leg is hash-based; near<=exact invariant pytest-pinned)
+        "doc_incremental_near_dedup": q.doc_incremental_near_dedup,
         "doc_cdc_dedup": q.doc_cdc_dedup,
         # two-seed LSH union recall audit (rows-only: LSH side is
         # hash-based; pinned by pytest superset/recall invariants)

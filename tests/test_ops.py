@@ -1384,6 +1384,82 @@ def test_dedup_against_state(ray_session, tmp_path):
         dedup_against_state(state, rd.from_pandas(s1), key_col="x", id_col="doc_id")
 
 
+def test_lsh_dedup_against_state(ray_session, tmp_path):
+    """Arriving shards near-dup-filter against persisted MinHash band
+    state: a MUTATED revisit (one token changed) is still caught, a
+    genuinely new doc passes, in-shard near-dups keep the min id, and
+    a replayed shard is fully dup (crash-retry idempotent)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.incremental import lsh_dedup_against_state
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = (
+        "uno dos tres cuatro cinco seis siete ocho nueve diez "
+        "once doce trece catorce quince dieciseis"
+    )
+    third = (
+        "red orange yellow green blue indigo violet cyan magenta "
+        "black white gray silver gold bronze copper"
+    )
+    state = str(tmp_path / "lstate")
+
+    s0 = pd.DataFrame(
+        {
+            "doc_id": [2, 1, 5],
+            # 1 and 2 are near-dups (one token differs): min id 1 wins
+            "text": [base.replace("kappa", "kappa2"), base, other],
+        }
+    )
+    novel0, info0 = lsh_dedup_against_state(
+        state, rd.from_pandas(s0).repartition(2), num_buckets=4
+    )
+    g0 = novel0.to_pandas().sort_values("doc_id")
+    assert g0["doc_id"].tolist() == [1, 5] and info0["n_novel"] == 2
+
+    s1 = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            # 10 is a mutated revisit of doc 1's page; 11 is new
+            "text": [base.replace("sigma", "sigma9"), third],
+        }
+    )
+    novel1, info1 = lsh_dedup_against_state(state, rd.from_pandas(s1))
+    assert novel1.to_pandas()["doc_id"].tolist() == [11]
+
+    # replay of shard 1: everything dup, no bucket advances
+    novel2, info2 = lsh_dedup_against_state(state, rd.from_pandas(s1))
+    assert info2["n_novel"] == 0 and info2["n_buckets_updated"] == 0
+
+    # param mismatch is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_dedup_against_state(state, rd.from_pandas(s1), num_perm=32)
+
+    # custom column names round-trip
+    s2 = pd.DataFrame({"page_id": [20], "body": ["completely fresh words here"]})
+    novel3, _ = lsh_dedup_against_state(
+        state, rd.from_pandas(s2), id_col="page_id", text_col="body"
+    )
+    assert set(novel3.to_pandas().columns) == {"page_id", "body"}
+
+
+def test_doc_incremental_near_dedup_query(ray_session):
+    from valere_ocr_ray.pipelines import queries as q
+
+    out = q.doc_incremental_near_dedup(SF)
+    assert (out["n_novel_near"] <= out["n_novel_exact"]).all()
+    # the mutated-revisit plants are caught by the near leg only:
+    # later shards must show a strict gap
+    assert (out["n_novel_exact"] - out["n_novel_near"]).sum() > 0
+    assert out["shard"].tolist() == [0, 1, 2, 3]
+    assert (out["n_novel_exact"] <= out["n_rows_in"]).all()
+
+
 def test_compact_parquet(ray_session, tmp_path):
     import glob
 

@@ -272,6 +272,263 @@ def dedup_against_state(
     }
 
 
+def lsh_dedup_against_state(
+    state_dir: str,
+    new_ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k_shingle: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    num_buckets: int = 16,
+    max_bucket: int = 512,
+) -> tuple[ray.data.Dataset, dict]:
+    """Incremental NEAR-dup dedup: filter an arriving shard against the
+    persisted MinHash band state (the approximate sibling of
+    ``dedup_against_state`` — what a continuous crawl actually runs,
+    since revisited pages mutate).  A new doc is a duplicate iff it
+    shares an LSH band bucket with a historical doc (or an earlier-id
+    doc of the same shard) AND the signature-estimated Jaccard meets
+    ``threshold`` — identical semantics to ``ops/dedup.
+    minhash_lsh_pairs`` with history as the implicit left side.
+
+    Three passes, all bounded by the SHARD (never the history):
+
+    1. shard band rows (``band_id, band_hash, doc_id, sig``) ride one
+       hash exchange to the state's bucket layout; each touched bucket
+       reads ONLY its committed band file and emits per-(doc, bucket)
+       match verdicts — vectorized signature-agreement, ``max_bucket``
+       skew cap;
+    2. one ``doc_id`` exchange folds verdicts across buckets (a doc is
+       novel iff NO bucket matched) and attaches the payload rows —
+       kept in pyarrow end-to-end so int64 hash columns never hit a
+       pandas null-promotion to float64;
+    3. the novel docs' band rows (recomputed on the novel subset —
+       cheaper than a third band-row exchange) append to each bucket's
+       ``v<N+1>`` file via tmp+rename; meta commits last (same crash
+       contract as ``update_keyed_state``: a rerun against the old
+       committed state is idempotent).
+
+    State cost: ``bands × num_perm`` int64s per surviving doc — the
+    price of estimating Jaccard against history without its text.
+    Returns ``(novel_rows, {version, n_novel, n_buckets_updated})``.
+    """
+    import pyarrow.compute as pc
+
+    from valere_ocr_ray.ops.dedup import _explode_bands, _minhash_batch
+    from valere_ocr_ray.ops.exchange import grouped_map, hash_exchange
+
+    params = {
+        "num_perm": num_perm,
+        "k_shingle": k_shingle,
+        "bands": bands,
+        "seed": seed,
+    }
+    meta = _load_meta(state_dir)
+    if meta is None:
+        meta = {
+            "mode": "lsh_dedup",
+            "keys": [id_col],
+            "sums": [],
+            "params": params,
+            "num_buckets": num_buckets,
+            "version": 0,
+            "buckets": {},
+        }
+        os.makedirs(state_dir, exist_ok=True)
+    else:
+        if meta.get("mode") != "lsh_dedup" or meta.get("params") != params:
+            raise ValueError(
+                f"state at {state_dir} is not an lsh_dedup state with "
+                f"params {params}"
+            )
+        num_buckets = meta["num_buckets"]
+    vnext = meta["version"] + 1
+    committed = dict(meta["buckets"])
+
+    base = new_ds
+    if id_col != "doc_id" or text_col != "text":
+        base = base.map_batches(
+            lambda df: df.rename(
+                columns={id_col: "doc_id", text_col: "text"}
+            ),
+            batch_format="pandas",
+        )
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        br = _explode_bands(
+            _minhash_batch(df[["doc_id", "text"]], num_perm, k_shingle, seed),
+            bands,
+        )
+        if len(br):
+            br["__bucket"] = (
+                br["band_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+                % np.uint64(num_buckets)
+            ).astype("int64")
+        else:
+            br["__bucket"] = pd.Series([], dtype="int64")
+        return br
+
+    band_rows = base.map_batches(sig_rows, batch_format="pandas")
+
+    def bucket_match(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "matched": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        b = int(g["__bucket"].iloc[0])
+        cur_v = committed.get(str(b))
+        old = (
+            pq.read_table(_bucket_file(state_dir, b, cur_v)).to_pandas()
+            if cur_v is not None
+            else None
+        )
+        old_groups = (
+            dict(tuple(old.groupby(["band_id", "band_hash"])))
+            if old is not None and len(old)
+            else {}
+        )
+        ids_out: list[np.ndarray] = []
+        matched_out: list[np.ndarray] = []
+        for key, gg in g.groupby(["band_id", "band_hash"], sort=True):
+            og = old_groups.get(key)
+            if og is None and len(gg) < 2:
+                ids_out.append(gg["doc_id"].to_numpy(dtype=np.int64))
+                matched_out.append(np.zeros(len(gg), np.int64))
+                continue
+            gg = gg.sort_values("doc_id", kind="mergesort").iloc[:max_bucket]
+            new_ids = gg["doc_id"].to_numpy(dtype=np.int64)
+            new_sigs = np.stack([np.asarray(s) for s in gg["sig"]])
+            if og is not None and len(og):
+                og = og.sort_values("doc_id", kind="mergesort").iloc[:max_bucket]
+                old_sigs = np.stack([np.asarray(s) for s in og["sig"]])
+                est_old = (new_sigs[:, None, :] == old_sigs[None, :, :]).mean(axis=2)
+                m_old = (est_old >= threshold).any(axis=1)
+            else:
+                m_old = np.zeros(len(gg), bool)
+            est_nn = (new_sigs[:, None, :] == new_sigs[None, :, :]).mean(axis=2)
+            earlier = new_ids[None, :] < new_ids[:, None]
+            m_new = ((est_nn >= threshold) & earlier).any(axis=1)
+            ids_out.append(new_ids)
+            matched_out.append((m_old | m_new).astype(np.int64))
+        out = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids_out),
+                "matched": np.concatenate(matched_out),
+            }
+        )
+        # one verdict per doc per bucket (a doc can hit several bands
+        # in the same bucket)
+        return out.groupby("doc_id", as_index=False)["matched"].max()
+
+    verdicts = grouped_map(
+        band_rows, ["__bucket"], bucket_match, num_partitions=num_buckets
+    )
+
+    payload_cols = [c for c in base.columns() if c != "matched"]
+
+    def mark_payload(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["matched"] = np.full(len(df), -1, dtype=np.int64)
+        return df
+
+    def mark_verdict(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: [None] * len(df) for c in payload_cols})
+        out["doc_id"] = df["doc_id"].to_numpy(dtype=np.int64)
+        out["matched"] = df["matched"].to_numpy(dtype=np.int64)
+        return out
+
+    mixed = base.map_batches(mark_payload, batch_format="pandas").union(
+        verdicts.map_batches(mark_verdict, batch_format="pandas")
+    )
+    ex = hash_exchange(mixed, ["doc_id"], num_buckets)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = t["matched"]
+        v = (
+            t.filter(pc.greater_equal(m, 0))
+            .select(["doc_id", "matched"])
+            .to_pandas()
+        )
+        dup = v.groupby("doc_id")["matched"].max()
+        keep_ids = dup[dup == 0].index.to_numpy(dtype=np.int64)
+        p = t.filter(pc.less(m, 0))
+        keep = pc.is_in(p["doc_id"], value_set=pa.array(keep_ids, pa.int64()))
+        return p.filter(keep).drop_columns(["matched"])
+
+    novel = ex.map_batches(
+        attach, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    n_novel = novel.count()
+
+    # commit: recompute band rows on the (small) novel subset and
+    # append to each touched bucket's next version
+    def commit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        b = int(g["__bucket"].iloc[0])
+        parts = [g[["band_id", "band_hash", "doc_id", "sig"]]]
+        cur_v = committed.get(str(b))
+        if cur_v is not None:
+            parts.append(
+                pq.read_table(_bucket_file(state_dir, b, cur_v)).to_pandas()
+            )
+        merged = pd.concat(parts, ignore_index=True).sort_values(
+            ["band_id", "band_hash", "doc_id"], kind="mergesort"
+        )
+        out = _bucket_file(state_dir, b, vnext)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, out)
+        return pd.DataFrame({"bucket": [b], "n_rows": [len(merged)]})
+
+    if n_novel:
+        summary = grouped_map(
+            novel.map_batches(sig_rows, batch_format="pandas"),
+            ["__bucket"],
+            commit_bucket,
+            num_partitions=num_buckets,
+        ).to_pandas()
+    else:
+        summary = pd.DataFrame({"bucket": pd.Series([], dtype="int64")})
+
+    for b in summary["bucket"]:
+        meta["buckets"][str(int(b))] = vnext
+    meta["version"] = vnext
+    tmp = _meta_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _meta_path(state_dir))
+    if id_col != "doc_id" or text_col != "text":
+        novel = novel.map_batches(
+            lambda df: df.rename(
+                columns={"doc_id": id_col, "text": text_col}
+            ),
+            batch_format="pandas",
+        )
+    return novel, {
+        "version": vnext,
+        "n_novel": int(n_novel),
+        "n_buckets_updated": int(len(summary)),
+    }
+
+
 def read_state(state_dir: str) -> ray.data.Dataset:
     """The current committed aggregate as a Dataset (only each bucket's
     committed version is visible — in-flight updates never leak)."""

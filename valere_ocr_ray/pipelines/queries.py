@@ -735,6 +735,93 @@ def doc_incremental_dedup(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+def _plant_mutated_revisits(df: pd.DataFrame) -> pd.Series:
+    """Deterministic MUTATED revisits: doc_ids ≡ 0 and 3 (mod 6) become
+    a per-group pair of 40-token pages differing in their last 3 tokens
+    (3-shingle Jaccard ≈ 0.85) — the crawl-revisit shape where the page
+    changed a timestamp/counter between visits, which EXACT dedup
+    cannot catch (different md5) but near-dup must."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    texts = df["text"].astype(str).tolist()
+    out = []
+    for i, t in zip(ids, texts):
+        m = int(i) % 6
+        if m in (0, 3):
+            g = int(i) // 6
+            toks = [f"pg{g}t{j}" for j in range(37)]
+            tail = (
+                [f"pg{g}t{j}" for j in range(37, 40)]
+                if m == 0
+                else [f"mut{g}t{j}" for j in range(37, 40)]
+            )
+            out.append(" ".join(toks + tail))
+        else:
+            out.append(t)
+    return pd.Series(out, index=df.index)
+
+
+def doc_incremental_near_dedup(sf_dir: str):
+    """Continuous-ingest NEAR-dup dedup vs the exact baseline: the
+    documents table arrives as 4 ordered shards; each shard runs BOTH
+    ``dedup_against_state`` (md5 key) and ``lsh_dedup_against_state``
+    (persisted MinHash band state) against their respective accumulated
+    histories.  Planted mutated revisits (j≈0.85 cross-shard pairs —
+    ``_plant_mutated_revisits``) have distinct md5s, so the exact leg
+    admits both copies while the near leg drops the second arrival:
+    per shard ``n_novel_near <= n_novel_exact``, with the gap = caught
+    mutated revisits.  Rows-only (the LSH leg is hash-based)."""
+    import shutil
+    import tempfile
+
+    from valere_ocr_ray.ops.incremental import (
+        dedup_against_state,
+        lsh_dedup_against_state,
+    )
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        text = _plant_mutated_revisits(df)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "shard": (df["doc_id"].to_numpy(dtype=np.int64) % 4),
+                "text": text,
+                "text_h": text.map(_md5_hex_str),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    ex_state = tempfile.mkdtemp(prefix="vor_incdedup_ex_")
+    lsh_state = tempfile.mkdtemp(prefix="vor_incdedup_lsh_")
+    rows = []
+    try:
+        for s in range(4):
+            shard = planted.filter(expr=f"shard == {s}")
+            n_in = shard.count()
+            _, ex_info = dedup_against_state(
+                ex_state, shard, key_col="text_h", id_col="doc_id",
+                num_buckets=8,
+            )
+            _, lsh_info = lsh_dedup_against_state(
+                lsh_state,
+                shard.select_columns(["doc_id", "text"]),
+                num_buckets=8,
+            )
+            rows.append(
+                {
+                    "shard": s,
+                    "n_rows_in": n_in,
+                    "n_novel_exact": ex_info["n_novel"],
+                    "n_novel_near": lsh_info["n_novel"],
+                }
+            )
+    finally:
+        shutil.rmtree(ex_state, ignore_errors=True)
+        shutil.rmtree(lsh_state, ignore_errors=True)
+    return pd.DataFrame(rows).astype("int64")
+
+
 def doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023) for selecting raw docs
     that look like the target source (``src0``): hashed unigram+bigram

@@ -212,6 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-seed LSH union recall audit (rows-only: LSH side is
         # hash-based; pinned by pytest superset/recall invariants)
         "doc_lsh_union_recall": q.doc_lsh_union_recall,
+        # SemDeDup survivor selection + deterministic domain-mixture
+        # sampling (both SQL-oracled)
+        "emb_semdedup": q.emb_semdedup,
+        "doc_domain_mix": q.doc_domain_mix,
     }
 
 
@@ -1470,6 +1474,38 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(nv.n_novel, 0) AS n_novel, "
             "ri.n_rows_in - COALESCE(nv.n_novel, 0) AS n_dup "
             "FROM ri LEFT JOIN nv ON ri.shard = nv.shard ORDER BY ri.shard"
+        ),
+        "emb_semdedup": (
+            # SemDeDup survivors over the planted-duplicate embeddings
+            # (queries._planted_dup_embeddings verbatim): drop any row
+            # with a smaller-id cosine>=0.9 neighbour.  No bucket
+            # predicate needed: every >=0.9 pair in this corpus is an
+            # exact planted copy (max accidental cosine ~0.51), and
+            # identical vectors share an LSH bucket deterministically,
+            # so bucketed == unbucketed survivor sets (see
+            # queries.emb_semdedup docstring).
+            "WITH aug AS (SELECT e.vec_id, CASE WHEN e.vec_id % 10 = 0 "
+            "AND n.vec_id IS NOT NULL THEN n.embedding ELSE e.embedding END "
+            "AS embedding FROM embeddings e "
+            "LEFT JOIN embeddings n ON n.vec_id = e.vec_id + 1), "
+            "norm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+            "FROM aug) "
+            "SELECT a.vec_id FROM norm a WHERE NOT EXISTS ("
+            "SELECT 1 FROM norm b WHERE b.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.emb, b.emb) >= 0.9) "
+            "ORDER BY a.vec_id"
+        ),
+        "doc_domain_mix": (
+            # hash-threshold mixture sample (ops/mixing.mix_by_rates
+            # verbatim): srcK keeps at [1.0,.5,.25,.125][K%4];
+            # md5_number_lower('mix:'||doc_id) == the engine's
+            # lower-8-md5-bytes little-endian hash (pinned by pytest)
+            "SELECT doc_id, source FROM documents "
+            "WHERE md5_number_lower('mix:' || CAST(doc_id AS VARCHAR)) "
+            "% 1000000 < CASE CAST(substring(source, 4) AS INT) % 4 "
+            "WHEN 0 THEN 1000000 WHEN 1 THEN 500000 "
+            "WHEN 2 THEN 250000 ELSE 125000 END "
+            "ORDER BY doc_id"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features /

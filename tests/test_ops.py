@@ -2030,3 +2030,118 @@ def test_cluster_labels_long_chain_pointer_jumping(ray_session):
     labels = cluster_labels(rd.from_pandas(pairs), num_partitions=4).to_pandas()
     assert len(labels) == n
     assert (labels["cluster"] == 0).all()
+
+
+def test_embedding_semdedup_survivors(ray_session):
+    """SemDeDup drop rule: a row dies iff a smaller-id same-bucket row
+    sits at cosine >= t.  Clones of vec 1 (ids 2, 5) die, the smallest
+    clone id survives, unrelated vectors survive, and the exact local
+    pairwise rule reproduces the distributed result."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import embedding_semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64).astype(np.float32)
+    other = rng.standard_normal(64).astype(np.float32)
+    rows = [
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": base.tolist()},          # clone of 1
+        {"vec_id": 3, "embedding": other.tolist()},
+        {"vec_id": 4, "embedding": rng.standard_normal(64).astype(np.float32).tolist()},
+        {"vec_id": 5, "embedding": base.tolist()},          # clone of 1
+    ]
+    out = embedding_semdedup(rd.from_items(rows), dim=64, threshold=0.95).to_pandas()
+    assert sorted(out["vec_id"]) == [1, 3, 4]
+
+
+def test_embedding_semdedup_singletons_survive(ray_session):
+    """Buckets of size one must still emit their row (a dedup that
+    loses singletons is a filter, not a dedup)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import embedding_semdedup
+
+    rng = np.random.default_rng(3)
+    rows = [
+        {"vec_id": i, "embedding": rng.standard_normal(64).astype(np.float32).tolist()}
+        for i in range(40)
+    ]
+    out = embedding_semdedup(rd.from_items(rows), dim=64, threshold=0.99).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(40))
+
+
+# -- domain mixing ------------------------------------------------------
+def test_mix_by_rates_deterministic_and_monotone(ray_session):
+    """Hash-threshold sampling: (a) re-running produces the identical
+    sample, (b) raising a rate strictly grows the sample (threshold
+    semantics), (c) rate 1.0 keeps everything, rate 0.0 / unlisted
+    domains drop everything."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.mixing import mix_by_rates
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "source": ["a", "b", "c", "d"] * 100,
+        }
+    )
+
+    def ids(rates):
+        out = mix_by_rates(
+            rd.from_pandas(df), rates=rates, key_col="source", id_col="doc_id"
+        ).to_pandas()
+        return set(out["doc_id"].tolist()), out
+
+    s1, out1 = ids({"a": 1.0, "b": 0.5, "c": 0.0})
+    s2, _ = ids({"a": 1.0, "b": 0.5, "c": 0.0})
+    assert s1 == s2
+    kept_by_src = out1.groupby("source")["doc_id"].count().to_dict()
+    assert kept_by_src.get("a") == 100          # rate 1.0: all rows
+    assert 0 < kept_by_src.get("b", 0) < 100    # rate 0.5: proper subset
+    assert "c" not in kept_by_src               # rate 0.0
+    assert "d" not in kept_by_src               # unlisted -> default 0.0
+    s_lo, _ = ids({"b": 0.25})
+    s_hi, _ = ids({"b": 0.5})
+    assert s_lo < s_hi                          # monotone under rate raise
+
+
+def test_mix_by_rates_salt_independence(ray_session):
+    """Different salts draw (near-)independent samples — the eval-split
+    guarantee: a doc's membership under salt A says nothing about salt
+    B, and the two 50% samples overlap at neither 0% nor 100%."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.mixing import mix_by_rates
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1000, dtype=np.int64), "source": ["a"] * 1000}
+    )
+
+    def sample(salt):
+        out = mix_by_rates(
+            rd.from_pandas(df), rates={"a": 0.5}, salt=salt
+        ).to_pandas()
+        return set(out["doc_id"].tolist())
+
+    sa, sb = sample("train"), sample("eval")
+    inter = len(sa & sb)
+    assert 0 < inter < min(len(sa), len(sb))
+
+
+def test_mix_hash_matches_duckdb_md5_number_lower():
+    """The engine's membership hash must equal DuckDB's
+    md5_number_lower('mix:' || doc_id) — the oracle contract."""
+    import duckdb
+
+    from valere_ocr_ray.ops.mixing import _hash64_str
+
+    ids = pd.Series([0, 1, 17, 999_983]).astype(str)
+    eng = _hash64_str("mix:" + ids) % 1_000_000
+    con = duckdb.connect()
+    sql = con.execute(
+        "SELECT md5_number_lower('mix:' || CAST(v AS VARCHAR)) % 1000000 "
+        "FROM (VALUES (0), (1), (17), (999983)) t(v)"
+    ).fetchall()
+    assert [int(x) for x in eng] == [int(r[0]) for r in sql]

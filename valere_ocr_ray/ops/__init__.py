@@ -4,6 +4,7 @@ operators): deduplication families (``dedup``), similarity search
 removal (``linededup``), text analysis (``textstats``), sectioning + URL
 projections (``urlmeta``), approximate distinct sketches (``sketch``), Misra-Gries heavy
 hitters (``heavyhitters``), content-defined-chunking dedup (``cdc``),
+deterministic domain-mixture sampling (``mixing``),
 multimodal plumbing (``multimodal``), as-of/range joins (``asof``),
 and the keyed-combine machinery for high-cardinality groupbys
 (``exchange`` — custom hash exchange; ``combine`` — tree reduce;
@@ -30,6 +31,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     joins,
     linear,
     linededup,
+    mixing,
     multimodal,
     packing,
     ranged,
@@ -56,6 +58,7 @@ __all__ = [
     "joins",
     "linear",
     "linededup",
+    "mixing",
     "multimodal",
     "packing",
     "ranged",

@@ -736,6 +736,100 @@ def embedding_dup_pairs_exact(
     ).map_batches(pairs, batch_format="pandas")
 
 
+def embedding_semdedup(
+    ds: ray.data.Dataset,
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_bucket: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup-style survivor selection (Abbas et al. 2023): bucket the
+    corpus by embedding LSH, then within each bucket DROP every row that
+    has a smaller-id row at cosine >= ``threshold``; return the
+    survivors' ids.
+
+    Two deliberate deviations from the paper, both for distribution:
+
+    * buckets are seeded-hyperplane LSH sign patterns, not k-means
+      cells — the bucket of a vector is a pure function of the vector
+      (no iterative fit, no broadcast centroids), so the stage is one
+      ``map_batches`` + one hash exchange and identical vectors ALWAYS
+      share a bucket.  General recall for cos-in-[t,1) pairs is
+      ``(1 - theta/pi)^n_planes`` (audited by ``emb_lsh_recall``);
+      raise ``n_planes`` to shrink buckets at corpus scale.
+    * the drop rule is "exists ANY smaller-id neighbour >= t", not the
+      paper's sequential "exists a smaller-id KEPT neighbour".  The
+      pairwise form needs no serial scan inside a bucket (vectorized
+      masked matmul) and is exactly SQL-expressible (NOT EXISTS
+      self-join), at the cost of over-dropping transitive chains —
+      conservative in the right direction for dedup.
+
+    ``max_bucket``: rows in a pathological bucket compare only against
+    the bucket's first ``max_bucket`` smallest ids (deterministic
+    recall cap, documented like ``embedding_dup_pairs``); survivors are
+    never silently truncated.  Wire cost per row: id + d floats, once.
+
+    Analog of the reference's duplicate-upload suppression
+    (IDD/finalcodes/import os1.py content-hash skip), lifted from exact
+    bytes to semantic neighbourhoods.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df[vec_col].to_numpy()).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-12
+        signs = (vecs @ planes) > 0
+        bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        # normalized vector rides the exchange as plain float32 BYTES —
+        # a binary column, not an ndarray column: Arrow's tensor
+        # extension dtype can leak through schema-stamped empty
+        # partitions and break downstream pandas conversion
+        return pd.DataFrame(
+            {
+                "bucket": bucket.astype(np.int64),
+                id_col: df[id_col].to_numpy(),
+                "vec": [v.tobytes() for v in vecs],
+            }
+        )
+
+    def bucket_survivors(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: g[id_col].to_numpy()})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        mat = (
+            np.frombuffer(b"".join(g["vec"]), dtype=np.float32)
+            .reshape(len(ids), -1)
+            .astype(np.float64)
+        )
+        n = len(ids)
+        ref_n = min(n, max_bucket)
+        ref = mat[:ref_n]
+        dropped = np.zeros(n, dtype=bool)
+        chunk = 1024  # bounds sims to chunk × ref_n doubles
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = mat[s:e] @ ref.T
+            # row with global sorted index i may only be dropped by
+            # columns j < min(i, ref_n) — strictly-smaller ids in range
+            col_idx = np.arange(ref_n)[None, :]
+            row_idx = np.arange(s, e)[:, None]
+            dropped[s:e] = ((sims >= threshold) & (col_idx < row_idx)).any(axis=1)
+        return pd.DataFrame({id_col: ids[~dropped]})
+
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize, batch_format="pandas"
+    )
+    return grouped_map(bucketed, ["bucket"], bucket_survivors, num_partitions=8)
+
+
 # ---------------------------------------------------------------------------
 # clustering verified pairs
 # ---------------------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""Deterministic domain-mixture sampling for training-data assembly.
+
+Pre-training corpora are built by RE-WEIGHTING domains (The Pile,
+DoReMi, DSIR): each source contributes at a target rate, not its raw
+share.  The classic implementation is a random sampler — which is
+neither reproducible across runs nor verifiable against an oracle.
+This module replaces the coin flip with a *hash threshold*:
+
+    keep(row)  <=>  md5_number_lower(salt || id) % SCALE  <  rate · SCALE
+
+where ``md5_number_lower`` is the lower-8-bytes-little-endian md5
+construction shared with :mod:`valere_ocr_ray.ops.dsir` — i.e. exactly
+DuckDB's ``md5_number_lower``, so a SQL oracle reproduces the sample
+bit-for-bit.  Properties:
+
+* **stateless & shuffle-free** — one vectorized ``map_batches`` pass;
+  membership is a pure function of (id, salt, rate), so any worker,
+  any partitioning, any retry produces the same sample.  At 100 TB
+  this is the difference between "sampler" and "re-run roulette".
+* **stable under rate changes** — raising a domain's rate strictly
+  grows its sample (threshold semantics), so curriculum schedules can
+  monotonically extend shards instead of resampling from scratch.
+* **per-domain rates broadcast as plain dict** — O(#domains) values,
+  captured in the task closure, never a join.
+
+Analog of the reference's per-category routing of uploads into
+per-class S3 prefixes (IDD/finalcodes/import os1.py:88-131) — lifted
+from "route everything" to "route a governed fraction per class".
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Mapping
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+SCALE = 1_000_000
+
+
+def _hash64_str(values: pd.Series) -> np.ndarray:
+    """md5_number_lower over string values, unique-only hashing."""
+    codes, uniques = pd.factorize(values, sort=False)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode()).digest()[8:16], "little")
+            for u in uniques
+        ),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    return uh[codes]
+
+
+def mix_by_rates(
+    ds: ray.data.Dataset,
+    *,
+    rates: Mapping[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> ray.data.Dataset:
+    """Keep each row of domain ``key_col`` with probability
+    ``rates[domain]`` via the deterministic hash threshold above.
+
+    ``rates`` values are clamped to [0, 1]; domains absent from
+    ``rates`` sample at ``default_rate`` (0.0 = drop unlisted domains,
+    the safe default for governed mixtures).  The hash input is
+    ``salt + ':' + str(id)`` — change ``salt`` to draw an independent
+    sample (e.g. a held-out eval split that provably never overlaps a
+    training split drawn with another salt).
+    """
+    thresholds = {
+        k: int(round(min(max(float(v), 0.0), 1.0) * SCALE)) for k, v in rates.items()
+    }
+    default_thr = int(round(min(max(float(default_rate), 0.0), 1.0) * SCALE))
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        h = _hash64_str(salt + ":" + df[id_col].astype(str)) % SCALE
+        thr = (
+            df[key_col]
+            .map(lambda s: thresholds.get(s, default_thr))
+            .to_numpy(dtype=np.int64)
+        )
+        return df[h.astype(np.int64) < thr]
+
+    return ds.map_batches(sample, batch_format="pandas")

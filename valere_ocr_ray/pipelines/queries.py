@@ -4800,3 +4800,35 @@ def doc_cdc_dedup(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
     return cdc_dedup_stats(ds, "text", min_size=64, mask_bits=8, max_size=2048)
+
+
+def emb_semdedup(sf_dir: str):
+    """SemDeDup survivor set over the planted-duplicate embeddings:
+    LSH-bucketed within-bucket cosine, drop rows with a smaller-id
+    neighbour at cosine >= 0.9 (``ops/dedup.embedding_semdedup``).
+
+    Oracle equivalence: the SQL mirror drops on ANY cosine>=0.9 pair
+    (no bucket predicate) — identical for this corpus because every
+    >=0.9 pair is an exact planted copy (max accidental off-diagonal
+    cosine ~0.51) and identical vectors land in the same LSH bucket
+    deterministically; the general bucketing recall is audited by
+    ``emb_lsh_recall``."""
+    ds = _planted_dup_embeddings(sf_dir)
+    out = dedup.embedding_semdedup(ds, dim=64, threshold=0.9)
+    return out.sort("vec_id")
+
+
+def doc_domain_mix(sf_dir: str):
+    """Deterministic domain-mixture sample of the documents corpus
+    (``ops/mixing.mix_by_rates``): source ``srcK`` keeps rows at rate
+    [1.0, 0.5, 0.25, 0.125][K % 4] via the md5_number_lower hash
+    threshold, so the SQL oracle reproduces membership bit-for-bit."""
+    from valere_ocr_ray.ops.mixing import mix_by_rates
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    sources = sorted(r["source"] for r in ds.groupby("source").count().take_all())
+    tiers = [1.0, 0.5, 0.25, 0.125]
+    rates = {s: tiers[int(s[3:]) % 4] for s in sources}
+    return mix_by_rates(ds, rates=rates, key_col="source", id_col="doc_id").sort(
+        "doc_id"
+    )

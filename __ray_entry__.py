@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling (both SQL-oracled)
         "emb_semdedup": q.emb_semdedup,
         "doc_domain_mix": q.doc_domain_mix,
+        "doc_token_budget_mix": q.doc_token_budget_mix,
     }
 
 
@@ -1506,6 +1507,23 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 0 THEN 1000000 WHEN 1 THEN 500000 "
             "WHEN 2 THEN 250000 ELSE 125000 END "
             "ORDER BY doc_id"
+        ),
+        "doc_token_budget_mix": (
+            # equal-token-budget mixture (ops/mixing.mix_by_token_budget
+            # verbatim): rate = min(1, 500/total_tokens) per source in
+            # EXACT integer millionths (LEAST + // == the engine's
+            # min(SCALE, b*SCALE//total)); tokens = \S+ count shared
+            # with doc_token_counts; membership hash as doc_domain_mix
+            r"WITH tok AS (SELECT doc_id, source, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "thr AS (SELECT source, LEAST(1000000, "
+            "500 * 1000000 // sum(n_tokens)) AS t "
+            "FROM tok GROUP BY source) "
+            "SELECT k.doc_id, k.source FROM tok k "
+            "JOIN thr r ON k.source = r.source "
+            "WHERE md5_number_lower('budget:' || CAST(k.doc_id AS VARCHAR)) "
+            "% 1000000 < r.t ORDER BY k.doc_id"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features /

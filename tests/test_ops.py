@@ -2145,3 +2145,33 @@ def test_mix_hash_matches_duckdb_md5_number_lower():
         "FROM (VALUES (0), (1), (17), (999983)) t(v)"
     ).fetchall()
     assert [int(x) for x in eng] == [int(r[0]) for r in sql]
+
+
+def test_mix_by_token_budget_expected_tokens(ray_session):
+    """Each domain's sampled token mass lands near the budget (hash
+    thresholds are uniform), a domain under budget keeps everything,
+    and thresholds use exact integer millionths (no float boundary)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.mixing import SCALE, mix_by_token_budget
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000, dtype=np.int64),
+            "source": ["big"] * 1900 + ["tiny"] * 100,
+            "n_tokens": np.full(2000, 50, dtype=np.int64),
+        }
+    )
+    out = mix_by_token_budget(
+        rd.from_pandas(df), budget_tokens=5000
+    ).to_pandas()
+    tiny = out[out["source"] == "tiny"]
+    big = out[out["source"] == "big"]
+    assert len(tiny) == 100  # 5000 tokens total == budget -> rate 1.0
+    # big: 95k tokens, budget 5k -> rate 5000*SCALE//95000 / SCALE ~ 5.26%
+    exp = 1900 * (5000 * SCALE // 95000) / SCALE
+    assert abs(len(big) - exp) < 40
+    # determinism
+    out2 = mix_by_token_budget(rd.from_pandas(df), budget_tokens=5000).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])

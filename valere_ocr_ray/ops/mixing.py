@@ -77,6 +77,62 @@ def mix_by_rates(
         k: int(round(min(max(float(v), 0.0), 1.0) * SCALE)) for k, v in rates.items()
     }
     default_thr = int(round(min(max(float(default_rate), 0.0), 1.0) * SCALE))
+    return _sample_by_thresholds(
+        ds,
+        thresholds,
+        key_col=key_col,
+        id_col=id_col,
+        salt=salt,
+        default_thr=default_thr,
+    )
+
+
+def mix_by_token_budget(
+    ds: ray.data.Dataset,
+    *,
+    budget_tokens: int,
+    tokens_col: str = "n_tokens",
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> ray.data.Dataset:
+    """Equal-token-budget mixture: each domain samples docs at rate
+    ``budget_tokens / domain_total_tokens`` (capped at 1.0), so every
+    domain contributes ~``budget_tokens`` tokens in expectation —
+    the "flatten the domain distribution" mixture of Pile-style corpus
+    assembly, with the coin flip replaced by the hash threshold of
+    :func:`mix_by_rates` (reproducible, oracle-verifiable).
+
+    Rates use exact integer arithmetic — ``min(SCALE, budget·SCALE //
+    total)`` — so the SQL mirror (``LEAST(1000000, b*1000000 //
+    sum(...))``) reproduces thresholds bit-for-bit, no float boundary.
+    The per-domain totals groupby returns one row per domain — the only
+    driver-side state, O(#domains) however large the corpus."""
+    totals = {
+        r[key_col]: int(r[f"sum({tokens_col})"])
+        for r in ds.groupby(key_col).sum(tokens_col).take_all()
+    }
+    thresholds = {
+        k: min(SCALE, int(budget_tokens) * SCALE // v) if v > 0 else SCALE
+        for k, v in totals.items()
+    }
+    return _sample_by_thresholds(
+        ds, thresholds, key_col=key_col, id_col=id_col, salt=salt, default_thr=0
+    )
+
+
+def _sample_by_thresholds(
+    ds: ray.data.Dataset,
+    thresholds: Mapping[str, int],
+    *,
+    key_col: str,
+    id_col: str,
+    salt: str,
+    default_thr: int,
+) -> ray.data.Dataset:
+    """keep(row) <=> md5_number_lower(salt:id) % SCALE < thresholds[key];
+    one stateless vectorized pass, thresholds captured in the closure."""
+    thresholds = dict(thresholds)
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

@@ -4832,3 +4832,22 @@ def doc_domain_mix(sf_dir: str):
     return mix_by_rates(ds, rates=rates, key_col="source", id_col="doc_id").sort(
         "doc_id"
     )
+
+
+def doc_token_budget_mix(sf_dir: str):
+    """Equal-token-budget mixture over the documents corpus
+    (``ops/mixing.mix_by_token_budget``): every source contributes
+    ~500 tokens in expectation — sources are sampled at rate
+    ``min(1, 500/total_tokens)`` via the md5_number_lower hash
+    threshold, with exact integer rate arithmetic so the SQL oracle
+    reproduces membership bit-for-bit.  Tokens are the ``\\S+`` count
+    shared with ``doc_token_counts``."""
+    from valere_ocr_ray.ops.mixing import mix_by_token_budget
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    ).map_batches(textstats.token_count_batch, batch_format="pandas")
+    out = mix_by_token_budget(
+        ds.select_columns(["doc_id", "source", "n_tokens"]), budget_tokens=500
+    )
+    return out.select_columns(["doc_id", "source"]).sort("doc_id")

@@ -397,3 +397,37 @@ def test_build_training_shards_optional_stages(ray_session, tmp_path):
     df = rd.read_parquet(str(tmp_path / "o_on")).to_pandas()
     assert df["clean_text"].is_unique
     assert (df["clean_text"].str.len() > 0).all()
+
+
+def test_build_training_shards_mix_budget(ray_session, tmp_path):
+    """--mix-budget-tokens caps each doc_type's contribution: the mixed
+    corpus is a strict subset of the unmixed run, deterministic across
+    reruns, and a loose budget reproduces the unmixed output exactly
+    (rate 1.0 everywhere — the stage is a true no-op then)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    synth_pages(pages, 400)
+
+    full = build_training_shards(pages, str(tmp_path / "full"), n_shards=4)
+    mixed = build_training_shards(
+        pages, str(tmp_path / "mixed"), n_shards=4, mix_budget_tokens=500
+    )
+    assert 0 < mixed["n_docs_out"] < full["n_docs_out"]
+    assert mixed["total_tokens"] < full["total_tokens"]
+    ids_full = set(rd.read_parquet(str(tmp_path / "full")).to_pandas()["url_hash"])
+    ids_mixed = set(rd.read_parquet(str(tmp_path / "mixed")).to_pandas()["url_hash"])
+    assert ids_mixed < ids_full
+
+    again = build_training_shards(
+        pages, str(tmp_path / "mixed2"), n_shards=4, mix_budget_tokens=500
+    )
+    assert again == mixed
+
+    loose = build_training_shards(
+        pages, str(tmp_path / "loose"), n_shards=4, mix_budget_tokens=10**9
+    )
+    assert loose == full

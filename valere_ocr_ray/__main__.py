@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> int:
         "--boilerplate-min-docs", type=int, default=None,
         help="strip lines appearing in >= N docs before dedup (linededup)",
     )
+    cu.add_argument(
+        "--mix-budget-tokens", type=int, default=None,
+        help="equal-token-budget mixture per doc_type after the quality "
+        "gate (hash-threshold deterministic, ops/mixing)",
+    )
 
     a = p.parse_args(argv)
 
@@ -162,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=a.shards,
                 c4_rules=a.c4,
                 boilerplate_min_docs=a.boilerplate_min_docs,
+                mix_budget_tokens=a.mix_budget_tokens,
             )
             print(json.dumps(s, indent=2, sort_keys=True))
         elif a.cmd == "warc-convert":

@@ -51,6 +51,7 @@ def build_training_shards(
     max_top2_per_mil: int = 200,
     c4_rules: bool = False,
     boilerplate_min_docs: int | None = None,
+    mix_budget_tokens: int | None = None,
 ) -> dict:
     """Run the whole curation flow; returns the audit summary
     ``{n_docs_out, n_sequences, total_tokens, n_shards, mean_fill}``.
@@ -64,11 +65,16 @@ def build_training_shards(
     repeated-line removal (``ops/linededup``, RefinedWeb/CCNet
     boilerplate strip) between the quality gate and exact dedup —
     stripping nav/footer template lines BEFORE hashing makes
-    template-sharing pages exact-dedupable."""
+    template-sharing pages exact-dedupable; ``mix_budget_tokens``
+    applies the equal-token-budget mixture (``ops/mixing``) keyed by
+    ``doc_type`` after the quality gate, so no document class
+    contributes more than ~budget tokens in expectation to the shards
+    (Pile-style domain flattening, hash-threshold deterministic)."""
     extracted = build_extraction_ds(pages_dir)
-    ok = extracted.filter(expr="status == 'ok'").select_columns(
-        ["url_hash", "extracted_text"]
+    carry = ["url_hash", "extracted_text"] + (
+        ["doc_type"] if mix_budget_tokens else []
     )
+    ok = extracted.filter(expr="status == 'ok'").select_columns(carry)
 
     # 1. quality: verdict computed in-batch, rows filtered in place.
     # Thresholds are PARAMETERS, tuned per corpus: extracted pages are
@@ -100,6 +106,28 @@ def build_training_shards(
         return df[keep]
 
     clean = ok.map_batches(keep_quality, batch_format="pandas")
+
+    if mix_budget_tokens:
+        from valere_ocr_ray.ops.mixing import mix_by_token_budget
+        from valere_ocr_ray.ops.textstats import TOKEN_RE
+
+        # per-class totals pass AND the sample pass both consume
+        # `clean` — pin the diamond (same rationale as the boilerplate
+        # stage's materialize below)
+        clean = clean.map_batches(
+            lambda df: df.assign(
+                mix_toks=df["extracted_text"].str.count(TOKEN_RE).astype("int64")
+            ),
+            batch_format="pandas",
+        ).materialize()
+        clean = mix_by_token_budget(
+            clean,
+            budget_tokens=mix_budget_tokens,
+            tokens_col="mix_toks",
+            key_col="doc_type",
+            id_col="url_hash",
+            salt="curate-mix",
+        ).select_columns(["url_hash", "extracted_text"])
 
     if boilerplate_min_docs:
         from valere_ocr_ray.ops.linededup import strip_repeated_lines

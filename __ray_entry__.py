@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": q.emb_semdedup,
         "doc_domain_mix": q.doc_domain_mix,
         "doc_token_budget_mix": q.doc_token_budget_mix,
+        "doc_domain_mix_audit": q.doc_domain_mix_audit,
     }
 
 
@@ -1524,6 +1525,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN thr r ON k.source = r.source "
             "WHERE md5_number_lower('budget:' || CAST(k.doc_id AS VARCHAR)) "
             "% 1000000 < r.t ORDER BY k.doc_id"
+        ),
+        "doc_domain_mix_audit": (
+            # realized-rate governance report for doc_domain_mix: same
+            # membership predicate, aggregated per source; every sum
+            # cast BIGINT (HUGEINT->float64 breaks the hash)
+            r"WITH tok AS (SELECT doc_id, source, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+            "CASE WHEN md5_number_lower('mix:' || CAST(doc_id AS VARCHAR)) "
+            "% 1000000 < CASE CAST(substring(source, 4) AS INT) % 4 "
+            "WHEN 0 THEN 1000000 WHEN 1 THEN 500000 "
+            "WHEN 2 THEN 250000 ELSE 125000 END THEN 1 ELSE 0 END AS kept "
+            "FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(kept) AS BIGINT) AS n_kept, "
+            "CAST(sum(n_tokens) AS BIGINT) AS toks, "
+            "CAST(sum(n_tokens * kept) AS BIGINT) AS toks_kept "
+            "FROM tok GROUP BY source ORDER BY source"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features /

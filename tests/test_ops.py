@@ -2175,3 +2175,27 @@ def test_mix_by_token_budget_expected_tokens(ray_session):
     # determinism
     out2 = mix_by_token_budget(rd.from_pandas(df), budget_tokens=5000).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_embedding_semdedup_partition_invariant(ray_session):
+    """Survivors are a pure function of the corpus — any input
+    partitioning produces the same set (the bucket exchange owns
+    co-location, not the caller's block layout)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.dedup import embedding_semdedup
+
+    rng = np.random.default_rng(19)
+    emb = rng.standard_normal((60, 64)).astype(np.float32)
+    emb[7] = emb[3]  # one planted clone pair
+    emb[41] = emb[3]
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(60)]
+
+    def survivors(ds):
+        out = embedding_semdedup(ds, dim=64, threshold=0.95).to_pandas()
+        return sorted(out["vec_id"].tolist())
+
+    a = survivors(rd.from_items(rows))
+    b = survivors(rd.from_items(rows).repartition(13))
+    assert a == b
+    assert 7 not in a and 41 not in a and 3 in a

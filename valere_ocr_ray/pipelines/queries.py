@@ -4851,3 +4851,50 @@ def doc_token_budget_mix(sf_dir: str):
         ds.select_columns(["doc_id", "source", "n_tokens"]), budget_tokens=500
     )
     return out.select_columns(["doc_id", "source"]).sort("doc_id")
+
+
+def doc_domain_mix_audit(sf_dir: str):
+    """Governance report for the ``doc_domain_mix`` mixture: per source,
+    docs/tokens total vs docs/tokens kept under the same hash-threshold
+    membership — ONE corpus pass of per-batch partials into a
+    #sources-row groupby.  The audit a mixture job ships alongside its
+    sample so downstream consumers can see realized (not just target)
+    rates."""
+    from valere_ocr_ray.ops.mixing import SCALE, _hash64_str
+
+    tiers = [1_000_000, 500_000, 250_000, 125_000]
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = textstats.token_count_batch(df)
+        h = _hash64_str("mix:" + df["doc_id"].astype(str)) % SCALE
+        thr = df["source"].map(lambda s: tiers[int(s[3:]) % 4]).to_numpy(np.int64)
+        kept = (h.astype(np.int64) < thr).astype(np.int64)
+        toks = df["n_tokens"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "n_kept": kept,
+                "toks": toks,
+                "toks_kept": toks * kept,
+            }
+        )
+        return g.groupby("source", as_index=False).sum()
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+    agg = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("source")
+        .sum(["n_docs", "n_kept", "toks", "toks_kept"])
+    )
+    return agg.map_batches(
+        lambda df: df.rename(
+            columns={
+                "sum(n_docs)": "n_docs",
+                "sum(n_kept)": "n_kept",
+                "sum(toks)": "toks",
+                "sum(toks_kept)": "toks_kept",
+            }
+        ),
+        batch_format="pandas",
+    ).sort("source")

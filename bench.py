@@ -110,6 +110,8 @@ def _run_benchmarks() -> dict:
         timed("doc_pack_sequences", q.doc_pack_sequences)
         timed("doc_line_dedup", q.doc_line_dedup)
         timed("doc_dsir_weights", q.doc_dsir_weights)
+        timed("emb_semdedup", q.emb_semdedup)
+        timed("doc_token_budget_mix", q.doc_token_budget_mix)
 
     ray.shutdown()
     return {

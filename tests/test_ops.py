@@ -2199,3 +2199,41 @@ def test_embedding_semdedup_partition_invariant(ray_session):
     b = survivors(rd.from_items(rows).repartition(13))
     assert a == b
     assert 7 not in a and 41 not in a and 3 in a
+
+
+def test_mix_membership_property_fuzz():
+    """Property fuzz (no Ray): the vectorized membership kernel equals a
+    per-id hashlib recompute for arbitrary ids/salts, and membership is
+    monotone in the threshold (the basis of the rate-raise guarantee)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from valere_ocr_ray.ops.mixing import SCALE, _hash64_str
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        ids=st.lists(st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=40),
+        salt=st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), min_size=0, max_size=8),
+        thr=st.integers(min_value=0, max_value=SCALE),
+    )
+    def check(ids, salt, thr):
+        s = pd.Series(ids)
+        h = _hash64_str(salt + ":" + s.astype(str)) % SCALE
+        expect = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{salt}:{i}".encode()).digest()[8:16], "little"
+                )
+                % SCALE
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        assert (h == expect).all()
+        kept_lo = {i for i, v in zip(ids, h) if int(v) < thr}
+        kept_hi = {i for i, v in zip(ids, h) if int(v) < min(thr + 1000, SCALE)}
+        assert kept_lo <= kept_hi
+
+    check()

@@ -95,6 +95,7 @@ def mix_by_token_budget(
     key_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "budget",
+    pin: bool = False,
 ) -> ray.data.Dataset:
     """Equal-token-budget mixture: each domain samples docs at rate
     ``budget_tokens / domain_total_tokens`` (capped at 1.0), so every
@@ -107,7 +108,15 @@ def mix_by_token_budget(
     total)`` — so the SQL mirror (``LEAST(1000000, b*1000000 //
     sum(...))``) reproduces thresholds bit-for-bit, no float boundary.
     The per-domain totals groupby returns one row per domain — the only
-    driver-side state, O(#domains) however large the corpus."""
+    driver-side state, O(#domains) however large the corpus.
+
+    The totals pass and the sample pass both consume ``ds`` — a lazy
+    upstream re-executes once per pass.  ``pin=True`` materializes
+    ``ds`` first: pass a NARROW projection (id, key, tokens — not the
+    text) so the pinned blocks are a few percent of the corpus; leave
+    False when the upstream is a cheap read or is already pinned."""
+    if pin:
+        ds = ds.materialize()
     totals = {
         r[key_col]: int(r[f"sum({tokens_col})"])
         for r in ds.groupby(key_col).sum(tokens_col).take_all()

@@ -4848,7 +4848,9 @@ def doc_token_budget_mix(sf_dir: str):
         _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
     ).map_batches(textstats.token_count_batch, batch_format="pandas")
     out = mix_by_token_budget(
-        ds.select_columns(["doc_id", "source", "n_tokens"]), budget_tokens=500
+        ds.select_columns(["doc_id", "source", "n_tokens"]),
+        budget_tokens=500,
+        pin=True,  # totals + sample passes share the pinned 3-col projection
     )
     return out.select_columns(["doc_id", "source"]).sort("doc_id")
 

@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_mix": q.doc_domain_mix,
         "doc_token_budget_mix": q.doc_token_budget_mix,
         "doc_domain_mix_audit": q.doc_domain_mix_audit,
+        # no-split FFD packing (rows-only: fit decision is a fold over
+        # prior placements; invariants pytest-pinned, chunk sibling
+        # doc_pack_sequences is SQL-oracled)
+        "doc_pack_bins": q.doc_pack_bins,
     }
 
 

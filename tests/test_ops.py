@@ -2237,3 +2237,50 @@ def test_mix_membership_property_fuzz():
         assert kept_lo <= kept_hi
 
     check()
+
+
+# -- no-split FFD packing -------------------------------------------------
+def test_pack_bins_ffd_invariants(ray_session):
+    """Exactly-once assignment; no bin over budget except dedicated
+    oversize bins; bin count within [lower bound, FFD 11/9·OPT+1];
+    partition invariance."""
+    import math
+
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.packing import pack_bins_ffd
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "n_toks": rng.integers(10, 200, size=500).astype(np.int64),
+        }
+    )
+    df.loc[7, "n_toks"] = 999  # oversize plant
+    BUDGET = 256
+
+    def run(ds):
+        return (
+            pack_bins_ffd(ds, budget=BUDGET, n_shards=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(rd.from_pandas(df))
+    assert sorted(out["doc_id"]) == list(range(500))      # exactly once
+    assert bool(out.loc[out["doc_id"] == 7, "oversize"].iloc[0])
+    fills = out[~out["oversize"]].groupby(["shard", "bin_id"])["n_toks"].sum()
+    assert (fills <= BUDGET).all()                        # capacity respected
+    # per-shard: dedicated bins for oversize; shared bins never mix with them
+    for shard, g in out.groupby("shard"):
+        over_bins = set(g.loc[g["oversize"], "bin_id"])
+        assert not (set(g.loc[~g["oversize"], "bin_id"]) & over_bins)
+        normal = g[~g["oversize"]]
+        n_bins = normal["bin_id"].nunique()
+        lo = math.ceil(normal["n_toks"].sum() / BUDGET)
+        assert lo <= n_bins <= math.ceil(11 / 9 * lo) + 1  # FFD bound
+    # partition invariance
+    out2 = run(rd.from_pandas(df).repartition(11))
+    pd.testing.assert_frame_equal(out, out2)

@@ -4900,3 +4900,40 @@ def doc_domain_mix_audit(sf_dir: str):
         ),
         batch_format="pandas",
     ).sort("source")
+
+
+def doc_pack_bins(sf_dir: str):
+    """NO-SPLIT FFD packing audit over the documents corpus
+    (``ops/packing.pack_bins_ffd``, budget 128): one row per shard —
+    ``(shard, n_docs, n_bins, n_oversize, total_toks, max_fill)``.
+    Rows-only (the fit decision folds over all prior placements, not
+    SQL-expressible); exactly-once/capacity/FFD-bound/partition
+    invariants are pytest-pinned, and the concat-and-chunk sibling
+    ``doc_pack_sequences`` is SQL-oracled."""
+    from valere_ocr_ray.ops.packing import pack_bins_ffd
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    toks = ds.map_batches(textstats.token_count_batch, batch_format="pandas")
+    packed = pack_bins_ffd(
+        toks.select_columns(["doc_id", "n_tokens"]),
+        tokens_col="n_tokens",
+        budget=128,
+        n_shards=4,
+    )
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        fills = g[~g["oversize"]].groupby("bin_id")["n_toks"].sum()
+        return pd.DataFrame(
+            {
+                "shard": [int(g["shard"].iloc[0])],
+                "n_docs": [int(len(g))],
+                "n_bins": [int(g["bin_id"].nunique())],
+                "n_oversize": [int(g["oversize"].sum())],
+                "total_toks": [int(g["n_toks"].sum())],
+                "max_fill": [int(fills.max()) if len(fills) else 0],
+            }
+        )
+
+    from valere_ocr_ray.ops.exchange import grouped_map
+
+    return grouped_map(packed, ["shard"], audit, num_partitions=4).sort("shard")

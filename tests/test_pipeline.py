@@ -431,3 +431,41 @@ def test_build_training_shards_mix_budget(ray_session, tmp_path):
         pages, str(tmp_path / "loose"), n_shards=4, mix_budget_tokens=10**9
     )
     assert loose == full
+
+
+def test_build_training_shards_nosplit(ray_session, tmp_path):
+    """pack_mode='nosplit': no (shard, seq_id) group exceeds the budget
+    unless it is a single oversize doc; start offsets are the running
+    sum within the bin in FFD placement order; the audit counts bins;
+    deterministic across reruns."""
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    synth_pages(pages, 400)
+    BUDGET = 128
+
+    s = build_training_shards(
+        pages, str(tmp_path / "ns"), budget=BUDGET, n_shards=4,
+        pack_mode="nosplit",
+    )
+    df = rd.read_parquet(str(tmp_path / "ns")).to_pandas()
+    assert s["n_docs_out"] == len(df) > 0
+    n_bins = 0
+    for (shard, seq), g in df.groupby(["shard", "seq_id"]):
+        n_bins += 1
+        if len(g) == 1 and g["n_toks"].iloc[0] > BUDGET:
+            continue  # dedicated oversize bin
+        assert g["n_toks"].sum() <= BUDGET
+        g = g.sort_values(["n_toks", "url_hash"], ascending=[False, True])
+        expect = g["n_toks"].cumsum().shift(fill_value=0).astype("int64")
+        assert (g["start_off"].to_numpy() == expect.to_numpy()).all()
+    assert s["n_sequences"] == n_bins
+
+    s2 = build_training_shards(
+        pages, str(tmp_path / "ns2"), budget=BUDGET, n_shards=4,
+        pack_mode="nosplit",
+    )
+    assert s2 == s

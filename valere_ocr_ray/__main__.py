@@ -105,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
         help="equal-token-budget mixture per doc_type after the quality "
         "gate (hash-threshold deterministic, ops/mixing)",
     )
+    cu.add_argument(
+        "--pack-mode", choices=("chunk", "nosplit"), default="chunk",
+        help="chunk = pretraining concat-and-chunk (docs may straddle); "
+        "nosplit = FFD bins, every doc whole in one sequence (SFT)",
+    )
 
     a = p.parse_args(argv)
 
@@ -168,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
                 c4_rules=a.c4,
                 boilerplate_min_docs=a.boilerplate_min_docs,
                 mix_budget_tokens=a.mix_budget_tokens,
+                pack_mode=a.pack_mode,
             )
             print(json.dumps(s, indent=2, sort_keys=True))
         elif a.cmd == "warc-convert":

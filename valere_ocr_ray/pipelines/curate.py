@@ -52,6 +52,7 @@ def build_training_shards(
     c4_rules: bool = False,
     boilerplate_min_docs: int | None = None,
     mix_budget_tokens: int | None = None,
+    pack_mode: str = "chunk",
 ) -> dict:
     """Run the whole curation flow; returns the audit summary
     ``{n_docs_out, n_sequences, total_tokens, n_shards, mean_fill}``.
@@ -69,7 +70,13 @@ def build_training_shards(
     applies the equal-token-budget mixture (``ops/mixing``) keyed by
     ``doc_type`` after the quality gate, so no document class
     contributes more than ~budget tokens in expectation to the shards
-    (Pile-style domain flattening, hash-threshold deterministic)."""
+    (Pile-style domain flattening, hash-threshold deterministic);
+    ``pack_mode="nosplit"`` swaps the concat-and-chunk packer for the
+    first-fit-decreasing NO-SPLIT packer (every doc whole in one
+    budget-capacity sequence — the SFT contract; oversize docs get a
+    dedicated over-budget sequence, never dropped)."""
+    if pack_mode not in ("chunk", "nosplit"):
+        raise ValueError(f"pack_mode must be 'chunk' or 'nosplit', got {pack_mode!r}")
     extracted = build_extraction_ds(pages_dir)
     carry = ["url_hash", "extracted_text"] + (
         ["doc_type"] if mix_budget_tokens else []
@@ -212,10 +219,49 @@ def build_training_shards(
             seq_id=(start.to_numpy() // budget).astype("int64"),
         )
 
+    def pack_nosplit(g: pd.DataFrame) -> pd.DataFrame:
+        # FFD bin assignment (ops/packing.pack_bins_ffd semantics, text
+        # riding along): every doc lands WHOLE in one budget-capacity
+        # sequence; start_off = running sum within the bin in placement
+        # order, so the training reader concatenates a bin verbatim
+        g = g.sort_values(
+            ["n_toks", "url_hash"], ascending=[False, True], kind="mergesort"
+        )
+        toks = g["n_toks"].to_numpy()
+        n = len(toks)
+        caps = np.empty(n, dtype=np.int64)
+        bin_of = np.empty(n, dtype=np.int64)
+        off = np.empty(n, dtype=np.int64)
+        fill = np.empty(n, dtype=np.int64)  # tokens already in bin
+        n_bins = 0
+        for i in range(n):
+            t = toks[i]
+            if t > budget:  # oversize: dedicated bin, flagged by fill
+                caps[n_bins] = 0
+                fill[n_bins] = 0
+                bin_of[i] = n_bins
+                off[i] = 0
+                n_bins += 1
+                continue
+            fits = caps[:n_bins] >= t
+            if fits.any():
+                b = int(np.argmax(fits))
+                off[i] = fill[b]
+                caps[b] -= t
+                fill[b] += t
+            else:
+                b = n_bins
+                caps[b] = budget - t
+                fill[b] = t
+                off[i] = 0
+                n_bins += 1
+            bin_of[i] = b
+        return g.assign(seq_id=bin_of, start_off=off)
+
     packed = grouped_map(
         rebuilt.map_batches(to_shard, batch_format="pandas"),
         ["shard"],
-        pack,
+        pack_nosplit if pack_mode == "nosplit" else pack,
         num_partitions=n_shards,
     )
     import glob as _glob
@@ -255,18 +301,26 @@ def build_training_shards(
     )
     df = tbl.to_pandas()
     total_tokens = int(df["n_toks"].sum()) if len(df) else 0
-    # a shard's concatenated stream cuts into ceil(tokens/budget)
-    # sequences (docs straddle chunk boundaries — seq_id records only
-    # where each doc STARTS)
-    n_seqs = (
-        int(np.ceil(df.groupby("shard")["n_toks"].sum() / budget).sum())
-        if len(df)
-        else 0
-    )
+    extra: dict = {}
+    if not len(df):
+        n_seqs = 0
+    elif pack_mode == "nosplit":
+        # every sequence is an FFD bin — count them directly; surface
+        # the docs that exceeded the budget (each owns a dedicated
+        # over-budget bin — a mean_fill far above budget means the
+        # budget is too small for this corpus, not a packer bug)
+        n_seqs = int(df.groupby("shard")["seq_id"].nunique().sum())
+        extra["n_oversize"] = int((df["n_toks"] > budget).sum())
+    else:
+        # a shard's concatenated stream cuts into ceil(tokens/budget)
+        # sequences (docs straddle chunk boundaries — seq_id records
+        # only where each doc STARTS)
+        n_seqs = int(np.ceil(df.groupby("shard")["n_toks"].sum() / budget).sum())
     return {
         "n_docs_out": int(len(df)),
         "n_sequences": n_seqs,
         "total_tokens": total_tokens,
         "n_shards": int(df["shard"].nunique()) if len(df) else 0,
         "mean_fill": round(total_tokens / n_seqs, 2) if n_seqs else 0.0,
+        **extra,
     }

@@ -2284,3 +2284,30 @@ def test_pack_bins_ffd_invariants(ray_session):
     # partition invariance
     out2 = run(rd.from_pandas(df).repartition(11))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_pack_bins_ffd_zero_token_never_joins_oversize_bin(ray_session):
+    """A zero-token doc fits every bin (t=0) — it must still never land
+    in a dedicated oversize bin (capacity -1, not 0).  Regression: caps
+    of 0 let zero-token docs join oversize bins, breaking the
+    'dedicated, never reused' contract."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.packing import pack_bins_ffd
+
+    df = pd.DataFrame(
+        {
+            # one shard (all ids ≡ 0 mod 4): oversize doc sorts first,
+            # zero-token doc sorts last
+            "doc_id": np.array([0, 4, 8], dtype=np.int64),
+            "n_toks": np.array([999, 50, 0], dtype=np.int64),
+        }
+    )
+    out = pack_bins_ffd(
+        rd.from_pandas(df), budget=256, n_shards=4
+    ).to_pandas()
+    over_bins = set(out.loc[out["oversize"], "bin_id"])
+    normal_bins = set(out.loc[~out["oversize"], "bin_id"])
+    assert not (over_bins & normal_bins)
+    zero_bin = int(out.loc[out["doc_id"] == 8, "bin_id"].iloc[0])
+    assert zero_bin not in over_bins

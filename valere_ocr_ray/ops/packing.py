@@ -160,28 +160,52 @@ def pack_bins_ffd(
 
     def ffd(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n_toks", id_col], ascending=[False, True], kind="mergesort")
-        toks = g["n_toks"].to_numpy()
-        n = len(toks)
-        caps = np.empty(n, dtype=np.int64)  # bin residual capacities
-        n_bins = 0
-        bin_of = np.empty(n, dtype=np.int64)
-        oversize = toks > budget
-        for i in range(n):
-            t = toks[i]
-            if oversize[i]:
-                caps[n_bins] = 0  # dedicated, never reused
-                bin_of[i] = n_bins
-                n_bins += 1
-                continue
-            fits = caps[:n_bins] >= t
-            if fits.any():
-                b = int(np.argmax(fits))  # first (lowest-index) fit
-                caps[b] -= t
-            else:
-                b = n_bins
-                caps[b] = budget - t
-                n_bins += 1
-            bin_of[i] = b
+        bin_of, _, oversize = ffd_assign(g["n_toks"].to_numpy(), budget)
         return g.assign(bin_id=bin_of, oversize=oversize)
 
     return grouped_map(small, ["shard"], ffd, num_partitions=num_partitions)
+
+
+def ffd_assign(
+    toks: np.ndarray, budget: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The in-shard FFD kernel shared by :func:`pack_bins_ffd` and the
+    curate pipeline's nosplit packer.  ``toks`` must ALREADY be in FFD
+    placement order (tokens desc, id asc); returns
+    ``(bin_of, start_off, oversize)`` where ``start_off`` is the
+    running token sum within the bin in placement order.
+
+    Dedicated oversize bins carry residual capacity **-1**, not 0, so a
+    ZERO-token doc (``fits = caps >= 0``) can never land in one — the
+    'dedicated, never reused' invariant holds for all inputs.
+    """
+    n = len(toks)
+    caps = np.empty(n, dtype=np.int64)  # bin residual capacities
+    fill = np.empty(n, dtype=np.int64)  # tokens already in bin
+    bin_of = np.empty(n, dtype=np.int64)
+    off = np.empty(n, dtype=np.int64)
+    oversize = toks > budget
+    n_bins = 0
+    for i in range(n):
+        t = toks[i]
+        if oversize[i]:
+            caps[n_bins] = -1  # dedicated: no doc ever fits
+            fill[n_bins] = t
+            bin_of[i] = n_bins
+            off[i] = 0
+            n_bins += 1
+            continue
+        fits = caps[:n_bins] >= t
+        if fits.any():
+            b = int(np.argmax(fits))  # first (lowest-index) fit
+            off[i] = fill[b]
+            caps[b] -= t
+            fill[b] += t
+        else:
+            b = n_bins
+            caps[b] = budget - t
+            fill[b] = t
+            off[i] = 0
+            n_bins += 1
+        bin_of[i] = b
+    return bin_of, off, oversize

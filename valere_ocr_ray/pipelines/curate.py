@@ -79,7 +79,7 @@ def build_training_shards(
         raise ValueError(f"pack_mode must be 'chunk' or 'nosplit', got {pack_mode!r}")
     extracted = build_extraction_ds(pages_dir)
     carry = ["url_hash", "extracted_text"] + (
-        ["doc_type"] if mix_budget_tokens else []
+        ["doc_type"] if mix_budget_tokens is not None else []
     )
     ok = extracted.filter(expr="status == 'ok'").select_columns(carry)
 
@@ -114,7 +114,9 @@ def build_training_shards(
 
     clean = ok.map_batches(keep_quality, batch_format="pandas")
 
-    if mix_budget_tokens:
+    # `is not None`: a ZERO budget means "sample nothing" (rate 0 for
+    # every class — a valid sweep endpoint), not "stage disabled"
+    if mix_budget_tokens is not None:
         from valere_ocr_ray.ops.mixing import mix_by_token_budget
         from valere_ocr_ray.ops.textstats import TOKEN_RE
 
@@ -220,42 +222,17 @@ def build_training_shards(
         )
 
     def pack_nosplit(g: pd.DataFrame) -> pd.DataFrame:
-        # FFD bin assignment (ops/packing.pack_bins_ffd semantics, text
-        # riding along): every doc lands WHOLE in one budget-capacity
-        # sequence; start_off = running sum within the bin in placement
-        # order, so the training reader concatenates a bin verbatim
+        # FFD bin assignment (the shared ops/packing.ffd_assign kernel,
+        # text riding along): every doc lands WHOLE in one
+        # budget-capacity sequence; start_off = running sum within the
+        # bin in placement order, so the training reader concatenates a
+        # bin verbatim
+        from valere_ocr_ray.ops.packing import ffd_assign
+
         g = g.sort_values(
             ["n_toks", "url_hash"], ascending=[False, True], kind="mergesort"
         )
-        toks = g["n_toks"].to_numpy()
-        n = len(toks)
-        caps = np.empty(n, dtype=np.int64)
-        bin_of = np.empty(n, dtype=np.int64)
-        off = np.empty(n, dtype=np.int64)
-        fill = np.empty(n, dtype=np.int64)  # tokens already in bin
-        n_bins = 0
-        for i in range(n):
-            t = toks[i]
-            if t > budget:  # oversize: dedicated bin, flagged by fill
-                caps[n_bins] = 0
-                fill[n_bins] = 0
-                bin_of[i] = n_bins
-                off[i] = 0
-                n_bins += 1
-                continue
-            fits = caps[:n_bins] >= t
-            if fits.any():
-                b = int(np.argmax(fits))
-                off[i] = fill[b]
-                caps[b] -= t
-                fill[b] += t
-            else:
-                b = n_bins
-                caps[b] = budget - t
-                fill[b] = t
-                off[i] = 0
-                n_bins += 1
-            bin_of[i] = b
+        bin_of, off, _ = ffd_assign(g["n_toks"].to_numpy(), budget)
         return g.assign(seq_id=bin_of, start_off=off)
 
     packed = grouped_map(

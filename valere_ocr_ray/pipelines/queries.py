@@ -4846,7 +4846,14 @@ def doc_token_budget_mix(sf_dir: str):
 
     ds = rd.read_parquet(
         _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
-    ).map_batches(textstats.token_count_batch, batch_format="pandas")
+    ).map_batches(
+        # \S+ count only — token_count_batch's n_subwords loop is
+        # dead weight for this query
+        lambda df: df.assign(
+            n_tokens=df["text"].str.count(textstats.TOKEN_RE).astype("int64")
+        ),
+        batch_format="pandas",
+    )
     out = mix_by_token_budget(
         ds.select_columns(["doc_id", "source", "n_tokens"]),
         budget_tokens=500,
@@ -4867,7 +4874,9 @@ def doc_domain_mix_audit(sf_dir: str):
     tiers = [1_000_000, 500_000, 250_000, 125_000]
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
-        df = textstats.token_count_batch(df)
+        df = df.assign(
+            n_tokens=df["text"].str.count(textstats.TOKEN_RE).astype("int64")
+        )
         h = _hash64_str("mix:" + df["doc_id"].astype(str)) % SCALE
         thr = df["source"].map(lambda s: tiers[int(s[3:]) % 4]).to_numpy(np.int64)
         kept = (h.astype(np.int64) < thr).astype(np.int64)
@@ -4913,7 +4922,14 @@ def doc_pack_bins(sf_dir: str):
     from valere_ocr_ray.ops.packing import pack_bins_ffd
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    toks = ds.map_batches(textstats.token_count_batch, batch_format="pandas")
+    # str.count(TOKEN_RE) == token_count_batch's n_tokens without its
+    # per-row n_subwords Python loop (discarded here anyway)
+    toks = ds.map_batches(
+        lambda df: df.assign(
+            n_tokens=df["text"].str.count(textstats.TOKEN_RE).astype("int64")
+        ),
+        batch_format="pandas",
+    )
     packed = pack_bins_ffd(
         toks.select_columns(["doc_id", "n_tokens"]),
         tokens_col="n_tokens",
@@ -4921,7 +4937,11 @@ def doc_pack_bins(sf_dir: str):
         n_shards=4,
     )
 
+    _AUDIT_COLS = ["shard", "n_docs", "n_bins", "n_oversize", "total_toks", "max_fill"]
+
     def audit(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # grouped_map contract: empty in -> empty out
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in _AUDIT_COLS})
         fills = g[~g["oversize"]].groupby("bin_id")["n_toks"].sum()
         return pd.DataFrame(
             {

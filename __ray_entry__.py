@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prior placements; invariants pytest-pinned, chunk sibling
         # doc_pack_sequences is SQL-oracled)
         "doc_pack_bins": q.doc_pack_bins,
+        "doc_quality_tiers": q.doc_quality_tiers,
     }
 
 
@@ -1546,6 +1547,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_tokens) AS BIGINT) AS toks, "
             "CAST(sum(n_tokens * kept) AS BIGINT) AS toks_kept "
             "FROM tok GROUP BY source ORDER BY source"
+        ),
+        "doc_quality_tiers": (
+            # FineWeb-style tier routing on the integer-scaled per-mil
+            # quality metrics (doc_quality oracle verbatim); sums cast
+            # BIGINT
+            "WITH m AS (SELECT doc_id, "
+            "(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000) "
+            "// greatest(length(text), 1) AS alpha_ratio, "
+            r"(len(regexp_extract_all(lower(text), '\b(?:the|and|of|a|to|in|is)\b')) * 1000) "
+            r"// greatest(len(regexp_extract_all(text, '\S+')), 1) AS stop_per_ktok, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks "
+            "FROM documents) "
+            "SELECT CASE WHEN alpha_ratio >= 825 AND stop_per_ktok >= 40 THEN 2 "
+            "WHEN alpha_ratio >= 815 THEN 1 ELSE 0 END AS tier, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_toks) AS BIGINT) AS toks "
+            "FROM m GROUP BY tier ORDER BY tier"
         ),
         # doc_langid / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # emb_knn_ivf / emb_dup_pairs / remaining pages_* / media_features /

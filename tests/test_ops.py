@@ -2311,3 +2311,40 @@ def test_pack_bins_ffd_zero_token_never_joins_oversize_bin(ray_session):
     assert not (over_bins & normal_bins)
     zero_bin = int(out.loc[out["doc_id"] == 8, "bin_id"].iloc[0])
     assert zero_bin not in over_bins
+
+
+def test_ffd_assign_property_fuzz():
+    """Property fuzz (no Ray) over the shared FFD kernel: every doc
+    assigned exactly once; non-oversize bins never exceed budget;
+    oversize bins are singletons; start offsets are the within-bin
+    running sum in placement order; bin ids are dense 0..n_bins-1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from valere_ocr_ray.ops.packing import ffd_assign
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=120),
+        budget=st.integers(min_value=1, max_value=300),
+    )
+    def check(toks, budget):
+        arr = np.sort(np.asarray(toks, dtype=np.int64))[::-1]  # FFD order
+        bin_of, off, oversize = ffd_assign(arr, budget)
+        n_bins = bin_of.max() + 1
+        assert set(bin_of) == set(range(n_bins))  # dense ids
+        for b in range(n_bins):
+            members = np.flatnonzero(bin_of == b)
+            if oversize[members].any():
+                assert len(members) == 1  # dedicated oversize bin
+                assert off[members[0]] == 0
+                continue
+            assert arr[members].sum() <= budget
+            # placement order == index order within a bin (FFD scans
+            # docs in order); offsets are the exclusive running sum
+            run = 0
+            for m in members:
+                assert off[m] == run
+                run += arr[m]
+
+    check()

@@ -4957,3 +4957,39 @@ def doc_pack_bins(sf_dir: str):
     from valere_ocr_ray.ops.exchange import grouped_map
 
     return grouped_map(packed, ["shard"], audit, num_partitions=4).sort("shard")
+
+
+def doc_quality_tiers(sf_dir: str):
+    """FineWeb-style quality-TIER labeling (the 'tier extraction'
+    pattern: route docs into high/mid/low training tiers instead of a
+    binary keep/drop): tier 2 = alpha_ratio >= 825 AND stop_per_ktok
+    >= 40, tier 1 = alpha_ratio >= 815, tier 0 = rest (thresholds are
+    corpus parameters, tuned like the curate quality gate's) — all
+    on the integer-scaled per-mil metrics shared with ``doc_quality``
+    (no float boundary).  Returns per-tier counts + token mass, the
+    table a tiered-shard writer partitions by."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tiered(df: pd.DataFrame) -> pd.DataFrame:
+        qual = textstats.quality_batch(df, "text")
+        a = qual["alpha_ratio"].to_numpy(np.int64)
+        s = qual["stop_per_ktok"].to_numpy(np.int64)
+        tier = np.where((a >= 825) & (s >= 40), 2, np.where(a >= 815, 1, 0))
+        toks = df["text"].str.count(textstats.TOKEN_RE).astype("int64")
+        g = pd.DataFrame(
+            {
+                "tier": tier.astype(np.int64),
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "toks": toks.to_numpy(np.int64),
+            }
+        )
+        return g.groupby("tier", as_index=False).sum()
+
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    return grouped_sum(
+        ds.map_batches(tiered, batch_format="pandas"),
+        ["tier"],
+        ["n_docs", "toks"],
+        num_partitions=2,
+    ).sort("tier")

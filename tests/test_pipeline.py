@@ -469,3 +469,39 @@ def test_build_training_shards_nosplit(ray_session, tmp_path):
         pack_mode="nosplit",
     )
     assert s2 == s
+
+
+def test_build_training_shards_from_extracted(ray_session, tmp_path):
+    """input_kind='extracted' over a prior run_resumable output produces
+    the IDENTICAL shard corpus as curating the raw pages directly —
+    extraction is paid once, curation re-runs are cheap tails."""
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    synth_pages(pages, 300)
+    run_dir = str(tmp_path / "run")
+    run_resumable(pages, run_dir, concurrency=2, group_size=4)
+
+    s_pages = build_training_shards(pages, str(tmp_path / "from_pages"))
+    s_ext = build_training_shards(
+        run_dir, str(tmp_path / "from_extracted"), input_kind="extracted"
+    )
+    assert s_ext == s_pages
+    a = (
+        rd.read_parquet(str(tmp_path / "from_pages"))
+        .to_pandas()
+        .sort_values("url_hash")
+        .reset_index(drop=True)
+    )
+    b = (
+        rd.read_parquet(str(tmp_path / "from_extracted"))
+        .to_pandas()
+        .sort_values("url_hash")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])

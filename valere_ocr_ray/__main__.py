@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         help="chunk = pretraining concat-and-chunk (docs may straddle); "
         "nosplit = FFD bins, every doc whole in one sequence (SFT)",
     )
+    cu.add_argument(
+        "--input-kind", choices=("pages", "extracted"), default="pages",
+        help="pages = raw pages parquet (extract inline); extracted = "
+        "a prior `extract` run's output dir (pay extraction once, "
+        "re-curate cheaply)",
+    )
 
     a = p.parse_args(argv)
 
@@ -174,6 +180,7 @@ def main(argv: list[str] | None = None) -> int:
                 boilerplate_min_docs=a.boilerplate_min_docs,
                 mix_budget_tokens=a.mix_budget_tokens,
                 pack_mode=a.pack_mode,
+                input_kind=a.input_kind,
             )
             print(json.dumps(s, indent=2, sort_keys=True))
         elif a.cmd == "warc-convert":

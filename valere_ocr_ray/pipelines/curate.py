@@ -53,6 +53,7 @@ def build_training_shards(
     boilerplate_min_docs: int | None = None,
     mix_budget_tokens: int | None = None,
     pack_mode: str = "chunk",
+    input_kind: str = "pages",
 ) -> dict:
     """Run the whole curation flow; returns the audit summary
     ``{n_docs_out, n_sequences, total_tokens, n_shards, mean_fill}``.
@@ -74,13 +75,31 @@ def build_training_shards(
     ``pack_mode="nosplit"`` swaps the concat-and-chunk packer for the
     first-fit-decreasing NO-SPLIT packer (every doc whole in one
     budget-capacity sequence — the SFT contract; oversize docs get a
-    dedicated over-budget sequence, never dropped)."""
+    dedicated over-budget sequence, never dropped).
+
+    ``input_kind="extracted"`` reads ``pages_dir`` as the durable
+    output of a prior ``run_resumable`` extraction instead of raw
+    pages: the expensive (and per-partition-resumable) extract stage
+    is paid ONCE, and curation re-runs — sweeping quality thresholds,
+    budgets, mixtures, pack modes — become cheap tails over the
+    extracted parquet.  At 100 TB this is the operating mode: you
+    never re-extract because a curation parameter changed."""
     if pack_mode not in ("chunk", "nosplit"):
         raise ValueError(f"pack_mode must be 'chunk' or 'nosplit', got {pack_mode!r}")
-    extracted = build_extraction_ds(pages_dir)
     carry = ["url_hash", "extracted_text"] + (
         ["doc_type"] if mix_budget_tokens is not None else []
     )
+    if input_kind == "pages":
+        extracted = build_extraction_ds(pages_dir)
+    elif input_kind == "extracted":
+        # prune at the read: only the carried columns + the status
+        # filter column leave storage (doc_type is a Hive partition
+        # field of the run_resumable layout — still selectable)
+        extracted = ray.data.read_parquet(pages_dir, columns=carry + ["status"])
+    else:
+        raise ValueError(
+            f"input_kind must be 'pages' or 'extracted', got {input_kind!r}"
+        )
     ok = extracted.filter(expr="status == 'ok'").select_columns(carry)
 
     # 1. quality: verdict computed in-batch, rows filtered in place.

@@ -648,11 +648,15 @@ def embedding_dup_pairs(
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-12
         signs = (vecs @ planes) > 0
         bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        # float32 BYTES, not an ndarray column: the Arrow tensor
+        # extension dtype leaks through schema-stamped empty exchange
+        # partitions and intermittently breaks downstream pandas
+        # conversion (seen as a layout-dependent emb_lsh_recall crash)
         return pd.DataFrame(
             {
                 "bucket": bucket.astype(np.int64),
                 id_col: df[id_col].to_numpy(),
-                "vec": [v for v in vecs],
+                "vec": [v.tobytes() for v in vecs],
             }
         )
 
@@ -663,7 +667,9 @@ def embedding_dup_pairs(
         if len(g) > max_bucket:
             g = g.sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()[:n]
-        mat = np.stack(g["vec"].to_numpy()[:n])
+        mat = np.frombuffer(b"".join(g["vec"].iloc[:n]), dtype=np.float32).reshape(
+            n, -1
+        )
         sims = mat @ mat.T
         out = {"id_a": [], "id_b": [], "cosine": []}
         ii, jj = np.triu_indices(n, k=1)

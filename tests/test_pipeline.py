@@ -505,3 +505,48 @@ def test_build_training_shards_from_extracted(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_build_training_shards_resume(ray_session, pages_500, tmp_path):
+    """Per-shard resumable curate tail: a run that lost one shard (and
+    the completion audit) is finished by ``resume=True`` — completed
+    shards are SKIPPED (file untouched), the missing shard is rebuilt
+    identically, and a second resume is an audit-sidecar no-op."""
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+
+    kw = dict(budget=128, n_shards=4)
+    full = str(tmp_path / "full")
+    s_full = build_training_shards(pages_500, full, **kw)
+    assert s_full["n_shards"] == 4
+
+    # simulate a kill between shard writes: one shard dir gone, no audit
+    crash = str(tmp_path / "crash")
+    build_training_shards(pages_500, crash, **kw)
+    shutil.rmtree(os.path.join(crash, "shard=2"))
+    os.remove(os.path.join(crash, "_curate_audit.json"))
+    kept = os.path.join(crash, "shard=0", "part-0.parquet")
+    kept_mtime = os.path.getmtime(kept)
+
+    s_resumed = build_training_shards(pages_500, crash, resume=True, **kw)
+    assert s_resumed == s_full
+    # completed shards were skipped, not rewritten
+    assert os.path.getmtime(kept) == kept_mtime
+    # the rebuilt corpus is byte-equal to the uninterrupted run
+    a = (
+        rd.read_parquet(full).to_pandas()
+        .sort_values("url_hash").reset_index(drop=True)
+    )
+    b = (
+        rd.read_parquet(crash).to_pandas()
+        .sort_values("url_hash").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    # idempotent: the audit sidecar short-circuits a second resume
+    assert build_training_shards(pages_500, crash, resume=True, **kw) == s_full
+    # non-resume reruns into a populated dir still refuse
+    with pytest.raises(FileExistsError):
+        build_training_shards(pages_500, crash, **kw)

@@ -111,6 +111,12 @@ def main(argv: list[str] | None = None) -> int:
         "nosplit = FFD bins, every doc whole in one sequence (SFT)",
     )
     cu.add_argument(
+        "--resume", action="store_true",
+        help="continue an interrupted curate run: completed shards "
+        "(whole-file atomic writes) are skipped; MUST use the "
+        "original run's parameters",
+    )
+    cu.add_argument(
         "--input-kind", choices=("pages", "extracted"), default="pages",
         help="pages = raw pages parquet (extract inline); extracted = "
         "a prior `extract` run's output dir (pay extraction once, "
@@ -181,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
                 mix_budget_tokens=a.mix_budget_tokens,
                 pack_mode=a.pack_mode,
                 input_kind=a.input_kind,
+                resume=a.resume,
             )
             print(json.dumps(s, indent=2, sort_keys=True))
         elif a.cmd == "warc-convert":

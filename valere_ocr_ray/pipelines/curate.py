@@ -26,10 +26,14 @@ counters).
 
 from __future__ import annotations
 
+import glob as _glob
+import json
 import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data
 
 from valere_ocr_ray.ops.exchange import grouped_map, hash_exchange
@@ -54,6 +58,7 @@ def build_training_shards(
     mix_budget_tokens: int | None = None,
     pack_mode: str = "chunk",
     input_kind: str = "pages",
+    resume: bool = False,
 ) -> dict:
     """Run the whole curation flow; returns the audit summary
     ``{n_docs_out, n_sequences, total_tokens, n_shards, mean_fill}``.
@@ -83,9 +88,53 @@ def build_training_shards(
     is paid ONCE, and curation re-runs — sweeping quality thresholds,
     budgets, mixtures, pack modes — become cheap tails over the
     extracted parquet.  At 100 TB this is the operating mode: you
-    never re-extract because a curation parameter changed."""
+    never re-extract because a curation parameter changed.
+
+    ``resume=True`` makes the WRITE tail per-shard resumable: every
+    shard is written atomically (tmp file → ``os.replace``) inside the
+    pack exchange kernel, so a killed run leaves only whole shards.  On
+    resume the completed shards are skipped — the deterministic
+    upstream (quality → dedup → segment rewrite) is recomputed (it must
+    be: dedup canonicals are GLOBAL, so a shard cannot be rebuilt from
+    a subset of the corpus) but rows are filtered to the missing shards
+    before the pack exchange and only those shards are re-written.  A
+    fully-completed run leaves a ``_curate_audit.json`` sidecar; a
+    resume that finds it returns immediately (idempotent no-op).
+    Resume MUST use the parameters of the original run — shard
+    membership and dedup survivors are functions of them.  Pair with
+    ``input_kind='extracted'`` so the extract stage isn't re-paid
+    either (extract has its own per-partition manifests)."""
     if pack_mode not in ("chunk", "nosplit"):
         raise ValueError(f"pack_mode must be 'chunk' or 'nosplit', got {pack_mode!r}")
+
+    audit_path = os.path.join(out_dir, "_curate_audit.json")
+
+    def _shard_files() -> list[str]:
+        return _glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
+
+    def _done_shards() -> set[int]:
+        return {
+            s
+            for s in range(n_shards)
+            if _glob.glob(os.path.join(out_dir, f"shard={s}", "*.parquet"))
+        }
+
+    if resume and os.path.exists(audit_path):
+        # the prior run finished — its audit is the durable receipt
+        with open(audit_path) as f:
+            return json.load(f)
+    # write_parquet-style appends into an existing directory would
+    # silently inflate the audit with stale shards — without resume,
+    # refuse instead of corrupting
+    if not resume and _shard_files():
+        raise FileExistsError(
+            f"{out_dir} already contains shard=*/ parquet files; "
+            "write to a fresh directory (or clean it), or pass "
+            "resume=True to continue an interrupted run with the "
+            "SAME parameters"
+        )
+    done = _done_shards() if resume else set()
+    missing = [s for s in range(n_shards) if s not in done]
     carry = ["url_hash", "extracted_text"] + (
         ["doc_type"] if mix_budget_tokens is not None else []
     )
@@ -254,27 +303,50 @@ def build_training_shards(
         bin_of, off, _ = ffd_assign(g["n_toks"].to_numpy(), budget)
         return g.assign(seq_id=bin_of, start_off=off)
 
-    packed = grouped_map(
-        rebuilt.map_batches(to_shard, batch_format="pandas"),
-        ["shard"],
-        pack_nosplit if pack_mode == "nosplit" else pack,
-        num_partitions=n_shards,
-    )
-    import glob as _glob
+    pack_fn = pack_nosplit if pack_mode == "nosplit" else pack
 
-    def _shard_files() -> list[str]:
-        return _glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
-
-    # write_parquet APPENDS into an existing directory; a re-run into a
-    # non-empty out_dir would silently inflate the audit with stale
-    # shards — refuse instead of corrupting
-    if _shard_files():
-        raise FileExistsError(
-            f"{out_dir} already contains shard=*/ parquet files; "
-            "write to a fresh directory (or clean it) — re-running "
-            "into a populated corpus would double-count"
+    # per-shard ATOMIC write inside the exchange kernel: the packed
+    # shard is already whole in this worker (pack needs the full shard
+    # for its cumsum/FFD), so it writes its own hive file — tmp →
+    # os.replace means a kill leaves either a complete shard or
+    # nothing, never a torn file (the dotfile tmp is invisible to the
+    # shard=*/*.parquet glob and to pyarrow/Ray dataset discovery)
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "shard": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+            }
         )
-    packed.write_parquet(out_dir, partition_cols=["shard"])
+        if not len(g):
+            return empty
+        g = pack_fn(g)
+        s = int(g["shard"].iloc[0])
+        d = os.path.join(out_dir, f"shard={s}")
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.Table.from_pandas(
+            g.drop(columns=["shard"]), preserve_index=False
+        )
+        tmp = os.path.join(d, ".tmp-part-0.parquet")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        return pd.DataFrame({"shard": [s], "n_docs": [len(g)]})
+
+    if missing:
+        sharded = rebuilt.map_batches(to_shard, batch_format="pandas")
+        if done:
+            # resume: only rows bound for the missing shards flow into
+            # the pack exchange (completed shards are skipped entirely)
+            sharded = sharded.filter(
+                expr=f"shard == {missing[0]}"
+                if len(missing) == 1
+                else f"shard in [{', '.join(map(str, missing))}]"
+            )
+        # the audit rows are tiny (one per shard) — count() just drives
+        # the writes to completion
+        grouped_map(
+            sharded, ["shard"], write_shard, num_partitions=n_shards
+        ).count()
 
     # audit from the durable output (no re-execution of the pipeline)
     import pyarrow.dataset as pads
@@ -285,13 +357,14 @@ def build_training_shards(
         # creates no files for an empty dataset (and the caller may
         # have pre-created out_dir, so the check is on FILES, not dir)
         os.makedirs(out_dir, exist_ok=True)
-        return {
+        audit = {
             "n_docs_out": 0,
             "n_sequences": 0,
             "total_tokens": 0,
             "n_shards": 0,
             "mean_fill": 0.0,
         }
+        return _stamp_audit(audit_path, audit)
     tbl = pads.dataset(out_dir, partitioning="hive").to_table(
         columns=["n_toks", "seq_id", "shard"]
     )
@@ -312,11 +385,27 @@ def build_training_shards(
         # sequences (docs straddle chunk boundaries — seq_id records
         # only where each doc STARTS)
         n_seqs = int(np.ceil(df.groupby("shard")["n_toks"].sum() / budget).sum())
-    return {
-        "n_docs_out": int(len(df)),
-        "n_sequences": n_seqs,
-        "total_tokens": total_tokens,
-        "n_shards": int(df["shard"].nunique()) if len(df) else 0,
-        "mean_fill": round(total_tokens / n_seqs, 2) if n_seqs else 0.0,
-        **extra,
-    }
+    return _stamp_audit(
+        audit_path,
+        {
+            "n_docs_out": int(len(df)),
+            "n_sequences": n_seqs,
+            "total_tokens": total_tokens,
+            "n_shards": int(df["shard"].nunique()) if len(df) else 0,
+            "mean_fill": round(total_tokens / n_seqs, 2) if n_seqs else 0.0,
+            **extra,
+        },
+    )
+
+
+def _stamp_audit(audit_path: str, audit: dict) -> dict:
+    """Durable completion receipt: written ATOMICALLY (tmp →
+    ``os.replace``) only after every shard file landed, so its presence
+    == "this run finished"; ``resume=True`` short-circuits on it.  The
+    ``_`` prefix keeps it invisible to pyarrow/Ray dataset discovery
+    over the same directory."""
+    tmp = audit_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(audit, f, sort_keys=True)
+    os.replace(tmp, audit_path)
+    return audit

@@ -24,3 +24,34 @@ MAX_DOC_BYTES = 10 * 1024 * 1024
 # Soft threshold above which a row is considered "heavy" for skew-aware
 # batch splitting (processed in its own sub-batch inside the extractor).
 HEAVY_DOC_BYTES = 1 * 1024 * 1024
+
+
+def _mute_empty_block_size_noise() -> None:
+    """Drop Ray 2.49's spurious per-empty-block warning.
+
+    ``ray.data._internal.pandas_block`` sizes object/string columns by
+    sampling; on a ZERO-row column the sample is empty and
+    ``np.vectorize`` refuses size-0 input, so every empty pandas batch
+    with a string column logs ``Error calculating size for column …:
+    cannot call `vectorize` on size 0 inputs``.  Empty batches are a
+    normal, correct output of keyed exchanges and selective filters
+    (an empty block's size is trivially ~0 — nothing was lost), so the
+    warning is pure noise at fleet scale.  The filter matches BOTH
+    substrings, leaving genuine sizing failures visible.  Installing it
+    at package import covers workers too: every UDF closure here pulls
+    this package in.
+    """
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            m = record.getMessage()
+            return not (
+                "Error calculating size for column" in m
+                and "size 0 inputs" in m
+            )
+
+    logging.getLogger("ray.data._internal.pandas_block").addFilter(_F())
+
+
+_mute_empty_block_size_noise()

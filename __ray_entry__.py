@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_c4_filters": q.doc_c4_filters,
         "doc_redact": q.doc_redact,
         "doc_cross_source_dupes": q.doc_cross_source_dupes,
+        "doc_holdout_split": q.doc_holdout_split,
         # -- round-2 LLM-data-op representatives (all oracled) --------
         "doc_segment_dedup": q.doc_segment_dedup,
         "doc_contamination": q.doc_contamination,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_md5": q.doc_fingerprint_md5,
         "doc_minhash_sig_md5": q.doc_minhash_sig_md5,
         "doc_dup_clusters_verified": q.doc_dup_clusters_verified,
+        "doc_holdout_neardup": q.doc_holdout_neardup,
         "events_distinct_users_kmv_est": q.events_distinct_users_kmv_est,
         "doc_hash_sample": q.doc_hash_sample,
         "doc_train_shuffle_head": q.doc_train_shuffle_head,
@@ -1242,6 +1244,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, "
             "count(DISTINCT source) AS n_sources, count(*) AS n_copies "
             "FROM aug GROUP BY md5(text) HAVING count(DISTINCT source) > 1"
+        ),
+        "doc_holdout_split": (
+            # leakage-safe split: side = hash threshold on md5(TEXT)
+            # (planted-dupe texts share a side by construction);
+            # md5() in DuckDB yields the same lowercase hex the engine
+            # hashes, and md5_number_lower is the engine's _hash64_str
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN 'shared boilerplate passage ' || CAST(doc_id % 11 AS VARCHAR) "
+            "ELSE text END AS text FROM documents) "
+            "SELECT doc_id, CASE WHEN "
+            "md5_number_lower('holdout:' || md5(text)) % 1000000 < 100000 "
+            "THEN 'holdout' ELSE 'train' END AS split FROM aug"
+        ),
+        "doc_holdout_neardup": (
+            # near-dup-cluster-safe split: the doc_dup_clusters_verified
+            # transitive closure gives each doc its component-min label;
+            # singletons key on their own id (COALESCE), then the same
+            # md5_number_lower threshold as the engine's
+            # holdout_split_by_key(salt='nd-holdout')
+            "WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') "
+            "AS toks FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') "
+            "AS gram FROM (SELECT doc_id, toks, "
+            "unnest(range(1, len(toks) - 1)) AS i FROM t)), "
+            "ng AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS n_int FROM g a JOIN g b "
+            "ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pr AS (SELECT id_a, id_b FROM inter "
+            "JOIN ng na ON na.doc_id = inter.id_a "
+            "JOIN ng nb ON nb.doc_id = inter.id_b "
+            "WHERE CAST(n_int AS DOUBLE) / (na.n_g + nb.n_g - n_int) >= 0.35), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pr "
+            "UNION ALL SELECT id_b, id_a FROM pr), "
+            "nodes AS (SELECT DISTINCT a FROM edges), "
+            "walk(doc_id, lbl) AS (SELECT a, a FROM nodes "
+            "UNION SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.doc_id = e.b), "
+            "lab AS (SELECT doc_id, min(lbl) AS cluster FROM walk "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE WHEN md5_number_lower('nd-holdout:' || "
+            "CAST(COALESCE(lab.cluster, d.doc_id) AS VARCHAR)) % 1000000 "
+            "< 100000 THEN 'holdout' ELSE 'train' END AS split "
+            "FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id"
         ),
         "doc_dsir_weights": (
             # ops/dsir.py bit-for-bit: md5_number_lower == lower 8 md5

@@ -121,6 +121,10 @@ def main() -> None:
     record: dict = {"sf_dir": sf_dir, "queries": {}}
     n_ok = n_fail = 0
     names = sorted(oracles if oracled_only else queries)
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    if only:  # e.g. --only=doc_holdout_split,doc_holdout_neardup
+        wanted = set(only[0].split(","))
+        names = [n for n in names if n in wanted]
     for name in names:
         t0 = time.perf_counter()
         entry: dict = {}

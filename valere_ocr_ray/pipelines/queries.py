@@ -3904,6 +3904,76 @@ def doc_simhash_pairs(sf_dir: str):
     return dedup.simhash_pairs(ds, max_hamming=3)
 
 
+def doc_holdout_split(sf_dir: str):
+    """Leakage-safe train/holdout split (``ops/split.holdout_split``):
+    the side is a hash-threshold function of ``md5(text)``, NOT of the
+    doc id, so byte-identical duplicates provably co-locate — the
+    planted cross-source duplicates (every 7th doc shares one of 11
+    texts, ``_plant_dupes``) make that guarantee non-vacuous here.
+    10% holdout, zero exchanges (membership is a pure function of
+    content — the 100-TB path for carving a clean eval set)."""
+    from valere_ocr_ray.ops.split import holdout_split
+
+    docs = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda df: df.assign(text=_plant_dupes(df)), batch_format="pandas"
+    )
+    out = holdout_split(docs, holdout_rate=0.1, salt="holdout")
+    return out.select_columns(["doc_id", "split"])
+
+
+def doc_holdout_neardup(sf_dir: str):
+    """NEAR-duplicate-safe holdout split: LSH candidates → exact-Jaccard
+    verify on the exchange → distributed connected components
+    (``cluster_labels``) → side keyed on the cluster label (singletons:
+    own doc_id) via ``ops/split.holdout_split_by_key`` — entire near-dup
+    clusters land on one side, so a held-out doc's paraphrase can't sit
+    in training.  The label join is a ``cogroup_exchange`` (zero driver
+    state).  Fully SQL-oracled: transitive closure + the same
+    md5_number_lower threshold."""
+    from valere_ocr_ray.ops.exchange import cogroup_exchange
+    from valere_ocr_ray.ops.split import holdout_split_by_key
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_pairs(ds, threshold=0.3)
+    verified = dedup.verify_pairs_exact_exchange(ds, cand, n=3, threshold=0.35)
+    labels = dedup.cluster_labels(
+        verified.select_columns(["id_a", "id_b"]), num_partitions=8
+    )
+
+    def annotate(docs_df: pd.DataFrame, lab_df: pd.DataFrame) -> pd.DataFrame:
+        if not len(docs_df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "grp": pd.Series([], dtype="int64"),
+                }
+            )
+        m = docs_df.merge(lab_df, on="doc_id", how="left")
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(dtype=np.int64),
+                "grp": m["cluster"]
+                .fillna(m["doc_id"])
+                .to_numpy(dtype=np.int64),
+            }
+        )
+
+    keyed = cogroup_exchange(
+        ds.select_columns(["doc_id"]),
+        labels,
+        ["doc_id"],
+        ["doc_id"],
+        annotate,
+        num_partitions=8,
+    )
+    out = holdout_split_by_key(
+        keyed, key_col="grp", holdout_rate=0.1, salt="nd-holdout"
+    )
+    return out.select_columns(["doc_id", "split"])
+
+
 def lineitem_distinct_parts(sf_dir: str):
     """Exact COUNT(DISTINCT): per-block unique partials → hash
     exchange by key → per-partition nunique → tiny sum (the one

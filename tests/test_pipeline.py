@@ -550,3 +550,50 @@ def test_build_training_shards_resume(ray_session, pages_500, tmp_path):
     # non-resume reruns into a populated dir still refuse
     with pytest.raises(FileExistsError):
         build_training_shards(pages_500, crash, **kw)
+
+
+def test_build_training_shards_holdout(ray_session, pages_500, tmp_path):
+    """holdout_rate carves a leakage-safe eval side in the same run:
+    url_hash-disjoint from the training shards, internally deduped,
+    side assignment self-consistent with the hash threshold, and the
+    holdout write is resumable like the train shards."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.mixing import SCALE, _hash64_str
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+
+    out = str(tmp_path / "with_holdout")
+    kw = dict(budget=128, n_shards=4, holdout_rate=0.2, holdout_salt="ev")
+    s = build_training_shards(pages_500, out, **kw)
+    assert s["n_holdout"] > 0
+
+    hold = rd.read_parquet(os.path.join(out, "_holdout")).to_pandas()
+    train = rd.read_parquet(out).to_pandas()
+    # training readers over out_dir never see the holdout subtree
+    assert "clean_text" in train.columns and len(train) == s["n_docs_out"]
+    assert len(hold) == s["n_holdout"]
+    # disjoint docs, deduped holdout
+    assert not set(hold["url_hash"]) & set(train["url_hash"])
+    assert hold["extracted_text"].is_unique
+    # every holdout text really hashes to the holdout side
+    hexes = hold["extracted_text"].map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    h = _hash64_str("ev:" + hexes)
+    assert (h % SCALE < int(0.2 * SCALE)).all()
+
+    # determinism + holdout resume: drop one holdout shard and the
+    # audit, resume rebuilds it identically
+    out2 = str(tmp_path / "resumed")
+    build_training_shards(pages_500, out2, **kw)
+    shutil.rmtree(os.path.join(out2, "_holdout", "shard=1"))
+    os.remove(os.path.join(out2, "_curate_audit.json"))
+    s2 = build_training_shards(pages_500, out2, resume=True, **kw)
+    assert s2 == s
+    hold2 = rd.read_parquet(os.path.join(out2, "_holdout")).to_pandas()
+    a = hold.sort_values("url_hash").reset_index(drop=True)
+    b = hold2.sort_values("url_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])

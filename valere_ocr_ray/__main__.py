@@ -111,6 +111,17 @@ def main(argv: list[str] | None = None) -> int:
         "nosplit = FFD bins, every doc whole in one sequence (SFT)",
     )
     cu.add_argument(
+        "--holdout-rate", type=float, default=None,
+        help="carve a leakage-safe eval holdout at this rate (side is "
+        "a hash of md5(text), so exact dups co-locate); written under "
+        "OUT/_holdout/shard=*/",
+    )
+    cu.add_argument(
+        "--holdout-salt", default="holdout",
+        help="salt for the holdout hash threshold (a different salt "
+        "draws an independent split)",
+    )
+    cu.add_argument(
         "--resume", action="store_true",
         help="continue an interrupted curate run: completed shards "
         "(whole-file atomic writes) are skipped; MUST use the "
@@ -188,6 +199,8 @@ def main(argv: list[str] | None = None) -> int:
                 pack_mode=a.pack_mode,
                 input_kind=a.input_kind,
                 resume=a.resume,
+                holdout_rate=a.holdout_rate,
+                holdout_salt=a.holdout_salt,
             )
             print(json.dumps(s, indent=2, sort_keys=True))
         elif a.cmd == "warc-convert":

@@ -59,6 +59,8 @@ def build_training_shards(
     pack_mode: str = "chunk",
     input_kind: str = "pages",
     resume: bool = False,
+    holdout_rate: float | None = None,
+    holdout_salt: str = "holdout",
 ) -> dict:
     """Run the whole curation flow; returns the audit summary
     ``{n_docs_out, n_sequences, total_tokens, n_shards, mean_fill}``.
@@ -103,20 +105,36 @@ def build_training_shards(
     Resume MUST use the parameters of the original run — shard
     membership and dedup survivors are functions of them.  Pair with
     ``input_kind='extracted'`` so the extract stage isn't re-paid
-    either (extract has its own per-partition manifests)."""
+    either (extract has its own per-partition manifests).
+
+    ``holdout_rate`` carves a LEAKAGE-SAFE eval set in the same run
+    (``ops/split.holdout_split``): after the quality gate each doc's
+    side is a hash-threshold function of md5(extracted_text), so exact
+    duplicates can never straddle the boundary; the holdout side is
+    exact-deduped and written (same atomic per-shard writer, resumable)
+    under ``out_dir/_holdout/shard=<s>/`` — the ``_`` prefix keeps it
+    invisible to dataset discovery over ``out_dir``, so training
+    readers see only training shards.  Only the train side flows into
+    dedup → segment rewrite → packing.  The audit gains
+    ``n_holdout``."""
     if pack_mode not in ("chunk", "nosplit"):
         raise ValueError(f"pack_mode must be 'chunk' or 'nosplit', got {pack_mode!r}")
 
     audit_path = os.path.join(out_dir, "_curate_audit.json")
 
-    def _shard_files() -> list[str]:
+    def _train_files() -> list[str]:
         return _glob.glob(os.path.join(out_dir, "shard=*", "*.parquet"))
 
-    def _done_shards() -> set[int]:
+    def _shard_files() -> list[str]:
+        return _train_files() + _glob.glob(
+            os.path.join(out_dir, "_holdout", "shard=*", "*.parquet")
+        )
+
+    def _done_shards(sub: str = "") -> set[int]:
         return {
             s
             for s in range(n_shards)
-            if _glob.glob(os.path.join(out_dir, f"shard={s}", "*.parquet"))
+            if _glob.glob(os.path.join(out_dir, sub, f"shard={s}", "*.parquet"))
         }
 
     if resume and os.path.exists(audit_path):
@@ -240,9 +258,6 @@ def build_training_shards(
         ]
         return df.assign(content_h=pd.Series(h, dtype="int64").to_numpy())
 
-    hashed = clean.map_batches(add_hash, batch_format="pandas")
-    ex = hash_exchange(hashed, ["content_h"], num_partitions)
-
     def keep_canonical(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df[["url_hash", "extracted_text"]]
@@ -252,6 +267,99 @@ def build_training_shards(
         )
         return df.loc[is_min, ["url_hash", "extracted_text"]]
 
+    def _make_atomic_writer(root: str, finalize):
+        """grouped_map kernel writing one WHOLE shard atomically under
+        ``root/shard=<s>/part-0.parquet`` (tmp → ``os.replace``): a kill
+        leaves either a complete shard or nothing, never a torn file
+        (the dotfile tmp is invisible to globbing and to pyarrow/Ray
+        dataset discovery).  The shard is already whole in this worker
+        — the same exchange that co-located it runs ``finalize``."""
+
+        def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype="int64"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                }
+            )
+            if not len(g):
+                return empty
+            g = finalize(g)
+            s = int(g["shard"].iloc[0])
+            d = os.path.join(root, f"shard={s}")
+            os.makedirs(d, exist_ok=True)
+            tbl = pa.Table.from_pandas(
+                g.drop(columns=["shard"]), preserve_index=False
+            )
+            tmp = os.path.join(d, ".tmp-part-0.parquet")
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, os.path.join(d, "part-0.parquet"))
+            return pd.DataFrame({"shard": [s], "n_docs": [len(g)]})
+
+        return write_shard
+
+    def _missing_filter(ds: ray.data.Dataset, want: list[int]) -> ray.data.Dataset:
+        if len(want) == n_shards:
+            return ds
+        return ds.filter(
+            expr=f"shard == {want[0]}"
+            if len(want) == 1
+            else f"shard in [{', '.join(map(str, want))}]"
+        )
+
+    # 2.5 leakage-safe holdout carve-out: side = hash threshold on
+    # md5(extracted_text) (ops/split), so exact duplicates co-locate by
+    # construction; the holdout side is exact-deduped and written via
+    # the same atomic per-shard writer (resumable), the train side
+    # flows on into dedup → rewrite → pack
+    if holdout_rate is not None:
+        from valere_ocr_ray.ops.split import holdout_split
+
+        # the train branch AND the holdout sink both consume `clean` —
+        # pin the diamond (same rationale as the mix stage)
+        clean = clean.materialize()
+        tagged = holdout_split(
+            clean,
+            holdout_rate=holdout_rate,
+            text_col="extracted_text",
+            salt=holdout_salt,
+        )
+        hold_missing = sorted(set(range(n_shards)) - _done_shards("_holdout"))
+        if hold_missing:
+            hold = (
+                tagged.filter(expr="split == 'holdout'")
+                .select_columns(["url_hash", "extracted_text"])
+                .map_batches(add_hash, batch_format="pandas")
+            )
+            h_uniq = hash_exchange(
+                hold, ["content_h"], num_partitions
+            ).map_batches(keep_canonical, batch_format="pandas", batch_size=None)
+            h_sharded = h_uniq.map_batches(
+                lambda df: df.assign(
+                    shard=(df["url_hash"].astype("int64") % n_shards).astype(
+                        "int64"
+                    )
+                ),
+                batch_format="pandas",
+            )
+            hold_writer = _make_atomic_writer(
+                os.path.join(out_dir, "_holdout"),
+                lambda g: g.sort_values("url_hash", kind="mergesort")[
+                    ["url_hash", "extracted_text", "shard"]
+                ],
+            )
+            grouped_map(
+                _missing_filter(h_sharded, hold_missing),
+                ["shard"],
+                hold_writer,
+                num_partitions=n_shards,
+            ).count()
+        clean = tagged.filter(expr="split == 'train'").select_columns(
+            ["url_hash", "extracted_text"]
+        )
+
+    hashed = clean.map_batches(add_hash, batch_format="pandas")
+    ex = hash_exchange(hashed, ["content_h"], num_partitions)
     uniq = ex.map_batches(
         keep_canonical, batch_format="pandas", batch_size=None
     )
@@ -305,53 +413,34 @@ def build_training_shards(
 
     pack_fn = pack_nosplit if pack_mode == "nosplit" else pack
 
-    # per-shard ATOMIC write inside the exchange kernel: the packed
-    # shard is already whole in this worker (pack needs the full shard
-    # for its cumsum/FFD), so it writes its own hive file — tmp →
-    # os.replace means a kill leaves either a complete shard or
-    # nothing, never a torn file (the dotfile tmp is invisible to the
-    # shard=*/*.parquet glob and to pyarrow/Ray dataset discovery)
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "shard": pd.Series([], dtype="int64"),
-                "n_docs": pd.Series([], dtype="int64"),
-            }
-        )
-        if not len(g):
-            return empty
-        g = pack_fn(g)
-        s = int(g["shard"].iloc[0])
-        d = os.path.join(out_dir, f"shard={s}")
-        os.makedirs(d, exist_ok=True)
-        tbl = pa.Table.from_pandas(
-            g.drop(columns=["shard"]), preserve_index=False
-        )
-        tmp = os.path.join(d, ".tmp-part-0.parquet")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(d, "part-0.parquet"))
-        return pd.DataFrame({"shard": [s], "n_docs": [len(g)]})
-
     if missing:
         sharded = rebuilt.map_batches(to_shard, batch_format="pandas")
-        if done:
-            # resume: only rows bound for the missing shards flow into
-            # the pack exchange (completed shards are skipped entirely)
-            sharded = sharded.filter(
-                expr=f"shard == {missing[0]}"
-                if len(missing) == 1
-                else f"shard in [{', '.join(map(str, missing))}]"
-            )
-        # the audit rows are tiny (one per shard) — count() just drives
-        # the writes to completion
+        # resume: only rows bound for the missing shards flow into the
+        # pack exchange (completed shards are skipped entirely); the
+        # audit rows are tiny (one per shard) — count() just drives the
+        # writes to completion
         grouped_map(
-            sharded, ["shard"], write_shard, num_partitions=n_shards
+            _missing_filter(sharded, missing),
+            ["shard"],
+            _make_atomic_writer(out_dir, pack_fn),
+            num_partitions=n_shards,
         ).count()
 
     # audit from the durable output (no re-execution of the pipeline)
     import pyarrow.dataset as pads
 
-    if not _shard_files():
+    hold_audit: dict = {}
+    if holdout_rate is not None:
+        hold_audit["n_holdout"] = int(
+            sum(
+                pq.read_metadata(f).num_rows
+                for f in _glob.glob(
+                    os.path.join(out_dir, "_holdout", "shard=*", "*.parquet")
+                )
+            )
+        )
+
+    if not _train_files():
         # every doc filtered/deduped away: an empty corpus is a valid
         # outcome (aggressive thresholds), not a crash — write_parquet
         # creates no files for an empty dataset (and the caller may
@@ -363,6 +452,7 @@ def build_training_shards(
             "total_tokens": 0,
             "n_shards": 0,
             "mean_fill": 0.0,
+            **hold_audit,
         }
         return _stamp_audit(audit_path, audit)
     tbl = pads.dataset(out_dir, partitioning="hive").to_table(
@@ -394,6 +484,7 @@ def build_training_shards(
             "n_shards": int(df["shard"].nunique()) if len(df) else 0,
             "mean_fill": round(total_tokens / n_seqs, 2) if n_seqs else 0.0,
             **extra,
+            **hold_audit,
         },
     )
 

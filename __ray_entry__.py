@@ -225,6 +225,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_pack_sequences is SQL-oracled)
         "doc_pack_bins": q.doc_pack_bins,
         "doc_quality_tiers": q.doc_quality_tiers,
+        # BPE tokenizer: distributed word-count exchange -> driver-side
+        # merge learning -> broadcast-table encode (rows-only: greedy
+        # merge encode is a fold; invariants pytest-pinned, test_bpe.py)
+        "doc_bpe_tokens": q.doc_bpe_tokens,
+        # CCNet-style interpolated bigram-LM perplexity filter
+        # (SQL-oracled; one LM order above doc_unigram_logprob)
+        "doc_bigram_logprob": q.doc_bigram_logprob,
     }
 
 
@@ -842,6 +849,26 @@ def oracle_sql() -> dict[str, str]:
             "AS n_click_after, "
             "CAST(sum(CASE WHEN t_c IS NOT NULL AND has_p = 1 THEN 1 ELSE 0 "
             "END) AS BIGINT) AS n_purchase_after FROM p"
+        ),
+        "doc_bigram_logprob": (
+            "WITH lst AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "big AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+            "i -> w[i] || chr(1) || w[i+1])) AS bg FROM lst WHERE len(w) > 1), "
+            "bc AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c2 "
+            "FROM big GROUP BY bg), "
+            "fc AS (SELECT string_split(bg, chr(1))[1] AS w1, "
+            "CAST(sum(c2) AS DOUBLE) AS c1 FROM bc GROUP BY w1), "
+            "tok AS (SELECT unnest(w) AS token FROM lst), "
+            "uni AS (SELECT token, CAST(count(*) AS DOUBLE) AS cu "
+            "FROM tok GROUP BY token), "
+            "tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t FROM uni) "
+            "SELECT b.doc_id, CAST(floor(-sum(ln(0.9 * bc.c2 / fc.c1 "
+            "+ 0.1 * uni.cu / tot.t)) / count(*) * 10000) AS BIGINT) AS nll_e4 "
+            "FROM big b JOIN bc ON b.bg = bc.bg "
+            "JOIN fc ON string_split(b.bg, chr(1))[1] = fc.w1 "
+            "JOIN uni ON string_split(b.bg, chr(1))[2] = uni.token, tot "
+            "GROUP BY b.doc_id"
         ),
         "doc_unigram_logprob": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

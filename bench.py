@@ -112,6 +112,7 @@ def _run_benchmarks() -> dict:
         timed("doc_dsir_weights", q.doc_dsir_weights)
         timed("emb_semdedup", q.emb_semdedup)
         timed("doc_token_budget_mix", q.doc_token_budget_mix)
+        timed("doc_holdout_split", q.doc_holdout_split)
 
     ray.shutdown()
     return {

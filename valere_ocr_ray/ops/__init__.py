@@ -5,6 +5,7 @@ removal (``linededup``), text analysis (``textstats``), sectioning + URL
 projections (``urlmeta``), approximate distinct sketches (``sketch``), Misra-Gries heavy
 hitters (``heavyhitters``), content-defined-chunking dedup (``cdc``),
 deterministic domain-mixture sampling (``mixing``),
+leakage-safe train/holdout splitting (``split``),
 multimodal plumbing (``multimodal``), as-of/range joins (``asof``),
 and the keyed-combine machinery for high-cardinality groupbys
 (``exchange`` — custom hash exchange; ``combine`` — tree reduce;
@@ -38,6 +39,7 @@ from valere_ocr_ray.ops import (  # noqa: F401
     segdedup,
     similarity,
     sketch,
+    split,
     textstats,
     urlmeta,
 )
@@ -65,6 +67,7 @@ __all__ = [
     "segdedup",
     "similarity",
     "sketch",
+    "split",
     "textstats",
     "urlmeta",
 ]

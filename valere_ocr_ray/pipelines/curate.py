@@ -312,7 +312,15 @@ def build_training_shards(
     # construction; the holdout side is exact-deduped and written via
     # the same atomic per-shard writer (resumable), the train side
     # flows on into dedup → rewrite → pack
-    if holdout_rate is not None:
+    hold_missing = (
+        sorted(set(range(n_shards)) - _done_shards("_holdout"))
+        if holdout_rate is not None
+        else []
+    )
+    # (missing or hold_missing): when a resume finds every shard already
+    # written — only the audit sidecar was lost — skip the whole branch,
+    # including the EAGER materialize, and fall through to the audit
+    if holdout_rate is not None and (missing or hold_missing):
         from valere_ocr_ray.ops.split import holdout_split
 
         # the train branch AND the holdout sink both consume `clean` —
@@ -324,7 +332,6 @@ def build_training_shards(
             text_col="extracted_text",
             salt=holdout_salt,
         )
-        hold_missing = sorted(set(range(n_shards)) - _done_shards("_holdout"))
         if hold_missing:
             hold = (
                 tagged.filter(expr="split == 'holdout'")

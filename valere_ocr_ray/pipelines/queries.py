@@ -5063,3 +5063,120 @@ def doc_quality_tiers(sf_dir: str):
         ["n_docs", "toks"],
         num_partitions=2,
     ).sort("tier")
+
+
+def doc_bpe_tokens(sf_dir: str):
+    """True-token-unit budgets via BPE (``ops/bpe``): 256 merges
+    learned corpus-wide (per-batch word counts -> ONE hash exchange ->
+    driver-side learn over the vocab-sized table), rank table broadcast
+    with ``ray.put``, greedy encode per batch with a per-actor
+    unique-word cache.  Returns ``(doc_id, n_tokens, n_bpe_tokens)``
+    sorted by doc_id — the column packing/mixture budgets should price
+    in (whitespace counts mis-price code/URLs 2-5x).  Rows-only: the
+    greedy lowest-rank merge encode is a fold, not SQL-expressible;
+    learner/encoder consistency, partition invariance, distributed-vs-
+    local word counts and subword count bounds are pytest-pinned
+    (tests/test_bpe.py)."""
+    from valere_ocr_ray.ops.bpe import bpe_token_counts, train_bpe
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = train_bpe(ds, num_merges=256, num_partitions=8)
+    out = bpe_token_counts(ds, merges, concurrency=4)
+    toks = out.map_batches(
+        lambda df: df.assign(
+            n_tokens=df["text"].str.count(textstats.TOKEN_RE).astype("int64")
+        )[["doc_id", "n_tokens", "n_bpe_tokens"]],
+        batch_format="pandas",
+    )
+    return toks.sort("doc_id")
+
+
+def doc_bigram_logprob(sf_dir: str):
+    """Interpolated bigram-LM quality score — the CCNet LM filter
+    (Wenzek et al. 2020) one order up from ``doc_unigram_logprob``:
+    p(w2|w1) = 0.9 * c(w1,w2)/c(w1,*) + 0.1 * unigram(w2), per-doc mean
+    negative log-likelihood over the doc's bigrams, floor-scaled 1e4.
+    Model construction = two keyed exchanges (bigram counts, token
+    counts), both vocab-sized on the wire; the model is broadcast once
+    with ``ray.put``.  Broadcast contract: bigram vocab grows ~O(tokens
+    ^0.8) — at 100 TB (~10^9 distinct bigrams) broadcast no longer
+    fits, so the scale path is to resolve scores ON the exchange (ship
+    (doc_id, bg) hashed by bg to the count partitions, re-group by
+    doc) or prune the model to top-N bigrams by mass (the KenLM
+    practice).  Docs with <2 tokens have no bigrams and are excluded
+    on both sides."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    SEP = "\x01"
+
+    def _explode(df: pd.DataFrame):
+        """(doc_idx, token) explode + adjacent-pair bigram strings.
+        Positional index contract: callers index back with the returned
+        row positions, so force a fresh RangeIndex."""
+        df = df.reset_index(drop=True)
+        s = df["text"].str.split(" ")
+        e = s.explode()
+        idx = e.index.to_numpy()
+        tok = e.to_numpy()
+        same = idx[:-1] == idx[1:]
+        a = pd.Series(tok[:-1][same], dtype=object)
+        b = pd.Series(tok[1:][same], dtype=object)
+        return e, idx, (a + SEP + b), idx[:-1][same]
+
+    def bg_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, bg, _ = _explode(df)
+        vc = bg.value_counts()
+        return pd.DataFrame(
+            {"bg": vc.index.to_numpy(), "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        e, _, _, _ = _explode(df)
+        vc = e.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(), "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    bgc = grouped_sum(
+        docs.map_batches(bg_counts, batch_format="pandas"), ["bg"], ["cnt"]
+    ).to_pandas()
+    unic = grouped_sum(
+        docs.map_batches(tok_counts, batch_format="pandas"), ["token"], ["cnt"]
+    ).to_pandas()
+    total = float(unic["cnt"].sum())
+    w1 = bgc["bg"].str.split(SEP).str[0]
+    c1 = bgc.groupby(w1)["cnt"].sum()
+    model = {
+        "c2": dict(zip(bgc["bg"], bgc["cnt"].astype(float))),
+        "c1": dict(zip(c1.index, c1.to_numpy(dtype=float))),
+        "cu": dict(zip(unic["token"], unic["cnt"].astype(float) / total)),
+    }
+    ref = ray.put(model)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        _, _, bg, own = _explode(df)
+        if not len(bg):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "nll_e4": pd.Series(dtype="int64"),
+                }
+            )
+        c2 = bg.map(m["c2"]).to_numpy(dtype=np.float64)
+        cc1 = bg.str.split(SEP).str[0].map(m["c1"]).to_numpy(dtype=np.float64)
+        pu = bg.str.split(SEP).str[1].map(m["cu"]).to_numpy(dtype=np.float64)
+        lp = np.log(0.9 * c2 / cc1 + 0.1 * pu)
+        g = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy()[own], "lp": lp}
+        ).groupby("doc_id", sort=False)["lp"]
+        nll = -(g.sum() / g.size())
+        return pd.DataFrame(
+            {
+                "doc_id": nll.index.to_numpy().astype("int64"),
+                "nll_e4": np.floor(nll.to_numpy() * 10000).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style interpolated bigram-LM perplexity filter
         # (SQL-oracled; one LM order above doc_unigram_logprob)
         "doc_bigram_logprob": q.doc_bigram_logprob,
+        # temperature-flattened (alpha=0.5) domain mixture, anchored
+        # at the smallest source (SQL-oracled bit-for-bit)
+        "doc_temperature_mix": q.doc_temperature_mix,
     }
 
 
@@ -1602,6 +1605,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN thr r ON k.source = r.source "
             "WHERE md5_number_lower('budget:' || CAST(k.doc_id AS VARCHAR)) "
             "% 1000000 < r.t ORDER BY k.doc_id"
+        ),
+        "doc_temperature_mix": (
+            # mix_by_temperature verbatim: rate = sqrt(M_min / M) per
+            # source in floored millionths — ONE IEEE division + sqrt
+            # on both sides (alpha pinned 0.5; pow is not correctly
+            # rounded), anchored at the smallest positive-mass source
+            # so no cross-domain float sum; membership hash as
+            # doc_domain_mix; tokens = \S+ count
+            r"WITH tok AS (SELECT doc_id, source, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS m "
+            "FROM tok GROUP BY source), "
+            "mn AS (SELECT min(m) AS m_min FROM tot WHERE m > 0), "
+            "thr AS (SELECT source, CASE WHEN m <= 0 THEN 0 ELSE "
+            "CAST(floor(1000000 * sqrt(CAST(mn.m_min AS DOUBLE) / "
+            "CAST(m AS DOUBLE))) AS BIGINT) END AS t FROM tot, mn) "
+            "SELECT k.doc_id, k.source, k.n_tokens FROM tok k "
+            "JOIN thr r ON k.source = r.source "
+            "WHERE md5_number_lower('temp:' || CAST(k.doc_id AS VARCHAR)) "
+            "% 1000000 < r.t"
         ),
         "doc_domain_mix_audit": (
             # realized-rate governance report for doc_domain_mix: same

@@ -2177,6 +2177,38 @@ def test_mix_by_token_budget_expected_tokens(ray_session):
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
 
 
+def test_mix_by_temperature_anchor_and_rates(ray_session):
+    """alpha=0.5 flattening: the smallest positive-mass domain is kept
+    whole, larger domains sample at floor(1e6*sqrt(m_min/m))/1e6, a
+    zero-mass domain drops out entirely, and membership is
+    deterministic across runs."""
+    import math
+
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.mixing import SCALE, mix_by_temperature
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2100, dtype=np.int64),
+            "source": ["big"] * 1600 + ["small"] * 400 + ["empty"] * 100,
+            "n_tokens": np.r_[
+                np.full(1600, 100, dtype=np.int64),  # mass 160k
+                np.full(400, 25, dtype=np.int64),  # mass 10k (min)
+                np.zeros(100, dtype=np.int64),  # mass 0
+            ],
+        }
+    )
+    out = mix_by_temperature(rd.from_pandas(df)).to_pandas()
+    assert len(out[out["source"] == "small"]) == 400  # anchor: rate 1.0
+    assert len(out[out["source"] == "empty"]) == 0
+    big = out[out["source"] == "big"]
+    rate = math.floor(SCALE * math.sqrt(10_000 / 160_000)) / SCALE  # 0.25
+    assert abs(len(big) - 1600 * rate) < 60
+    out2 = mix_by_temperature(rd.from_pandas(df)).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
 def test_embedding_semdedup_partition_invariant(ray_session):
     """Survivors are a pure function of the corpus — any input
     partitioning produces the same set (the bucket exchange owns

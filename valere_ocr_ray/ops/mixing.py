@@ -155,3 +155,48 @@ def _sample_by_thresholds(
         return df[h.astype(np.int64) < thr]
 
     return ds.map_batches(sample, batch_format="pandas")
+
+
+def mix_by_temperature(
+    ds: ray.data.Dataset,
+    *,
+    tokens_col: str = "n_tokens",
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    pin: bool = False,
+) -> ray.data.Dataset:
+    """Temperature-flattened domain mixture (the multilingual-LM
+    sampling rule, XLM-R/mT5 family, alpha = 0.5) anchored at the
+    smallest domain: domain ``d`` with token mass ``M_d`` samples docs
+    at rate ``sqrt(M_min / M_d)`` — the smallest positive-mass domain
+    is kept whole, every domain's EXPECTED token contribution scales
+    as ``sqrt(M_d * M_min)`` (mass^alpha re-weighting), upweighting
+    tail domains without the hard cap of :func:`mix_by_token_budget`.
+
+    alpha is pinned to 0.5 because the threshold must be bit-identical
+    in the SQL oracle: ``floor(1e6 * sqrt(M_min / M_d))`` is ONE
+    correctly-rounded IEEE division + ONE correctly-rounded sqrt on
+    both sides (general ``pow`` is not correctly rounded and may
+    differ across libms), and anchoring at ``M_min`` avoids any
+    cross-domain float SUM whose order could differ between engines.
+    Zero-mass domains sample at 0.  Membership is the same stateless
+    md5 hash threshold as :func:`mix_by_rates` — any worker, any
+    partitioning, any retry draws the same sample."""
+    import math
+
+    if pin:
+        ds = ds.materialize()
+    totals = {
+        r[key_col]: int(r[f"sum({tokens_col})"])
+        for r in ds.groupby(key_col).sum(tokens_col).take_all()
+    }
+    positive = [v for v in totals.values() if v > 0]
+    m_min = min(positive) if positive else 0
+    thresholds = {
+        k: (0 if v <= 0 else int(math.floor(SCALE * math.sqrt(m_min / v))))
+        for k, v in totals.items()
+    }
+    return _sample_by_thresholds(
+        ds, thresholds, key_col=key_col, id_col=id_col, salt=salt, default_thr=0
+    )

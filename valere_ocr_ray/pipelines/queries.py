@@ -5180,3 +5180,25 @@ def doc_bigram_logprob(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def doc_temperature_mix(sf_dir: str):
+    """Temperature-flattened (alpha = 0.5) domain mixture over the
+    documents corpus (``ops/mixing.mix_by_temperature``): source with
+    token mass M samples at rate ``sqrt(M_min / M)`` via the
+    md5_number_lower hash threshold — smallest source kept whole,
+    expected contribution ~ sqrt(M * M_min) — so the SQL oracle
+    reproduces membership bit-for-bit (one IEEE division + sqrt, no
+    cross-domain float sum).  Tokens are the ``\\S+`` count shared
+    with ``doc_token_counts``."""
+    from valere_ocr_ray.ops.mixing import mix_by_temperature
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    ).map_batches(
+        lambda df: df.assign(
+            n_tokens=df["text"].str.count(r"\S+").astype("int64")
+        )[["doc_id", "source", "n_tokens"]],
+        batch_format="pandas",
+    )
+    return mix_by_temperature(ds, salt="temp").sort("doc_id")

@@ -279,6 +279,11 @@ def bpe_token_counts(
         batch_format="pandas",
         # callable-class UDF => actor pool; the merge table is resolved
         # once per actor in __init__, the word→subwords cache amortizes
-        # across every batch the actor sees
-        concurrency=concurrency or 4,
+        # across every batch the actor sees.  The pool AUTOSCALES from
+        # one actor: a fixed pool of N pins N CPUs for the dataset's
+        # whole lifetime, and N == cluster CPUs starves the upstream
+        # read tasks — a livelock (reproduced on the 4-CPU test
+        # cluster).  (1, N) lets Ray grow the pool only while CPUs are
+        # actually free.
+        concurrency=(1, concurrency or 4),
     )

@@ -235,6 +235,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature-flattened (alpha=0.5) domain mixture, anchored
         # at the smallest source (SQL-oracled bit-for-bit)
         "doc_temperature_mix": q.doc_temperature_mix,
+        # Gopher/MassiveWeb quality-rule battery (Rae et al. 2021 App. A;
+        # planted stop-word/symbol/bullet structure, SQL-oracled)
+        "doc_gopher_filters": q.doc_gopher_filters,
+        # UniMax water-filling budget mixture (Chung et al. 2023) —
+        # integer allocation, SQL-oracled via a recursive CTE
+        "doc_unimax_mix": q.doc_unimax_mix,
     }
 
 
@@ -1626,6 +1632,97 @@ def oracle_sql() -> dict[str, str]:
             "JOIN thr r ON k.source = r.source "
             "WHERE md5_number_lower('temp:' || CAST(k.doc_id AS VARCHAR)) "
             "% 1000000 < r.t"
+        ),
+        "doc_unimax_mix": (
+            # mix_unimax verbatim: budget = total // 2, epoch cap 1
+            # (cap_d = M_d), domains water-filled in ascending
+            # (cap, source) order with alloc = min(cap, remaining // k)
+            # — the recursive CTE mirrors the engine's integer loop
+            # step for step; rate = min(1e6, alloc*1e6 // M) millionths,
+            # membership the family's md5 threshold; tokens = \S+ count
+            r"WITH RECURSIVE tok AS (SELECT doc_id, source, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS m "
+            "FROM tok GROUP BY source), "
+            "b AS (SELECT CAST(sum(CASE WHEN m > 0 THEN m ELSE 0 END) // 2 "
+            "AS BIGINT) AS budget, CAST(count(*) AS BIGINT) AS n FROM tot), "
+            "t AS (SELECT source, m, greatest(m, 0) AS cap, "
+            "CAST(row_number() OVER (ORDER BY greatest(m, 0), source) "
+            "AS BIGINT) AS rn FROM tot), "
+            "rec AS (SELECT CAST(0 AS BIGINT) AS rn, b.budget AS remaining, "
+            "b.n AS k, CAST(NULL AS VARCHAR) AS source, "
+            "CAST(0 AS BIGINT) AS alloc, CAST(0 AS BIGINT) AS m FROM b "
+            "UNION ALL "
+            "SELECT t.rn, rec.remaining - least(t.cap, rec.remaining // rec.k), "
+            "rec.k - 1, t.source, least(t.cap, rec.remaining // rec.k), t.m "
+            "FROM rec JOIN t ON t.rn = rec.rn + 1), "
+            "thr AS (SELECT source, CASE WHEN m <= 0 THEN 0 ELSE "
+            "least(1000000, alloc * 1000000 // m) END AS t FROM rec "
+            "WHERE rn > 0) "
+            "SELECT k.doc_id, k.source, k.n_tokens FROM tok k "
+            "JOIN thr r ON k.source = r.source "
+            "WHERE md5_number_lower('unimax:' || CAST(k.doc_id AS VARCHAR)) "
+            "% 1000000 < r.t"
+        ),
+        "doc_gopher_filters": (
+            # Gopher App. A battery over the _plant_gopher-augmented
+            # text (three id-keyed appends, mirrored verbatim); every
+            # ratio is floor-divided per-mil on BIGINTs, the regex set
+            # (\S+ words, \S*[A-Za-z]\S* alpha words, \b stop words,
+            # non-overlapping '...') is identical on both engines, and
+            # the bullet trim char set matches python str.strip()
+            "WITH aug AS (SELECT doc_id, text "
+            "|| CASE WHEN doc_id % 9 = 3 THEN chr(10) || "
+            "'the model be to of and that we have with data.' ELSE '' END "
+            "|| CASE WHEN doc_id % 7 = 2 THEN chr(10) || "
+            "'### section ... more ... #' ELSE '' END "
+            "|| CASE WHEN doc_id % 13 = 5 THEN chr(10) || '- first point' "
+            "|| chr(10) || '- second point…' || chr(10) || '* third' "
+            "ELSE '' END AS text FROM documents), "
+            r"w AS (SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words, "
+            r"CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) "
+            "AS n_chars, "
+            r"CAST(len(regexp_extract_all(text, '#')) "
+            r"+ len(regexp_extract_all(text, '\.\.\.')) "
+            "+ len(regexp_extract_all(text, '…')) AS BIGINT) AS n_sym, "
+            r"CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) "
+            "AS n_alpha, "
+            "CAST("
+            + " + ".join(
+                rf"(CASE WHEN regexp_matches(lower(text), '\b{w}\b') "
+                "THEN 1 ELSE 0 END)"
+                for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+            )
+            + " AS BIGINT) AS n_stop FROM aug), "
+            "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln "
+            "FROM aug), "
+            "lagg AS (SELECT doc_id, count(*) AS n_lines, "
+            "sum(CASE WHEN regexp_matches(trim(ln, ' ' || chr(9) || chr(13) "
+            "|| chr(12) || chr(11)), '^[-*•]') THEN 1 ELSE 0 END) AS n_bullet, "
+            r"sum(CASE WHEN regexp_matches(ln, '(\.\.\.|…)\s*$') THEN 1 "
+            "ELSE 0 END) AS n_ell FROM l GROUP BY doc_id) "
+            "SELECT w.doc_id, w.n_words, "
+            "CAST(w.n_chars * 1000 // greatest(w.n_words, 1) AS BIGINT) "
+            "AS mean_wordlen_per_mil, "
+            "CAST(w.n_sym * 1000 // greatest(w.n_words, 1) AS BIGINT) "
+            "AS symbols_per_mil, "
+            "CAST(w.n_alpha * 1000 // greatest(w.n_words, 1) AS BIGINT) "
+            "AS alpha_per_mil, w.n_stop, "
+            "CAST(lagg.n_bullet * 1000 // greatest(lagg.n_lines, 1) AS BIGINT) "
+            "AS bullet_per_mil, "
+            "CAST(lagg.n_ell * 1000 // greatest(lagg.n_lines, 1) AS BIGINT) "
+            "AS ellipsis_per_mil, "
+            "CAST(w.n_words BETWEEN 50 AND 100000 "
+            "AND w.n_chars * 1000 // greatest(w.n_words, 1) "
+            "BETWEEN 3000 AND 10000 "
+            "AND w.n_sym * 1000 // greatest(w.n_words, 1) < 100 "
+            "AND lagg.n_bullet * 1000 // greatest(lagg.n_lines, 1) < 900 "
+            "AND lagg.n_ell * 1000 // greatest(lagg.n_lines, 1) < 300 "
+            "AND w.n_alpha * 1000 // greatest(w.n_words, 1) > 800 "
+            "AND w.n_stop >= 2 AS BIGINT) AS keep "
+            "FROM w JOIN lagg USING (doc_id)"
         ),
         "doc_domain_mix_audit": (
             # realized-rate governance report for doc_domain_mix: same

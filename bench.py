@@ -113,6 +113,8 @@ def _run_benchmarks() -> dict:
         timed("emb_semdedup", q.emb_semdedup)
         timed("doc_token_budget_mix", q.doc_token_budget_mix)
         timed("doc_holdout_split", q.doc_holdout_split)
+        timed("doc_gopher_filters", q.doc_gopher_filters)
+        timed("doc_unimax_mix", q.doc_unimax_mix)
 
     ray.shutdown()
     return {

@@ -2209,6 +2209,39 @@ def test_mix_by_temperature_anchor_and_rates(ray_session):
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
 
 
+def test_mix_unimax_water_filling(ray_session):
+    """UniMax allocation: small domains under the uniform share are
+    kept whole (epoch cap 1), the surplus flows to the big domain,
+    and the integer loop matches a hand-computed water-fill."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.mixing import SCALE, mix_unimax
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2600, dtype=np.int64),
+            "source": ["big"] * 2000 + ["mid"] * 400 + ["tiny"] * 200,
+            "n_tokens": np.r_[
+                np.full(2000, 100, dtype=np.int64),  # mass 200k
+                np.full(400, 50, dtype=np.int64),  # mass 20k
+                np.full(200, 10, dtype=np.int64),  # mass 2k
+            ],
+        }
+    )
+    # budget = 222000 // 2 = 111000, ascending caps (2k, 20k, 200k):
+    #   tiny: min(2000, 111000//3=37000) = 2000   -> rate 1.0
+    #   mid:  min(20000, 109000//2=54500) = 20000 -> rate 1.0
+    #   big:  min(200000, 89000//1) = 89000       -> 89000*1e6//200000
+    out = mix_unimax(rd.from_pandas(df), budget_denom=2).to_pandas()
+    assert len(out[out["source"] == "tiny"]) == 200
+    assert len(out[out["source"] == "mid"]) == 400
+    big = out[out["source"] == "big"]
+    rate = (89_000 * SCALE // 200_000) / SCALE  # 0.445
+    assert abs(len(big) - 2000 * rate) < 70
+    out2 = mix_unimax(rd.from_pandas(df), budget_denom=2).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
 def test_embedding_semdedup_partition_invariant(ray_session):
     """Survivors are a pure function of the corpus — any input
     partitioning produces the same set (the bucket exchange owns

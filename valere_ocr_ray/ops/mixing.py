@@ -200,3 +200,60 @@ def mix_by_temperature(
     return _sample_by_thresholds(
         ds, thresholds, key_col=key_col, id_col=id_col, salt=salt, default_thr=0
     )
+
+
+def mix_unimax(
+    ds: ray.data.Dataset,
+    *,
+    budget_tokens: int | None = None,
+    budget_denom: int = 2,
+    epoch_cap: int = 1,
+    tokens_col: str = "n_tokens",
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "unimax",
+    pin: bool = False,
+) -> ray.data.Dataset:
+    """UniMax mixing (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total token budget as UNIFORMLY as
+    possible across domains, each capped at ``epoch_cap`` epochs of its
+    own mass — the water-filling allocation.  Domains are processed in
+    ascending cap order; each takes ``min(cap_d, remaining // k)``
+    where ``k`` counts domains not yet allocated, so small domains are
+    kept whole (up to the cap) and the surplus flows to large ones.
+
+    The whole allocation is INTEGER arithmetic (token counts, floor
+    divisions, ties broken by ``(cap, key)``) so a SQL oracle
+    reproduces it bit-for-bit with a recursive CTE — no float
+    water-level whose rounding could differ across engines.  If
+    ``budget_tokens`` is None the budget is ``total // budget_denom``
+    (corpus-relative, so the same query is meaningful at any sf).
+    Per-domain sampling rate is ``min(1, alloc_d / M_d)`` in exact
+    integer millionths; membership is the stateless md5 threshold
+    shared by the whole mixing family (reproducible across runs /
+    partitionings / retries, monotone under budget raises).  The
+    driver holds one row per domain — at 100 TB that is the domain
+    count, not the corpus."""
+    if pin:
+        ds = ds.materialize()
+    totals = {
+        r[key_col]: int(r[f"sum({tokens_col})"])
+        for r in ds.groupby(key_col).sum(tokens_col).take_all()
+    }
+    total = sum(v for v in totals.values() if v > 0)
+    budget = int(budget_tokens) if budget_tokens is not None else total // budget_denom
+    items = sorted(
+        ((max(0, epoch_cap * v), k, v) for k, v in totals.items()),
+        key=lambda cv: (cv[0], cv[1]),
+    )
+    remaining, k = budget, len(items)
+    thresholds: dict = {}
+    for cap, key, mass in items:
+        alloc = min(cap, remaining // k)
+        remaining -= alloc
+        k -= 1
+        thresholds[key] = 0 if mass <= 0 else min(SCALE, alloc * SCALE // mass)
+    return _sample_by_thresholds(
+        ds, thresholds, key_col=key_col, id_col=id_col, salt=salt, default_thr=0
+    )

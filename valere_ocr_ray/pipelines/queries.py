@@ -5202,3 +5202,143 @@ def doc_temperature_mix(sf_dir: str):
         batch_format="pandas",
     )
     return mix_by_temperature(ds, salt="temp").sort("doc_id")
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _plant_gopher(df: pd.DataFrame) -> pd.Series:
+    """Deterministic Gopher-signal plants — the driver corpus is
+    lowercase token soup whose only stop word is 'the', so every
+    Gopher rule except word count would be vacuous (the F10 lesson,
+    VERDICT r2 item 2).  Three independent id-keyed appends exercise
+    the stop-word, symbol-ratio and bullet/ellipsis-line rules; each
+    is mirrored verbatim in the SQL oracle and docs can carry any
+    subset (the moduli are coprime-ish so combinations occur)."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    text = df["text"].astype(str)
+    idx = df.index
+    text = text + pd.Series(
+        "\nthe model be to of and that we have with data.", index=idx
+    ).where(pd.Series(ids % 9 == 3, index=idx), "")
+    text = text + pd.Series(
+        "\n### section ... more ... #", index=idx
+    ).where(pd.Series(ids % 7 == 2, index=idx), "")
+    text = text + pd.Series(
+        "\n- first point\n- second point…\n* third", index=idx
+    ).where(pd.Series(ids % 13 == 5, index=idx), "")
+    return text
+
+
+def doc_gopher_filters(sf_dir: str):
+    """Gopher quality-rule battery (Rae et al. 2021, Appendix A —
+    the MassiveWeb filters, the standard companion to ``doc_c4_filters``):
+    word-count bounds [50, 100000], mean word length in [3, 10] chars,
+    '#'/ellipsis symbol-to-word ratio < 0.1, bullet-start lines < 90%,
+    ellipsis-end lines < 30%, words-with-an-alphabetic-char > 80%, and
+    >= 2 of the 8 canonical stop words — plus the composed ``keep``
+    verdict.  All ratios are integer-scaled per-mil (floor division on
+    both sides) so the value hash is float-free; one vectorized
+    map_batches pass, no shuffle, O(doc) per doc at any corpus size."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        text = _plant_gopher(df)
+        low = text.str.lower()
+        n_words = text.str.count(r"\S+").astype("int64")
+        nw1 = n_words.clip(lower=1)
+        n_chars = (
+            text.str.replace(r"\s+", "", regex=True).str.len().astype("int64")
+        )
+        n_sym = (
+            text.str.count("#")
+            + text.str.count(r"\.\.\.")
+            + text.str.count("…")
+        ).astype("int64")
+        n_alpha = text.str.count(r"\S*[A-Za-z]\S*").astype("int64")
+        n_stop = sum(
+            low.str.contains(rf"\b{w}\b", regex=True).astype("int64")
+            for w in _GOPHER_STOPS
+        )
+        ex = df.assign(_ln=text.str.split("\n"))[["doc_id", "_ln"]].explode(
+            "_ln"
+        )
+        ln = ex["_ln"].astype(str)
+        per_line = pd.DataFrame(
+            {
+                "doc_id": ex["doc_id"].to_numpy(dtype=np.int64),
+                "bullet": ln.str.strip().str.match(r"[-*•]").to_numpy(),
+                "ell": ln.str.contains(
+                    r"(?:\.\.\.|…)\s*$", regex=True
+                ).to_numpy(),
+            }
+        )
+        agg = per_line.groupby("doc_id", as_index=False).agg(
+            n_lines=("bullet", "size"),
+            n_bullet=("bullet", "sum"),
+            n_ell=("ell", "sum"),
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_words": n_words.to_numpy(),
+                "mean_wordlen_per_mil": (n_chars * 1000 // nw1).to_numpy(),
+                "symbols_per_mil": (n_sym * 1000 // nw1).to_numpy(),
+                "alpha_per_mil": (n_alpha * 1000 // nw1).to_numpy(),
+                "n_stop": n_stop.to_numpy(),
+            }
+        ).merge(agg, on="doc_id", how="left")
+        n_lines = out["n_lines"].fillna(0).astype("int64").clip(lower=1)
+        out["bullet_per_mil"] = (
+            out["n_bullet"].fillna(0).astype("int64") * 1000 // n_lines
+        )
+        out["ellipsis_per_mil"] = (
+            out["n_ell"].fillna(0).astype("int64") * 1000 // n_lines
+        )
+        out["keep"] = (
+            (out["n_words"] >= 50)
+            & (out["n_words"] <= 100_000)
+            & (out["mean_wordlen_per_mil"] >= 3000)
+            & (out["mean_wordlen_per_mil"] <= 10_000)
+            & (out["symbols_per_mil"] < 100)
+            & (out["bullet_per_mil"] < 900)
+            & (out["ellipsis_per_mil"] < 300)
+            & (out["alpha_per_mil"] > 800)
+            & (out["n_stop"] >= 2)
+        ).astype("int64")
+        return out[
+            [
+                "doc_id",
+                "n_words",
+                "mean_wordlen_per_mil",
+                "symbols_per_mil",
+                "alpha_per_mil",
+                "n_stop",
+                "bullet_per_mil",
+                "ellipsis_per_mil",
+                "keep",
+            ]
+        ]
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+def doc_unimax_mix(sf_dir: str):
+    """UniMax water-filling mixture over the documents corpus
+    (``ops/mixing.mix_unimax``): budget = half the corpus tokens,
+    epoch cap 1 — small sources kept whole, surplus flowing uniformly
+    to the large ones, every step integer arithmetic so the SQL
+    oracle's recursive CTE reproduces the allocation (and therefore
+    membership) bit-for-bit.  Tokens are the ``\\S+`` count shared
+    with the rest of the mixing family."""
+    from valere_ocr_ray.ops.mixing import mix_unimax
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    ).map_batches(
+        lambda df: df.assign(
+            n_tokens=df["text"].str.count(r"\S+").astype("int64")
+        )[["doc_id", "source", "n_tokens"]],
+        batch_format="pandas",
+    )
+    return mix_unimax(ds, budget_denom=2, salt="unimax").sort("doc_id")

@@ -84,12 +84,18 @@ def build_extraction_ds(
             extract_pages_batch, batch_format="pyarrow", batch_size=batch_size
         )
     else:
-        # actor pool: for stages with heavy per-actor state (OCR seam)
+        # actor pool: for stages with heavy per-actor state (OCR seam).
+        # An int becomes an AUTOSCALING (1, N) pool: a fixed pool of N
+        # pins N CPUs for the dataset's lifetime, and N == cluster CPUs
+        # starves the upstream read tasks (livelock — reproduced with
+        # the BPE encode pool on a 4-cpu cluster).
         ds = ds.map_batches(
             PageExtractor,
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=(
+                (1, concurrency) if isinstance(concurrency, int) else concurrency
+            ),
             num_cpus=1,
         )
     ds = ds.map_batches(extract_fields_batch, batch_format="pyarrow")

@@ -2209,6 +2209,38 @@ def test_mix_by_temperature_anchor_and_rates(ray_session):
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
 
 
+def test_gopher_keep_matches_query_verdict(ray_session):
+    """ops/textstats.gopher_keep (the curate --gopher gate) and the
+    doc_gopher_filters query's keep column are the same rule: compare
+    on the planted sf0.01 corpus where every sub-rule fires."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.textstats import gopher_keep
+    from valere_ocr_ray.pipelines.queries import (
+        _plant_gopher,
+        doc_gopher_filters,
+    )
+
+    docs = (
+        rd.read_parquet(
+            "/root/testdata/sf0.01/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    mask = gopher_keep(_plant_gopher(docs))
+    want = (
+        doc_gopher_filters("/root/testdata/sf0.01")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (want["keep"].to_numpy() == mask.astype(np.int64)).all()
+    assert mask.any() and not mask.all()  # non-vacuous both ways
+
+
 def test_mix_unimax_water_filling(ray_session):
     """UniMax allocation: small domains under the uniform share are
     kept whole (epoch cap 1), the surplus flows to the big domain,

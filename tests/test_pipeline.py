@@ -311,6 +311,41 @@ def test_build_training_shards_end_to_end(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_build_training_shards_gopher_gate(ray_session, tmp_path):
+    """--gopher composes into the quality gate: the output is a subset
+    of the ungated run (monotone filter), deterministic, and the audit
+    stays consistent whether or not anything survives."""
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    synth_pages(pages, 400)
+
+    base = build_training_shards(
+        pages, str(tmp_path / "plain"), budget=128, n_shards=4
+    )
+    got = build_training_shards(
+        pages, str(tmp_path / "gopher"), budget=128, n_shards=4,
+        gopher_rules=True,
+    )
+    assert got["n_docs_out"] <= base["n_docs_out"]
+    if got["n_docs_out"]:
+        sub = set(
+            rd.read_parquet(str(tmp_path / "gopher")).to_pandas()["url_hash"]
+        )
+        full = set(
+            rd.read_parquet(str(tmp_path / "plain")).to_pandas()["url_hash"]
+        )
+        assert sub <= full
+    again = build_training_shards(
+        pages, str(tmp_path / "gopher2"), budget=128, n_shards=4,
+        gopher_rules=True,
+    )
+    assert got == again
+
+
 def test_build_training_shards_all_filtered(ray_session, tmp_path):
     """Aggressive thresholds that drop every doc yield a zeroed audit,
     not a crash."""

@@ -97,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
         help="add C4 §2.2 page markers to the quality gate",
     )
     cu.add_argument(
+        "--gopher", action="store_true",
+        help="add the Gopher/MassiveWeb App.-A keep verdict to the quality gate",
+    )
+    cu.add_argument(
         "--boilerplate-min-docs", type=int, default=None,
         help="strip lines appearing in >= N docs before dedup (linededup)",
     )
@@ -194,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
                 budget=a.budget,
                 n_shards=a.shards,
                 c4_rules=a.c4,
+                gopher_rules=a.gopher,
                 boilerplate_min_docs=a.boilerplate_min_docs,
                 mix_budget_tokens=a.mix_budget_tokens,
                 pack_mode=a.pack_mode,

@@ -373,3 +373,63 @@ def tfidf_top_terms(
         return top[["doc_id", "term", "score"]].reset_index(drop=True)
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+_GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_keep(text: pd.Series) -> np.ndarray:
+    """Gopher/MassiveWeb composed keep verdict (Rae et al. 2021,
+    Appendix A) as a bool mask — the pure rule shared by the curate
+    pipeline's ``--gopher`` gate and the ``doc_gopher_filters`` query
+    (parity pinned by test): word count in [50, 100000], mean word
+    length in [3, 10] chars, '#'/ellipsis symbol-to-word ratio < 0.1,
+    bullet-start lines < 90%, ellipsis-end lines < 30%, words with an
+    alphabetic char > 80%, >= 2 of the 8 canonical stop words.  All
+    ratios in integer per-mil (floor division) so the verdict is
+    float-free and engine-independent; one vectorized pass, O(doc)."""
+    text = text.astype(str)
+    low = text.str.lower()
+    n_words = text.str.count(r"\S+").astype("int64")
+    nw1 = n_words.clip(lower=1)
+    n_chars = text.str.replace(r"\s+", "", regex=True).str.len().astype("int64")
+    mean_len = n_chars * 1000 // nw1
+    n_sym = (
+        text.str.count("#") + text.str.count(r"\.\.\.") + text.str.count("…")
+    ).astype("int64")
+    n_alpha = text.str.count(r"\S*[A-Za-z]\S*").astype("int64")
+    n_stop = sum(
+        low.str.contains(rf"\b{w}\b", regex=True).astype("int64")
+        for w in _GOPHER_STOP_WORDS
+    )
+    idx = pd.RangeIndex(len(text))
+    ex = pd.DataFrame({"i": idx, "_ln": text.str.split("\n").to_numpy()}).explode(
+        "_ln"
+    )
+    ln = ex["_ln"].astype(str)
+    per_line = pd.DataFrame(
+        {
+            "i": ex["i"].to_numpy(dtype=np.int64),
+            "bullet": ln.str.strip().str.match(r"[-*•]").to_numpy(),
+            "ell": ln.str.contains(r"(?:\.\.\.|…)\s*$", regex=True).to_numpy(),
+        }
+    )
+    agg = (
+        per_line.groupby("i")
+        .agg(n_lines=("bullet", "size"), n_bullet=("bullet", "sum"), n_ell=("ell", "sum"))
+        .reindex(idx, fill_value=0)
+    )
+    n_lines = agg["n_lines"].astype("int64").clip(lower=1).to_numpy()
+    bullet_pm = agg["n_bullet"].astype("int64").to_numpy() * 1000 // n_lines
+    ell_pm = agg["n_ell"].astype("int64").to_numpy() * 1000 // n_lines
+    return (
+        (n_words.to_numpy() >= 50)
+        & (n_words.to_numpy() <= 100_000)
+        & (mean_len.to_numpy() >= 3000)
+        & (mean_len.to_numpy() <= 10_000)
+        & ((n_sym.to_numpy() * 1000 // nw1.to_numpy()) < 100)
+        & (bullet_pm < 900)
+        & (ell_pm < 300)
+        & ((n_alpha.to_numpy() * 1000 // nw1.to_numpy()) > 800)
+        & (n_stop.to_numpy() >= 2)
+    )

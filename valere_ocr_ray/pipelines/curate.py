@@ -54,6 +54,7 @@ def build_training_shards(
     min_alpha: int = 600,
     max_top2_per_mil: int = 200,
     c4_rules: bool = False,
+    gopher_rules: bool = False,
     boilerplate_min_docs: int | None = None,
     mix_budget_tokens: int | None = None,
     pack_mode: str = "chunk",
@@ -70,7 +71,10 @@ def build_training_shards(
     Optional stages (default OFF — the flagship contract is
     unchanged): ``c4_rules`` adds the C4 §2.2 page markers to the
     quality gate (lorem-ipsum / curly-brace / <3-sentence drops,
-    in-batch); ``boilerplate_min_docs`` inserts corpus-level
+    in-batch); ``gopher_rules`` adds the Gopher/MassiveWeb Appendix-A
+    composed keep verdict (``ops/textstats.gopher_keep`` — word-count
+    / word-length bounds, symbol and bullet/ellipsis-line ratios,
+    alpha-word fraction, stop-word floor) to the same in-batch gate; ``boilerplate_min_docs`` inserts corpus-level
     repeated-line removal (``ops/linededup``, RefinedWeb/CCNet
     boilerplate strip) between the quality gate and exact dedup —
     stripping nav/footer template lines BEFORE hashing makes
@@ -196,6 +200,10 @@ def build_training_shards(
                 & ~text.str.contains("{", regex=False)
                 & (text.str.count(r"[.!?]") >= 3)
             ).to_numpy()
+        if gopher_rules:
+            from valere_ocr_ray.ops.textstats import gopher_keep
+
+            keep &= gopher_keep(df["extracted_text"])
         return df[keep]
 
     clean = ok.map_batches(keep_quality, batch_format="pandas")

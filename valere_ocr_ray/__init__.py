@@ -53,5 +53,26 @@ def _mute_empty_block_size_noise() -> None:
 
     logging.getLogger("ray.data._internal.pandas_block").addFilter(_F())
 
+    class _G(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            # Ray 2.49's schema-dedup fast path hashes pyarrow schemas;
+            # schemas carrying dict-valued metadata (e.g. the pandas
+            # metadata blob parquet writers attach) are unhashable, so
+            # EVERY multi-block read logs "Failed to hash the schemas
+            # (for deduplication): unhashable type: 'dict'" and then
+            # unifies correctly anyway — the slow path is the designed
+            # fallback, nothing is lost.  Pure per-task noise.  (Covers
+            # the driver and every UDF-stage worker — those import this
+            # package; bare ReadParquet task workers don't, so a few
+            # read-side lines can still surface.)
+            m = record.getMessage()
+            return not (
+                "Failed to hash the schemas" in m and "unhashable type" in m
+            )
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_G())
+
 
 _mute_empty_block_size_noise()

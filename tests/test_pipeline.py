@@ -632,3 +632,49 @@ def test_build_training_shards_holdout(ray_session, pages_500, tmp_path):
     a = hold.sort_values("url_hash").reset_index(drop=True)
     b = hold2.sort_values("url_hash").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_corpus_report_consistency(ray_session):
+    """The datasheet report agrees with local ground truth and with the
+    oracled doc_quality_tiers query on the same corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from valere_ocr_ray.ops.textstats import gopher_keep, langid_batch
+    from valere_ocr_ray.pipelines.queries import doc_quality_tiers
+    from valere_ocr_ray.pipelines.report import corpus_report
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    docs = pd.read_parquet(src, columns=["text"])
+    text = docs["text"].astype(str)
+    rep = corpus_report(src)
+
+    assert rep["n_docs"] == len(docs)
+    assert rep["total_tokens"] == int(text.str.count(r"\S+").sum())
+    assert rep["total_chars"] == int(text.str.len().sum())
+    assert rep["n_distinct_texts"] == int(text.nunique())
+    assert rep["exact_dup_per_mil"] == (
+        (len(docs) - int(text.nunique())) * 1000 // len(docs)
+    )
+    lang = langid_batch(docs, "text")["lang_pred"]
+    assert rep["lang_counts"] == {
+        str(k): int(v) for k, v in lang.value_counts().sort_index().items()
+    }
+    assert (
+        rep["gopher_keep_per_mil"]
+        == int(gopher_keep(text).sum()) * 1000 // len(docs)
+    )
+    tiers = doc_quality_tiers("/root/testdata/sf0.01").to_pandas()
+    assert rep["tier_counts"] == {
+        int(r.tier): int(r.n_docs) for r in tiers.itertuples()
+    }
+    assert rep["tier_tokens"] == {
+        int(r.tier): int(r.toks) for r in tiers.itertuples()
+    }
+    lens = np.sort(text.str.len().to_numpy())
+    for q, key in [
+        (0.5, "len_chars_p50"),
+        (0.9, "len_chars_p90"),
+        (0.99, "len_chars_p99"),
+    ]:
+        assert rep[key] == int(lens[int(np.ceil(q * len(lens))) - 1])

@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
     jc.add_argument("--input", required=True)
     jc.add_argument("--out", required=True)
 
+    rp = sub.add_parser(
+        "report",
+        help="corpus datasheet: size/tokens, language mix, exact-dup "
+        "rate, quality-tier + Gopher/C4 keep rates, length percentiles",
+    )
+    rp.add_argument("--input", required=True, help="parquet file or dir")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--num-cpus", type=int, default=None)
+
     cu = sub.add_parser(
         "curate", help="full training-shard pipeline (extract → quality → "
         "dedup → segment rewrite → pack → sharded parquet)"
@@ -213,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
 
             outs = convert_warc_dir(a.input, a.out)
             print(json.dumps({"n_archives": len(outs), "out": a.out}))
+        elif a.cmd == "report":
+            from valere_ocr_ray.pipelines.report import corpus_report
+
+            s = corpus_report(a.input, text_col=a.text_col)
+            print(json.dumps(s, indent=2, sort_keys=True))
     finally:
         ray.shutdown()
     return 0

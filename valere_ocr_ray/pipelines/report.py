@@ -1,0 +1,171 @@
+"""Corpus datasheet report — the one-shot audit a data engineer runs
+before training on a corpus (the "datasheets for datasets" practice,
+Gebru et al. 2021, and what the reference's ad-hoc per-bucket count
+scripts approximate, e.g. ``IDD/finalcodes/InsuranceCard1.py:43-46``
+manual listing windows).
+
+Composes the engine's existing kernels into ONE summary dict:
+
+    size        n_docs, total_tokens (``\\S+``), total_chars
+    dedup       distinct-text count + exact-duplicate per-mil (the
+                ``doc_exact_dedup`` hash exchange, ints on the wire;
+                the report needs only the exchanged table's ROW COUNT,
+                so nothing corpus-sized ever reaches the driver)
+    language    per-language doc counts (``ops/textstats.langid_batch``)
+    quality     FineWeb-style tier counts + token mass per tier
+                (``doc_quality_tiers`` thresholds), Gopher keep rate
+                (``ops/textstats.gopher_keep``), C4 keep rate (the
+                curate ``--c4`` markers)
+    length      exact p50/p90/p99 of char length via the value-count
+                tree combine (one row per DISTINCT length crosses the
+                wire — bounded integer domain, never per-doc)
+
+Scale shape: one vectorized signal pass over the corpus, then three
+small exchanges (per-(lang,tier,gopher,c4) partial counts; distinct
+text hashes; distinct lengths).  Driver state = #langs × #tiers × 4 +
+#distinct-lengths rows — independent of corpus size except for the
+distinct-length table (bounded by max doc length).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from valere_ocr_ray.ops import textstats
+from valere_ocr_ray.ops.combine import tree_keyed_sum
+from valere_ocr_ray.ops.exchange import grouped_sum
+
+
+def _signals(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    text = df[text_col].astype(str)
+    qual = textstats.quality_batch(df[[text_col]], text_col)
+    a = qual["alpha_ratio"].to_numpy(np.int64)
+    s = qual["stop_per_ktok"].to_numpy(np.int64)
+    tier = np.where((a >= 825) & (s >= 40), 2, np.where(a >= 815, 1, 0))
+    low = text.str.lower()
+    c4 = (
+        ~low.str.contains("lorem ipsum", regex=False)
+        & ~text.str.contains("{", regex=False)
+        & (text.str.count(r"[.!?]") >= 3)
+    ).to_numpy()
+    return pd.DataFrame(
+        {
+            "lang": textstats.langid_batch(df[[text_col]], text_col)[
+                "lang_pred"
+            ].to_numpy(),
+            "tier": tier.astype(np.int64),
+            "gopher": textstats.gopher_keep(text).astype(np.int64),
+            "c4": c4.astype(np.int64),
+            "n_tokens": text.str.count(r"\S+").to_numpy(np.int64),
+            "n_chars": text.str.len().to_numpy(np.int64),
+        }
+    )
+
+
+def corpus_report(
+    path: str | list[str],
+    *,
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> dict:
+    """Audit the corpus at ``path`` (parquet file/dir) and return the
+    datasheet dict.  Deterministic: pure functions of the corpus, no
+    sampling."""
+    ds = ray.data.read_parquet(path, columns=[text_col])
+    sig = ds.map_batches(
+        lambda df: _signals(df, text_col), batch_format="pandas"
+    )
+
+    # one partial-aggregation pass -> tiny (lang, tier, gopher, c4) table
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(n_docs=np.int64(1)).groupby(
+            ["lang", "tier", "gopher", "c4"], as_index=False
+        )
+        return g.agg(
+            n_docs=("n_docs", "sum"),
+            toks=("n_tokens", "sum"),
+            chars=("n_chars", "sum"),
+        )
+
+    cells = grouped_sum(
+        sig.map_batches(partial, batch_format="pandas"),
+        ["lang", "tier", "gopher", "c4"],
+        ["n_docs", "toks", "chars"],
+        num_partitions=num_partitions,
+    ).to_pandas()
+
+    n_docs = int(cells["n_docs"].sum())
+    total_tokens = int(cells["toks"].sum())
+    total_chars = int(cells["chars"].sum())
+    lang_counts = {
+        str(k): int(v)
+        for k, v in cells.groupby("lang")["n_docs"].sum().sort_index().items()
+    }
+    tier_counts = {
+        int(k): int(v)
+        for k, v in cells.groupby("tier")["n_docs"].sum().sort_index().items()
+    }
+    tier_tokens = {
+        int(k): int(v)
+        for k, v in cells.groupby("tier")["toks"].sum().sort_index().items()
+    }
+    kept_g = int(cells.loc[cells["gopher"] == 1, "n_docs"].sum())
+    kept_c4 = int(cells.loc[cells["c4"] == 1, "n_docs"].sum())
+
+    # exact-dup rate: distinct md5-derived 64-bit text hashes (ints on
+    # the wire, doc_exact_dedup's exchange); only count() the result
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        from valere_ocr_ray.ops.mixing import _hash64_str
+
+        return pd.DataFrame(
+            {
+                # uint64 -> int64 view: a bijection, fine as a group key
+                "h": _hash64_str(df[text_col].astype(str)).view(np.int64),
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    n_distinct = int(
+        grouped_sum(
+            ds.map_batches(hashes, batch_format="pandas"),
+            ["h"],
+            ["n"],
+            num_partitions=num_partitions,
+        ).count()
+    )
+
+    # exact length percentiles via the distinct-value count combine
+    def len_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    lens = tree_keyed_sum(
+        sig.map_batches(len_counts, batch_format="pandas"), ["n_chars"], ["n"]
+    ).to_pandas()
+    lens = lens.sort_values("n_chars").reset_index(drop=True)
+    cum = lens["n"].cumsum()
+
+    def pct(q: float) -> int:
+        if not n_docs:
+            return 0
+        target = int(np.ceil(q * n_docs))
+        return int(lens.loc[(cum >= target).idxmax(), "n_chars"])
+
+    denom = max(n_docs, 1)
+    return {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "total_chars": total_chars,
+        "n_distinct_texts": n_distinct,
+        "exact_dup_per_mil": (n_docs - n_distinct) * 1000 // denom,
+        "lang_counts": lang_counts,
+        "tier_counts": tier_counts,
+        "tier_tokens": tier_tokens,
+        "gopher_keep_per_mil": kept_g * 1000 // denom,
+        "c4_keep_per_mil": kept_c4 * 1000 // denom,
+        "len_chars_p50": pct(0.5),
+        "len_chars_p90": pct(0.9),
+        "len_chars_p99": pct(0.99),
+    }

@@ -20,9 +20,11 @@ Composes the engine's existing kernels into ONE summary dict:
                 tree combine (one row per DISTINCT length crosses the
                 wire — bounded integer domain, never per-doc)
 
-Scale shape: one vectorized signal pass over the corpus, then three
-small exchanges (per-(lang,tier,gopher,c4) partial counts; distinct
-text hashes; distinct lengths).  Driver state = #langs × #tiers × 4 +
+Scale shape: ONE vectorized signal pass over the corpus (the corpus is
+read exactly once; the per-doc signal table — ~60 B/doc — is pinned
+and feeds all three aggregations), then three small exchanges
+(per-(lang,tier,gopher,c4) partial counts; distinct text hashes;
+distinct lengths).  Driver state = #langs × #tiers × 4 +
 #distinct-lengths rows — independent of corpus size except for the
 distinct-length table (bounded by max doc length).
 """
@@ -39,6 +41,8 @@ from valere_ocr_ray.ops.exchange import grouped_sum
 
 
 def _signals(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    from valere_ocr_ray.ops.mixing import _hash64_str
+
     text = df[text_col].astype(str)
     qual = textstats.quality_batch(df[[text_col]], text_col)
     a = qual["alpha_ratio"].to_numpy(np.int64)
@@ -60,6 +64,8 @@ def _signals(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
             "c4": c4.astype(np.int64),
             "n_tokens": text.str.count(r"\S+").to_numpy(np.int64),
             "n_chars": text.str.len().to_numpy(np.int64),
+            # uint64 -> int64 view: a bijection, fine as a group key
+            "h": _hash64_str(text).view(np.int64),
         }
     )
 
@@ -74,9 +80,15 @@ def corpus_report(
     datasheet dict.  Deterministic: pure functions of the corpus, no
     sampling."""
     ds = ray.data.read_parquet(path, columns=[text_col])
+    # ONE pass over the corpus computes every per-doc signal (the regex
+    # battery is the expensive part); the result is pinned because all
+    # three aggregations below consume it.  Pinned state is 6 ints + a
+    # 2-3 char lang code per doc (~60 B/doc — <1% of corpus bytes), so
+    # materializing beats re-reading + re-scoring the corpus per
+    # aggregation, and the object store spills it if it must.
     sig = ds.map_batches(
         lambda df: _signals(df, text_col), batch_format="pandas"
-    )
+    ).materialize()
 
     # one partial-aggregation pass -> tiny (lang, tier, gopher, c4) table
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -116,20 +128,12 @@ def corpus_report(
 
     # exact-dup rate: distinct md5-derived 64-bit text hashes (ints on
     # the wire, doc_exact_dedup's exchange); only count() the result
-    def hashes(df: pd.DataFrame) -> pd.DataFrame:
-        from valere_ocr_ray.ops.mixing import _hash64_str
-
-        return pd.DataFrame(
-            {
-                # uint64 -> int64 view: a bijection, fine as a group key
-                "h": _hash64_str(df[text_col].astype(str)).view(np.int64),
-                "n": np.ones(len(df), dtype=np.int64),
-            }
-        )
-
     n_distinct = int(
         grouped_sum(
-            ds.map_batches(hashes, batch_format="pandas"),
+            sig.map_batches(
+                lambda df: df[["h"]].assign(n=np.int64(1)),
+                batch_format="pandas",
+            ),
             ["h"],
             ["n"],
             num_partitions=num_partitions,

@@ -28,7 +28,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_image_format(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'png' | 'jpeg' | None (undecodable here)."""
+    """'bmp' | 'ppm' | 'png' | 'jpeg' | 'tiff' | None (undecodable here)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
@@ -37,6 +37,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -306,7 +308,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from valere_ocr_ray.extract.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise ImageFormatError("undecodable format (no BMP/PPM/PNG/JPEG magic)")
+    if fmt == "tiff":
+        # lazy import: tiff.py imports ImageFormatError from this module
+        from valere_ocr_ray.extract.tiff import decode_tiff
+
+        return decode_tiff(payload)
+    raise ImageFormatError("undecodable format (no BMP/PPM/PNG/JPEG/TIFF magic)")
 
 
 def image_feature(pixels: np.ndarray, dim: int = 32) -> np.ndarray:

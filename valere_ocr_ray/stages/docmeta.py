@@ -54,7 +54,13 @@ def _sniff_kinds(html: pa.BinaryArray) -> pa.Array:
         pc.or_(pc.equal(head1, b"<"), pc.equal(head1, b"\xef")), False
     )
     is_image = _prefix_is(4, b"\x89PNG")
-    for n, lit in ((3, b"\xff\xd8\xff"), (2, b"BM"), (2, b"P6")):
+    for n, lit in (
+        (3, b"\xff\xd8\xff"),
+        (2, b"BM"),
+        (2, b"P6"),
+        (4, b"II*\x00"),
+        (4, b"MM\x00*"),
+    ):
         is_image = pc.or_(is_image, _prefix_is(n, lit))
 
     kind = pa.array([KIND_UNKNOWN] * len(html), pa.string())

@@ -163,7 +163,14 @@ def test_pdf_rows_extracted(extracted_out):
     pdfs = df[df["doc_kind"] == "pdf"]
     assert len(pdfs) == 5  # i%100==94 of 500
     assert (pdfs["status"] == "ok").all()
-    assert pdfs["extracted_text"].str.contains("Signed by customer").all()
+    # case-insensitive: i=394 is the SCANNED (image-only) pdf — its
+    # text comes back from the glyph-OCR kernel uppercased
+    assert (
+        pdfs["extracted_text"].str.lower().str.contains("signed by customer").all()
+    )
+    scanned = pdfs[pdfs["url"].str.contains("00000394")]
+    assert len(scanned) == 1
+    assert scanned["extracted_text"].str.startswith("RENTAL AGREEMENT").all()
     for fj in pdfs["fields_json"]:
         assert json.loads(fj)["Signature Present"] == "Yes"
 

@@ -38,13 +38,27 @@ def oracle_row(i: int) -> dict:
     elif len(html) > MAX_DOC_BYTES:
         status, text = "skipped_too_large", ""
     elif html[:5] == b"%PDF-":
-        status, text = "ok", extract_pdf_text(html)
+        text = extract_pdf_text(html)
+        if not text:
+            # scanned (image-only) PDF: the golden expectation is the
+            # PRINTED agreement text (canonicalized) — the XObject
+            # plumbing and OCR kernel under test never run here, so a
+            # bug in either CANNOT leak into the goldens
+            from valere_ocr_ray.extract.glyph_font import canonical_text
+            from valere_ocr_ray.sources.synth import (
+                _agreement_pdf_lines,
+                _Rand,
+            )
+
+            text = canonical_text(_agreement_pdf_lines(_Rand(i)))
+        status = "ok"
     elif html[:1] in (b"<", b"\xef"):
         status, text = "ok", extract_main_text(html)
     elif (
         html[:2] in (b"BM", b"P6")
         or html[:8] == b"\x89PNG\r\n\x1a\n"
         or html[:3] == b"\xff\xd8\xff"
+        or html[:4] in (b"II*\x00", b"MM\x00*")
     ):
         # scanned raster card: the golden expectation is the PRINTED
         # text (canonicalized) — the OCR kernel under test never runs

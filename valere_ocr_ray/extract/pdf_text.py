@@ -42,6 +42,7 @@ _FLATE_IN_FILTER_RE = re.compile(
 # direct /Length only — '/Length 5 0 R' is an indirect reference
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s*\d+\s*R)")
 _ENDSTREAM_RE = re.compile(rb"\s*endstream")
+_IMAGE_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
 
 
 def _dict_before(data: bytes, pos: int) -> tuple[int, int] | None:
@@ -71,16 +72,17 @@ def _dict_before(data: bytes, pos: int) -> tuple[int, int] | None:
     return None
 
 
-def _find_flate_spans(data: bytes) -> list[tuple[int, int]]:
-    """(body_start, body_end) spans of FlateDecode stream bodies."""
-    spans: list[tuple[int, int]] = []
+def iter_streams(data: bytes) -> list[tuple[bytes, int, int]]:
+    """Every well-formed ``<<…>> stream … endstream`` in the document →
+    ``(dict_bytes, body_start, body_end)``, body end resolved via
+    /Length when present (compressed bodies can coincidentally contain
+    the ``endstream`` byte sequence) else the literal search."""
+    out: list[tuple[bytes, int, int]] = []
     for m in _STREAM_KW_RE.finditer(data):
         d = _dict_before(data, m.start())
         if d is None:
             continue
         dct = data[d[0] : d[1]]
-        if not _FLATE_IN_FILTER_RE.search(dct):
-            continue
         start = m.end()
         end = -1
         lm = _LENGTH_RE.search(dct)
@@ -93,8 +95,19 @@ def _find_flate_spans(data: bytes) -> list[tuple[int, int]]:
             if es == -1:
                 continue
             end = es
-        spans.append((start, end))
-    return spans
+        out.append((dct, start, end))
+    return out
+
+
+def _find_flate_spans(data: bytes) -> list[tuple[int, int]]:
+    """(body_start, body_end) spans of FlateDecode NON-IMAGE stream
+    bodies (image XObjects are pixels, not content-stream text — they
+    go through ``pdf_images.extract_pdf_images`` instead)."""
+    return [
+        (s, e)
+        for dct, s, e in iter_streams(data)
+        if _FLATE_IN_FILTER_RE.search(dct) and not _IMAGE_SUBTYPE_RE.search(dct)
+    ]
 
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _SHOW_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\[\]\\]|\\.)*\]\s*TJ", re.DOTALL)
@@ -137,11 +150,17 @@ def extract_pdf_text(pdf_bytes: bytes) -> str:
     content first, then Flate streams in document order."""
     lines: list[str] = []
     flate = _find_flate_spans(pdf_bytes)
-    if flate:
-        # blank compressed bodies out of the plain scan: random deflate
-        # bytes can coincidentally match BT…ET and yield junk lines
+    # image XObject bodies are pixel data — blank them out of the plain
+    # scan (raw samples / JPEG entropy bytes can coincidentally match
+    # BT…ET and yield junk lines); same reason flate bodies are blanked
+    image_spans = [
+        (s, e)
+        for dct, s, e in iter_streams(pdf_bytes)
+        if _IMAGE_SUBTYPE_RE.search(dct)
+    ]
+    if flate or image_spans:
         plain = bytearray(pdf_bytes)
-        for s, e in flate:
+        for s, e in flate + image_spans:
             plain[s:e] = b" " * (e - s)
         _collect_text(bytes(plain), lines)
         for s, e in flate:

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 5  # v5: scanned cards rotate BMP/PPM/PNG/JPEG containers
+CORPUS_VERSION = 6  # v6: TIFF cards + scanned (image-only) PDFs in the PDF slot
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -348,13 +348,22 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
     )
     from valere_ocr_ray.extract.jpeg import encode_jpeg
 
+    from valere_ocr_ray.extract.tiff import encode_tiff
+
     img = render_text_image(_scanned_card_lines(r))
     # i % 100 == 95 is always odd — rotate container by the hundreds so
-    # every decodable raster format (BMP/PPM/PNG/JPEG) appears in the
-    # corpus.  JPEG is lossy, but at quality 90 the glyph binarization
-    # is pixel-exact (pinned by test_glyph_ocr), so the golden text
-    # contract holds across all four containers.
-    enc = (encode_bmp, encode_ppm, encode_png, encode_jpeg)[(i // 100) % 4]
+    # every decodable raster format (BMP/PPM/PNG/JPEG/TIFF) appears in
+    # the corpus.  JPEG is lossy, but at quality 90 the glyph
+    # binarization is pixel-exact (pinned by test_glyph_ocr), so the
+    # golden text contract holds across all five containers.  TIFF
+    # ships the scanner default: LZW + horizontal predictor.
+    enc = (
+        encode_bmp,
+        encode_ppm,
+        encode_png,
+        encode_jpeg,
+        lambda px: encode_tiff(px, lzw=True, predictor=True),
+    )[(i // 100) % 5]
     return enc(img)
 
 
@@ -404,21 +413,98 @@ def build_pdf_bytes(lines: list[str], *, flate: bool = False) -> bytes:
     return bytes(out)
 
 
-def _pdf_agreement(r: _Rand, i: int = 0) -> bytes:
-    name, date = r.name(), r.date()
-    return build_pdf_bytes(
-        [
-            "RENTAL AGREEMENT",
-            "This service agreement sets out the terms and conditions of supply.",
-            "The customer acknowledges and accepts the conditions.",
-            f"Signed by customer: {name}",
-            f"Date : {date} 10:30 CMT",
-            "signature",
-        ],
-        # half the PDFs use /FlateDecode streams (the real-world common
-        # case) — extracted text is identical, so goldens are unchanged
-        flate=(i // 100) % 2 == 1,
+def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
+    """Single-page IMAGE-ONLY PDF: the page is one image XObject of the
+    glyph-rendered ``lines`` and there are no text objects — the shape
+    of a scanner-produced PDF, the reference's async-Textract core case
+    (``IDD/finalcodes/SignedAgreement.py:124-156``).  ``codec``:
+    ``jpeg`` (/DCTDecode), ``flate`` (/FlateDecode /DeviceRGB),
+    ``flate_gray`` (/FlateDecode /DeviceGray), ``raw`` (no filter)."""
+    import zlib as _zlib
+
+    from valere_ocr_ray.extract.glyph_font import render_text_image
+
+    img = render_text_image(lines)
+    h, w = img.shape[:2]
+    if codec == "jpeg":
+        from valere_ocr_ray.extract.jpeg import encode_jpeg
+
+        body, cs, filt = encode_jpeg(img), b"/DeviceRGB", b" /Filter /DCTDecode"
+    elif codec == "flate":
+        body, cs, filt = (
+            _zlib.compress(img.tobytes()),
+            b"/DeviceRGB",
+            b" /Filter /FlateDecode",
+        )
+    elif codec == "flate_gray":
+        body, cs, filt = (
+            _zlib.compress(img[:, :, 0].tobytes()),
+            b"/DeviceGray",
+            b" /Filter /FlateDecode",
+        )
+    elif codec == "raw":
+        body, cs, filt = img.tobytes(), b"/DeviceRGB", b""
+    else:
+        raise ValueError(f"unknown scanned-pdf codec {codec!r}")
+    img_obj = (
+        b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+        + b" /Height " + str(h).encode()
+        + b" /ColorSpace " + cs
+        + b" /BitsPerComponent 8" + filt
+        + b" /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream"
     )
+    content = f"q {w} 0 0 {h} 0 0 cm /Im1 Do Q".encode()
+    content_obj = (
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R "
+        b"/Resources << /XObject << /Im1 5 0 R >> >> >>",
+        content_obj,
+        img_obj,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _agreement_pdf_lines(r: _Rand) -> list[str]:
+    name, date = r.name(), r.date()
+    return [
+        "RENTAL AGREEMENT",
+        "This service agreement sets out the terms and conditions of supply.",
+        "The customer acknowledges and accepts the conditions.",
+        f"Signed by customer: {name}",
+        f"Date : {date} 10:30 CMT",
+        "signature",
+    ]
+
+
+def _pdf_agreement(r: _Rand, i: int = 0) -> bytes:
+    lines = _agreement_pdf_lines(r)
+    # rotate by the hundreds: half text-PDFs with /FlateDecode content
+    # streams (the real-world common case), a quarter plain, a quarter
+    # SCANNED (image-only — the reference's async-Textract case) with
+    # the embedded-image codec rotating too
+    phase = (i // 100) % 4
+    if phase == 3:
+        codec = ("jpeg", "flate", "flate_gray", "raw")[(i // 400) % 4]
+        return build_scanned_pdf_bytes(lines, codec=codec)
+    return build_pdf_bytes(lines, flate=phase == 1)
 
 
 # row-class schedule (all rates per FIXTURES.md §1)
@@ -479,6 +565,8 @@ def synth_row(i: int) -> tuple[str, int, bytes, str, str]:
         ext = ".png"
     elif html[:3] == b"\xff\xd8\xff":
         ext = ".jpg"
+    elif html[:4] in (b"II*\x00", b"MM\x00*"):
+        ext = ".tif"
     else:
         ext = ".html"
     url = f"https://site{i % 97}.example/{slug}/{i:08d}{ext}"

@@ -25,6 +25,7 @@ import pyarrow as pa
 
 from valere_ocr_ray.extract.html_text import extract_main_text_meta
 from valere_ocr_ray.extract.image_decode import ImageFormatError
+from valere_ocr_ray.extract.pdf_images import ocr_pdf_images
 from valere_ocr_ray.extract.pdf_text import extract_pdf_text
 from valere_ocr_ray.registry.extractors import extract_document
 from valere_ocr_ray.stages.docmeta import (
@@ -36,10 +37,10 @@ from valere_ocr_ray.stages.docmeta import (
 
 STATUS_ERROR_PARSE = "error_parse"
 # image payload admitted but its FORMAT has no decoder behind the OCR
-# seam (TIFF/GIF/WebP, progressive JPEG) — routed, not dropped;
-# BMP/PPM/PNG/baseline-JPEG raster pages go through the real
-# glyph-template OCR (``extract/glyph_font.ocr_image_bytes``) and
-# come back 'ok'
+# seam (GIF/WebP, progressive JPEG; inside PDFs: CCITT/JBIG2/JPX) —
+# routed, not dropped; BMP/PPM/PNG/TIFF/baseline-JPEG raster pages
+# (standalone OR embedded in a scanned PDF) go through the real
+# glyph-template OCR (``extract/glyph_font``) and come back 'ok'
 STATUS_SKIPPED_NO_OCR = "skipped_image_no_ocr"
 
 SPAN_TYPE = pa.list_(
@@ -64,20 +65,29 @@ class PageExtractor:
     are the reason ``batch_size`` stays modest for this stage.
     """
 
-    def __init__(self, ocr_seam=None) -> None:
+    def __init__(self, ocr_seam=None, ocr_pixels=None) -> None:
         # scanned-page OCR seam.  Default: the deterministic 5x7
         # glyph-template reader over the dependency-free
-        # BMP/PPM/PNG/baseline-JPEG decoders (the Textract analog,
+        # BMP/PPM/PNG/TIFF/baseline-JPEG decoders (the Textract analog,
         # ``IDD/finalcodes/InsuranceCard1.py:89-109``); it raises
-        # ImageFormatError for codec-less formats (TIFF/GIF/WebP,
+        # ImageFormatError for codec-less formats (GIF/WebP,
         # progressive JPEG), which routes to 'skipped_image_no_ocr'.
-        # A Tesseract-class model drops into the same seam without
-        # touching the Ray plumbing.
+        # ``ocr_pixels`` is the decoded-raster flavor of the same seam
+        # (ndarray → text) used for images embedded INSIDE PDFs — the
+        # reference's async-Textract scanned-PDF case
+        # (``IDD/finalcodes/SignedAgreement.py:124-156``).  A
+        # Tesseract-class model drops into either seam without touching
+        # the Ray plumbing.
         if ocr_seam is None:
             from valere_ocr_ray.extract.glyph_font import ocr_image_bytes
 
             ocr_seam = ocr_image_bytes
+        if ocr_pixels is None:
+            from valere_ocr_ray.extract.glyph_font import ocr_image
+
+            ocr_pixels = ocr_image
         self._ocr = ocr_seam
+        self._ocr_pixels = ocr_pixels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         html = batch["html"].combine_chunks()
@@ -99,11 +109,18 @@ class PageExtractor:
                 row_status = STATUS_OK
                 if kind == KIND_PDF:
                     text = extract_pdf_text(payload)
-                    if not text and self._ocr is not None:
-                        try:
-                            text = self._ocr(payload)
-                        except ImageFormatError:
-                            pass  # image-only PDF, no raster decoder
+                    if not text:
+                        # scanned PDF: no text objects → OCR the
+                        # embedded image XObjects (the reference's
+                        # async-Textract path).  Images found but none
+                        # decodable (CCITT/JBIG2-class) routes to the
+                        # skip status — "couldn't read the scan" is
+                        # not "blank page".
+                        text, n_found, n_decoded = ocr_pdf_images(
+                            payload, self._ocr_pixels
+                        )
+                        if n_found and not n_decoded:
+                            row_status = STATUS_SKIPPED_NO_OCR
                 elif kind == KIND_HTML:
                     text, sig_tier = extract_main_text_meta(payload)
                 elif kind == KIND_IMAGE:

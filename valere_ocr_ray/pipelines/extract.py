@@ -65,9 +65,16 @@ def build_extraction_ds(
     max_doc_bytes: int = MAX_DOC_BYTES,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
+    extra_columns: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
-    """Lazy Dataset of extracted rows for the given pages parquet paths."""
-    ds = ray.data.read_parquet(paths, columns=_READ_COLUMNS, include_paths=True)
+    """Lazy Dataset of extracted rows for the given pages parquet paths.
+
+    ``extra_columns`` widens the pruned parquet read with pass-through
+    input columns (e.g. the F5 ``text`` probe for the oracled
+    flagship-projection query) — they ride every stage untouched."""
+    ds = ray.data.read_parquet(
+        paths, columns=_READ_COLUMNS + list(extra_columns), include_paths=True
+    )
     ds = ds.map_batches(_add_part_id, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: docmeta_batch(b, max_doc_bytes=max_doc_bytes),

@@ -4572,6 +4572,44 @@ def pages_doc_type_counts(sf_dir: str):
     return pages_extract(sf_dir).groupby("doc_type").aggregate(Count(alias_name="n"))
 
 
+def pages_extract_stats(sf_dir: str):
+    """ORACLED projection of the flagship extraction (VERDICT r3 item
+    2): for every row carrying the F5 ``text`` probe (the head of the
+    main text, stored in the INPUT parquet at synth time), the full
+    pipeline's ``extracted_text`` must reproduce the probe as an exact
+    prefix — emitted as ``md5(extracted_text[:len(probe)])``, which the
+    DuckDB oracle recomputes as ``md5(text)`` from the input alone.
+    Any regression in the distributed read → docmeta → DOM-walk →
+    field stages shows up as a driver hash mismatch on ~half the html
+    corpus (probe rows are all plain-html, non-blocklisted by
+    construction — see sources/synth.synth_row)."""
+    import hashlib as _hashlib
+
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir, extra_columns=("text",))
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        probe = df["text"].astype(str)
+        keep = probe != ""
+        probe, df = probe[keep], df[keep]
+        ext = df["extracted_text"].astype(str)
+        plen = probe.str.len().astype("int64")
+        md5s = [
+            _hashlib.md5(t[:n].encode()).hexdigest()
+            for t, n in zip(ext, plen)
+        ]
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "probe_len": plen,
+                "prefix_md5": md5s,
+                "status": df["status"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 def pages_line_dedup(sf_dir: str):
     """Corpus-level boilerplate-line strip over the FLAGSHIP surface:
     extract the pages corpus, then drop every text line that appears in

@@ -53,6 +53,35 @@ def tree_keyed_sum(
     return out
 
 
+def tree_keyed_agg(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    *,
+    widths: Sequence[int] = (4, 1),
+) -> ray.data.Dataset:
+    """Exact per-key algebraic aggregates (``{"col": "sum"|"max"|"min"}``)
+    grouped by ``keys`` — the :func:`tree_keyed_sum` tree generalized to
+    any fold that is idempotent over re-grouping (sum/max/min/count-as-
+    sum all are; mean/nunique are NOT — decompose those into sums)."""
+    keys = list(keys)
+    for how in aggs.values():
+        if how not in ("sum", "max", "min"):
+            raise ValueError(f"non-mergeable agg {how!r}")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).agg(
+            **{c: (c, how) for c, how in aggs.items()}
+        )
+
+    out = ds.map_batches(combine, batch_format="pandas")
+    for w in widths:
+        out = out.repartition(w).map_batches(
+            combine, batch_format="pandas", batch_size=None
+        )
+    return out
+
+
 def tree_topk(
     ds: ray.data.Dataset,
     sort_cols: Sequence[str],

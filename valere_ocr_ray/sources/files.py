@@ -163,21 +163,28 @@ def read_file_metadata(
 
 def _first_key_where(meta: ray.data.Dataset, expr_frame) -> str | None:
     """Distributed first-match: per-block partial min(key) over the
-    predicate, then a tiny driver min — the reference's
-    scan-and-return-first loop without ever materializing the listing."""
+    predicate rides the shared tree combine down to ≤1 row — the
+    reference's scan-and-return-first loop without materializing the
+    listing (or even the per-block partials) on the driver."""
     import pandas as pd
+
+    from valere_ocr_ray.ops.combine import tree_keyed_agg
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         hit = df[expr_frame(df)]
         if not len(hit):
-            return pd.DataFrame({"key": pd.Series([], dtype="object")})
-        return pd.DataFrame({"key": [hit["key"].min()]})
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype="int64"),
+                 "key": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame({"k": [0], "key": [hit["key"].min()]})
 
-    mins = [
-        r["key"]
-        for r in meta.map_batches(partial, batch_format="pandas").take_all()
-    ]
-    return min(mins) if mins else None
+    rows = tree_keyed_agg(
+        meta.map_batches(partial, batch_format="pandas"),
+        ["k"],
+        {"key": "min"},
+    ).take_all()
+    return rows[0]["key"] if rows else None
 
 
 def object_key_by_etag(meta: ray.data.Dataset, etag: str) -> str | None:

@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact": q.doc_redact,
         "doc_cross_source_dupes": q.doc_cross_source_dupes,
         "doc_holdout_split": q.doc_holdout_split,
+        # -- round-4: full Rae App. A repetition sub-battery (oracled) -
+        "doc_gopher_repetition": q.doc_gopher_repetition,
         # -- round-2 LLM-data-op representatives (all oracled) --------
         "doc_segment_dedup": q.doc_segment_dedup,
         "doc_contamination": q.doc_contamination,
@@ -274,6 +276,120 @@ from valere_ocr_ray.registry.extractors import (  # noqa: E402
     GENERIC_NAME_PATTERN as _NM,
     GENERIC_PHONE_PATTERN as _PH,
 )
+
+
+def _gopher_repetition_sql() -> str:
+    """The Rae App. A repetition-battery oracle, generated (the 9
+    n-gram CTE families differ only in n) — mirrors
+    ``ops/textstats.gopher_repetition_batch`` 1:1: same plants
+    (queries._plant_repetition verbatim), same unit splits, same
+    space-free char conventions, same lexicographic top-gram tie-break
+    (DuckDB's binary varchar ORDER == Python str compare on this ASCII
+    corpus), same per-mil floor division, same <= thresholds."""
+    line = "CALL NOW FOR YOUR FREE QUOTE TODAY"
+    para = "subscribe to our newsletter for updates"
+    phrase = "win a brand new car click here now"
+    plant = (
+        "SELECT doc_id, text "
+        f"|| CASE WHEN doc_id % 11 = 4 THEN chr(10) || '{line}' "
+        f"|| chr(10) || '{line}' || chr(10) || '{line}' ELSE '' END "
+        f"|| CASE WHEN doc_id % 17 = 6 THEN chr(10) || chr(10) || '{para}' "
+        f"|| chr(10) || chr(10) || '{para}' ELSE '' END "
+        f"|| CASE WHEN doc_id % 23 = 7 THEN chr(10) || "
+        f"'{phrase} {phrase} {phrase}' ELSE '' END AS text FROM documents"
+    )
+    ctes = [
+        f"aug AS ({plant})",
+        r"w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM aug)",
+        "wagg AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+        "CAST(greatest(length(array_to_string(ws, '')), 1) AS BIGINT) AS wchars "
+        "FROM w)",
+    ]
+    for lbl, sep in (("line", "chr(10)"), ("para", "chr(10) || chr(10)")):
+        ctes.append(
+            f"{lbl}c AS (SELECT doc_id, u, count(*) AS c, length(u) AS L "
+            f"FROM (SELECT doc_id, unnest(string_split(text, {sep})) AS u "
+            f"FROM aug) GROUP BY doc_id, u)"
+        )
+        ctes.append(
+            f"{lbl}agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_units, "
+            f"CAST(count(*) AS BIGINT) AS n_dist, "
+            f"CAST(sum((c-1)*L) AS BIGINT) AS dupch, "
+            f"CAST(sum(c*L) AS BIGINT) AS totch FROM {lbl}c GROUP BY doc_id)"
+        )
+    for n in (2, 3, 4):
+        ctes.append(
+            f"top{n} AS (SELECT doc_id, "
+            f"CAST(cnt*(length(gram)-{n - 1}) AS BIGINT) AS topch "
+            f"FROM (SELECT doc_id, gram, count(*) AS cnt FROM "
+            f"(SELECT doc_id, array_to_string(ws[p:p+{n - 1}], ' ') AS gram "
+            f"FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-{n}+2)) AS p "
+            f"FROM w)) GROUP BY doc_id, gram) "
+            f"QUALIFY row_number() OVER (PARTITION BY doc_id "
+            f"ORDER BY cnt DESC, gram ASC) = 1)"
+        )
+    for n in range(5, 11):
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, p, "
+            f"count(*) OVER (PARTITION BY doc_id, gram) AS c "
+            f"FROM (SELECT doc_id, p, array_to_string(ws[p:p+{n - 1}], ' ') "
+            f"AS gram FROM (SELECT doc_id, ws, "
+            f"unnest(range(1, len(ws)-{n}+2)) AS p FROM w)))"
+        )
+        ctes.append(
+            f"cov{n} AS (SELECT DISTINCT doc_id, p + j AS q FROM c{n}, "
+            f"(SELECT unnest(range(0, {n})) AS j) WHERE c > 1)"
+        )
+        ctes.append(
+            f"cagg{n} AS (SELECT cov{n}.doc_id, "
+            f"CAST(sum(length(w.ws[cov{n}.q])) AS BIGINT) AS cov "
+            f"FROM cov{n} JOIN w ON cov{n}.doc_id = w.doc_id "
+            f"GROUP BY cov{n}.doc_id)"
+        )
+    inner_cols = [
+        "wagg.doc_id AS doc_id",
+        "wagg.n_words AS n_words",
+        "CAST((lineagg.n_units - lineagg.n_dist) * 1000 "
+        "// greatest(lineagg.n_units, 1) AS BIGINT) AS dup_line_per_mil",
+        "CAST(lineagg.dupch * 1000 // greatest(lineagg.totch, 1) AS BIGINT) "
+        "AS dup_line_char_per_mil",
+        "CAST((paraagg.n_units - paraagg.n_dist) * 1000 "
+        "// greatest(paraagg.n_units, 1) AS BIGINT) AS dup_para_per_mil",
+        "CAST(paraagg.dupch * 1000 // greatest(paraagg.totch, 1) AS BIGINT) "
+        "AS dup_para_char_per_mil",
+    ]
+    joins = [
+        "FROM wagg",
+        "JOIN lineagg ON lineagg.doc_id = wagg.doc_id",
+        "JOIN paraagg ON paraagg.doc_id = wagg.doc_id",
+    ]
+    for n in (2, 3, 4):
+        inner_cols.append(
+            f"CAST(coalesce(top{n}.topch, 0) * 1000 // wagg.wchars AS BIGINT) "
+            f"AS top{n}_char_per_mil"
+        )
+        joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = wagg.doc_id")
+    for n in range(5, 11):
+        inner_cols.append(
+            f"CAST(coalesce(cagg{n}.cov, 0) * 1000 // wagg.wchars AS BIGINT) "
+            f"AS dup{n}_char_per_mil"
+        )
+        joins.append(f"LEFT JOIN cagg{n} ON cagg{n}.doc_id = wagg.doc_id")
+    thresholds = (
+        ("dup_line_per_mil", 300), ("dup_para_per_mil", 300),
+        ("dup_line_char_per_mil", 200), ("dup_para_char_per_mil", 200),
+        ("top2_char_per_mil", 200), ("top3_char_per_mil", 180),
+        ("top4_char_per_mil", 160), ("dup5_char_per_mil", 150),
+        ("dup6_char_per_mil", 140), ("dup7_char_per_mil", 130),
+        ("dup8_char_per_mil", 120), ("dup9_char_per_mil", 110),
+        ("dup10_char_per_mil", 100),
+    )
+    keep = " AND ".join(f"{c} <= {t}" for c, t in thresholds)
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT *, CAST(" + keep + " AS BIGINT) AS rep_keep FROM ("
+        + "SELECT " + ", ".join(inner_cols) + " " + " ".join(joins) + ")"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1743,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
             "AND w.n_stop >= 2 AS BIGINT) AS keep "
             "FROM w JOIN lagg USING (doc_id)"
         ),
+        "doc_gopher_repetition": _gopher_repetition_sql(),
         "doc_domain_mix_audit": (
             # realized-rate governance report for doc_domain_mix: same
             # membership predicate, aggregated per source; every sum

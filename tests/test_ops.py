@@ -2445,3 +2445,75 @@ def test_ffd_assign_property_fuzz():
                 run += arr[m]
 
     check()
+
+
+def test_gopher_repetition_hand_values():
+    """Hand-computed Rae App. A repetition signals on tiny docs pin
+    every convention (dup units beyond first occurrence, space-free
+    n-gram chars, lexicographic top tie-break, coverage no-double-
+    count)."""
+    import pandas as pd
+
+    from valere_ocr_ray.ops.textstats import gopher_repetition_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "aa bb\naa bb\ncc",                    # dup line
+                "xx yy\n\nxx yy",                      # dup paragraph
+                "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 tail",  # dup 5-gram
+            ],
+        }
+    )
+    out = gopher_repetition_batch(df).set_index("doc_id")
+    # doc 1: 3 lines, 2 distinct -> 333; dup chars 5 of 12 -> 416;
+    # top2 'aa bb' x2 -> 2*4 of wchars 10 -> 800; top3 tie breaks to
+    # 'aa bb aa' (6 chars) -> 600
+    r1 = out.loc[1]
+    assert (
+        r1["dup_line_per_mil"], r1["dup_line_char_per_mil"],
+        r1["top2_char_per_mil"], r1["top3_char_per_mil"],
+    ) == (333, 416, 800, 600)
+    assert r1["dup_para_per_mil"] == 0 and r1["rep_keep"] == 0
+    # doc 2: 2 paragraphs both 'xx yy' -> 500 / 500
+    r2 = out.loc[2]
+    assert (r2["dup_para_per_mil"], r2["dup_para_char_per_mil"]) == (500, 500)
+    # doc 3: the 5-gram repeats -> covers 10 of 11 words, 20 of 24
+    # chars -> 833; 6-grams are all unique -> 0
+    r3 = out.loc[3]
+    assert r3["dup5_char_per_mil"] == 833
+    assert r3["dup6_char_per_mil"] == 0
+    assert r3["dup_line_per_mil"] == 0
+
+
+def test_gopher_repetition_keep_matches_query_verdict(ray_session):
+    """ops/textstats.gopher_repetition_keep (the curate --gopher-rep
+    gate) and the doc_gopher_repetition query's rep_keep column are the
+    same rule on the planted sf0.01 corpus."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.textstats import gopher_repetition_keep
+    from valere_ocr_ray.pipelines.queries import (
+        _plant_repetition,
+        doc_gopher_repetition,
+    )
+
+    docs = (
+        rd.read_parquet(
+            "/root/testdata/sf0.01/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    mask = gopher_repetition_keep(_plant_repetition(docs))
+    want = (
+        doc_gopher_repetition("/root/testdata/sf0.01")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (want["rep_keep"].to_numpy() == mask.astype(np.int64)).all()
+    assert mask.any() and not mask.all()  # non-vacuous both ways

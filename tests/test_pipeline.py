@@ -685,3 +685,37 @@ def test_corpus_report_consistency(ray_session):
         (0.99, "len_chars_p99"),
     ]:
         assert rep[key] == int(lens[int(np.ceil(q * len(lens))) - 1])
+
+
+def test_build_training_shards_gopher_rep_gate(ray_session, tmp_path):
+    """--gopher-rep composes into the quality gate exactly like
+    --gopher: monotone subset, deterministic."""
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.curate import build_training_shards
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    synth_pages(pages, 400)
+
+    base = build_training_shards(
+        pages, str(tmp_path / "plain"), budget=128, n_shards=4
+    )
+    got = build_training_shards(
+        pages, str(tmp_path / "rep"), budget=128, n_shards=4,
+        gopher_rep_rules=True,
+    )
+    assert got["n_docs_out"] <= base["n_docs_out"]
+    if got["n_docs_out"]:
+        sub = set(
+            rd.read_parquet(str(tmp_path / "rep")).to_pandas()["url_hash"]
+        )
+        full = set(
+            rd.read_parquet(str(tmp_path / "plain")).to_pandas()["url_hash"]
+        )
+        assert sub <= full
+    again = build_training_shards(
+        pages, str(tmp_path / "rep2"), budget=128, n_shards=4,
+        gopher_rep_rules=True,
+    )
+    assert got == again

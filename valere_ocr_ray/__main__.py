@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
         help="add the Gopher/MassiveWeb App.-A keep verdict to the quality gate",
     )
     cu.add_argument(
+        "--gopher-rep", action="store_true",
+        help="add the full Gopher repetition sub-battery verdict "
+        "(dup line/para + top/dup n-gram char fractions) to the gate",
+    )
+    cu.add_argument(
         "--boilerplate-min-docs", type=int, default=None,
         help="strip lines appearing in >= N docs before dedup (linededup)",
     )
@@ -208,6 +213,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=a.shards,
                 c4_rules=a.c4,
                 gopher_rules=a.gopher,
+                gopher_rep_rules=a.gopher_rep,
                 boilerplate_min_docs=a.boilerplate_min_docs,
                 mix_budget_tokens=a.mix_budget_tokens,
                 pack_mode=a.pack_mode,

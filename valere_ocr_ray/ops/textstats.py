@@ -214,6 +214,163 @@ def repetition_signals(
     )
 
 
+# --- the FULL Gopher repetition sub-battery (Rae et al. 2021, App. A
+#     Table A1 cont'd) — duplicate line/paragraph (count + character)
+#     fractions, top-{2,3,4}-gram character fractions, duplicated-
+#     {5..10}-gram character-coverage fractions, and the composed
+#     verdict.  Pinned conventions (mirrored 1:1 by the SQL oracle):
+#     * lines split on "\n", paragraphs on "\n\n" (literal);
+#     * a unit's "duplicate" characters are its occurrences BEYOND the
+#       first ((count-1) x len), over total unit characters;
+#     * all character metrics on n-grams are space-free (sum of word
+#       lengths; words are \S+ runs) — numerator and denominator alike;
+#     * top-gram ties break to the lexicographically smallest gram;
+#     * duplicated-n-gram coverage counts each word position once no
+#       matter how many duplicated grams overlap it (the paper's
+#       no-double-count rule);
+#     * everything integer per-mil (floor division), keep = all
+#       metrics <= threshold (the paper drops when a fraction EXCEEDS
+#       its threshold).
+
+REPETITION_THRESHOLDS: tuple[tuple[str, int], ...] = (
+    ("dup_line_per_mil", 300),
+    ("dup_para_per_mil", 300),
+    ("dup_line_char_per_mil", 200),
+    ("dup_para_char_per_mil", 200),
+    ("top2_char_per_mil", 200),
+    ("top3_char_per_mil", 180),
+    ("top4_char_per_mil", 160),
+    ("dup5_char_per_mil", 150),
+    ("dup6_char_per_mil", 140),
+    ("dup7_char_per_mil", 130),
+    ("dup8_char_per_mil", 120),
+    ("dup9_char_per_mil", 110),
+    ("dup10_char_per_mil", 100),
+)
+
+
+def gopher_repetition_batch(
+    df: pd.DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """All 13 Gopher repetition signals + ``rep_keep`` per document,
+    wholly vectorized (explodes + grouped counts; the only Python loop
+    is over the 9 n-gram sizes, not rows)."""
+    text = df[col].astype(str)
+    n = len(df)
+    idx = np.arange(n, dtype=np.int64)
+    out = pd.DataFrame({id_col: df[id_col].to_numpy()})
+
+    def scatter(s: pd.Series) -> np.ndarray:
+        a = np.zeros(n, dtype=np.int64)
+        if len(s):
+            a[s.index.to_numpy(dtype=np.int64)] = s.to_numpy(dtype=np.int64)
+        return a
+
+    def unit_stats(sep: str) -> tuple[np.ndarray, ...]:
+        parts = text.str.split(sep, regex=False)
+        lens = parts.map(len).to_numpy(dtype=np.int64)
+        u = pd.DataFrame(
+            {
+                "i": np.repeat(idx, lens),
+                "u": parts.explode().to_numpy(dtype=object),
+            }
+        )
+        u["L"] = u["u"].str.len()
+        g = u.groupby(["i", "u"], sort=False).agg(
+            c=("L", "size"), L=("L", "first")
+        )
+        gi = g.index.get_level_values(0)
+        n_units = g["c"].groupby(gi).sum()
+        n_dist = g["c"].groupby(gi).size()
+        dup_ch = ((g["c"] - 1) * g["L"]).groupby(gi).sum()
+        tot_ch = (g["c"] * g["L"]).groupby(gi).sum()
+        return scatter(n_units), scatter(n_dist), scatter(dup_ch), scatter(tot_ch)
+
+    for label, sep in (("line", "\n"), ("para", "\n\n")):
+        n_units, n_dist, dup_ch, tot_ch = unit_stats(sep)
+        out[f"dup_{label}_per_mil"] = (
+            (n_units - n_dist) * 1000 // np.maximum(n_units, 1)
+        )
+        out[f"dup_{label}_char_per_mil"] = dup_ch * 1000 // np.maximum(tot_ch, 1)
+
+    toks = text.str.findall(TOKEN_RE)
+    tlens = toks.map(len).to_numpy(dtype=np.int64)
+    ridx = np.repeat(idx, tlens)
+    words = toks.explode().dropna().to_numpy(dtype=object)
+    wlen = pd.Series(words).str.len().to_numpy(np.int64) if len(words) else np.zeros(0, np.int64)
+    wchars = np.zeros(n, dtype=np.int64)
+    np.add.at(wchars, ridx, wlen)
+    wchars1 = np.maximum(wchars, 1)
+    out["n_words"] = tlens
+
+    def grams_at(n_: int) -> tuple[np.ndarray, np.ndarray]:
+        """(valid gram-start global token indexes, gram strings)."""
+        m = len(words) - (n_ - 1)
+        if m <= 0:
+            return np.zeros(0, np.int64), np.zeros(0, object)
+        valid = ridx[:m] == ridx[n_ - 1 :]
+        gram = words[:m].copy()
+        for j in range(1, n_):
+            gram = gram + " "
+            gram = gram + words[j : m + j]
+        return np.flatnonzero(valid), gram[valid]
+
+    for n_ in (2, 3, 4):
+        starts, gram = grams_at(n_)
+        col_name = f"top{n_}_char_per_mil"
+        if not len(starts):
+            out[col_name] = np.zeros(n, dtype=np.int64)
+            continue
+        cnt = (
+            pd.DataFrame({"doc": ridx[starts], "g": gram})
+            .groupby(["doc", "g"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        # space-free chars of one occurrence = len(gram) - (n-1) joins
+        cnt["chars"] = cnt["c"] * (cnt["g"].str.len() - (n_ - 1))
+        top = (
+            cnt.sort_values(
+                ["doc", "c", "g"], ascending=[True, False, True], kind="mergesort"
+            )
+            .groupby("doc", sort=False)
+            .head(1)
+            .set_index("doc")["chars"]
+        )
+        out[col_name] = scatter(top) * 1000 // wchars1
+
+    for n_ in range(5, 11):
+        starts, gram = grams_at(n_)
+        col_name = f"dup{n_}_char_per_mil"
+        if not len(starts):
+            out[col_name] = np.zeros(n, dtype=np.int64)
+            continue
+        gdf = pd.DataFrame({"doc": ridx[starts], "g": gram})
+        c = gdf.groupby(["doc", "g"], sort=False)["g"].transform("size")
+        dup_starts = starts[c.to_numpy() > 1]
+        covered = np.zeros(len(words), dtype=bool)
+        for j in range(n_):  # whole window is in-doc by validity
+            covered[dup_starts + j] = True
+        cov = np.zeros(n, dtype=np.int64)
+        np.add.at(cov, ridx[covered], wlen[covered])
+        out[col_name] = cov * 1000 // wchars1
+
+    keep = np.ones(n, dtype=bool)
+    for name, thr in REPETITION_THRESHOLDS:
+        keep &= out[name].to_numpy() <= thr
+    out["rep_keep"] = keep.astype("int64")
+    return out
+
+
+def gopher_repetition_keep(text: pd.Series) -> np.ndarray:
+    """Composed repetition verdict as a bool mask — the pure rule shared
+    by the curate pipeline's ``--gopher-rep`` gate and the
+    ``doc_gopher_repetition`` query (parity pinned by test)."""
+    tmp = pd.DataFrame({"doc_id": np.arange(len(text), dtype=np.int64)})
+    tmp["text"] = text.to_numpy(dtype=object)
+    return gopher_repetition_batch(tmp)["rep_keep"].to_numpy() == 1
+
+
 # ---------------------------------------------------------------------------
 # Quality filter (the keep/drop verdict a pre-training pipeline gates on)
 # ---------------------------------------------------------------------------

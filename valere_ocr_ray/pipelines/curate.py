@@ -55,6 +55,7 @@ def build_training_shards(
     max_top2_per_mil: int = 200,
     c4_rules: bool = False,
     gopher_rules: bool = False,
+    gopher_rep_rules: bool = False,
     boilerplate_min_docs: int | None = None,
     mix_budget_tokens: int | None = None,
     pack_mode: str = "chunk",
@@ -74,7 +75,12 @@ def build_training_shards(
     in-batch); ``gopher_rules`` adds the Gopher/MassiveWeb Appendix-A
     composed keep verdict (``ops/textstats.gopher_keep`` — word-count
     / word-length bounds, symbol and bullet/ellipsis-line ratios,
-    alpha-word fraction, stop-word floor) to the same in-batch gate; ``boilerplate_min_docs`` inserts corpus-level
+    alpha-word fraction, stop-word floor) to the same in-batch gate;
+    ``gopher_rep_rules`` adds the FULL Gopher repetition sub-battery
+    verdict (``ops/textstats.gopher_repetition_keep`` — duplicate
+    line/paragraph count+char fractions, top-{2,3,4}-gram char
+    fractions, duplicated-{5..10}-gram coverage, Rae App. A Table A1
+    thresholds); ``boilerplate_min_docs`` inserts corpus-level
     repeated-line removal (``ops/linededup``, RefinedWeb/CCNet
     boilerplate strip) between the quality gate and exact dedup —
     stripping nav/footer template lines BEFORE hashing makes
@@ -204,6 +210,10 @@ def build_training_shards(
             from valere_ocr_ray.ops.textstats import gopher_keep
 
             keep &= gopher_keep(df["extracted_text"])
+        if gopher_rep_rules:
+            from valere_ocr_ray.ops.textstats import gopher_repetition_keep
+
+            keep &= gopher_repetition_keep(df["extracted_text"])
         return df[keep]
 
     clean = ok.map_batches(keep_quality, batch_format="pandas")

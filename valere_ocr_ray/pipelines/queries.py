@@ -5361,6 +5361,49 @@ def doc_gopher_filters(sf_dir: str):
     return ds.map_batches(signals, batch_format="pandas")
 
 
+def _plant_repetition(df: pd.DataFrame) -> pd.Series:
+    """Deterministic repetition plants — the driver corpus is token
+    soup with essentially no duplicate lines/paragraphs or repeated
+    phrases, so the Rae App. A repetition battery would be near-vacuous
+    without them.  Three independent id-keyed appends exercise the
+    dup-line, dup-paragraph and dup-n-gram families; each is mirrored
+    verbatim in the SQL oracle and the moduli are pairwise coprime so
+    combinations occur."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    text = df["text"].astype(str)
+    idx = df.index
+    line = "CALL NOW FOR YOUR FREE QUOTE TODAY"
+    text = text + pd.Series(f"\n{line}\n{line}\n{line}", index=idx).where(
+        pd.Series(ids % 11 == 4, index=idx), ""
+    )
+    para = "subscribe to our newsletter for updates"
+    text = text + pd.Series(f"\n\n{para}\n\n{para}", index=idx).where(
+        pd.Series(ids % 17 == 6, index=idx), ""
+    )
+    phrase = "win a brand new car click here now"
+    text = text + pd.Series(
+        "\n" + " ".join([phrase] * 3), index=idx
+    ).where(pd.Series(ids % 23 == 7, index=idx), "")
+    return text
+
+
+def doc_gopher_repetition(sf_dir: str):
+    """The FULL Gopher repetition sub-battery (Rae et al. 2021 App. A
+    Table A1 cont'd — the half ``doc_gopher_filters`` doesn't cover):
+    duplicate line/paragraph count+character fractions, top-{2,3,4}-gram
+    character fractions, duplicated-{5..10}-gram character coverage, and
+    the composed ``rep_keep`` verdict.  Conventions pinned in
+    ``ops/textstats.gopher_repetition_batch``; integer per-mil both
+    sides; one vectorized map_batches pass, no shuffle, O(doc·n_grams)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        planted = df.assign(text=_plant_repetition(df))
+        return textstats.gopher_repetition_batch(planted)
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
 def doc_unimax_mix(sf_dir: str):
     """UniMax water-filling mixture over the documents corpus
     (``ops/mixing.mix_unimax``): budget = half the corpus tokens,

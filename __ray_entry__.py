@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # UniMax water-filling budget mixture (Chung et al. 2023) —
         # integer allocation, SQL-oracled via a recursive CTE
         "doc_unimax_mix": q.doc_unimax_mix,
+        "doc_unimax_epochs": q.doc_unimax_epochs,
     }
 
 
@@ -1792,13 +1793,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.rn, rec.remaining - least(t.cap, rec.remaining // rec.k), "
             "rec.k - 1, t.source, least(t.cap, rec.remaining // rec.k), t.m "
             "FROM rec JOIN t ON t.rn = rec.rn + 1), "
-            "thr AS (SELECT source, CASE WHEN m <= 0 THEN 0 ELSE "
-            "least(1000000, alloc * 1000000 // m) END AS t FROM rec "
-            "WHERE rn > 0) "
-            "SELECT k.doc_id, k.source, k.n_tokens FROM tok k "
-            "JOIN thr r ON k.source = r.source "
-            "WHERE md5_number_lower('unimax:' || CAST(k.doc_id AS VARCHAR)) "
-            "% 1000000 < r.t"
+            "thr AS (SELECT source, "
+            "CASE WHEN m <= 0 THEN 0 ELSE alloc // m END AS ep, "
+            "CASE WHEN m <= 0 THEN 0 ELSE "
+            "(alloc - (alloc // m) * m) * 1000000 // m END AS frac "
+            "FROM rec WHERE rn > 0) "
+            "SELECT doc_id, source, n_tokens, n_repeats FROM ("
+            "SELECT k.doc_id, k.source, k.n_tokens, "
+            "CAST(r.ep + CASE WHEN "
+            "md5_number_lower('unimax:' || CAST(k.doc_id AS VARCHAR)) "
+            "% 1000000 < r.frac THEN 1 ELSE 0 END AS BIGINT) AS n_repeats "
+            "FROM tok k JOIN thr r ON k.source = r.source) "
+            "WHERE n_repeats > 0"
+        ),
+        "doc_unimax_epochs": (
+            # mix_unimax with epoch_cap=3, budget = FULL corpus, skewed
+            # domain pool (src1-3 rare, rest 'big'): the same recursive
+            # water-filling CTE with cap = 3*M_d, now emitting the
+            # repeat count ep + (hash < frac) — the rare domains come
+            # back with n_repeats in {2,3}, 'big' with a fractional
+            # second epoch, bit-exact vs the engine's integer loop
+            r"WITH RECURSIVE tok AS (SELECT doc_id, "
+            "CASE WHEN source IN ('src1', 'src2', 'src3') THEN source "
+            "ELSE 'big' END AS dom, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "tot AS (SELECT dom, CAST(sum(n_tokens) AS BIGINT) AS m "
+            "FROM tok GROUP BY dom), "
+            "b AS (SELECT CAST(sum(CASE WHEN m > 0 THEN m ELSE 0 END) // 1 "
+            "AS BIGINT) AS budget, CAST(count(*) AS BIGINT) AS n FROM tot), "
+            "t AS (SELECT dom, m, 3 * greatest(m, 0) AS cap, "
+            "CAST(row_number() OVER (ORDER BY 3 * greatest(m, 0), dom) "
+            "AS BIGINT) AS rn FROM tot), "
+            "rec AS (SELECT CAST(0 AS BIGINT) AS rn, b.budget AS remaining, "
+            "b.n AS k, CAST(NULL AS VARCHAR) AS dom, "
+            "CAST(0 AS BIGINT) AS alloc, CAST(0 AS BIGINT) AS m FROM b "
+            "UNION ALL "
+            "SELECT t.rn, rec.remaining - least(t.cap, rec.remaining // rec.k), "
+            "rec.k - 1, t.dom, least(t.cap, rec.remaining // rec.k), t.m "
+            "FROM rec JOIN t ON t.rn = rec.rn + 1), "
+            "thr AS (SELECT dom, "
+            "CASE WHEN m <= 0 THEN 0 ELSE alloc // m END AS ep, "
+            "CASE WHEN m <= 0 THEN 0 ELSE "
+            "(alloc - (alloc // m) * m) * 1000000 // m END AS frac "
+            "FROM rec WHERE rn > 0) "
+            "SELECT doc_id, dom, n_tokens, n_repeats FROM ("
+            "SELECT k.doc_id, k.dom, k.n_tokens, "
+            "CAST(r.ep + CASE WHEN "
+            "md5_number_lower('unimax3:' || CAST(k.doc_id AS VARCHAR)) "
+            "% 1000000 < r.frac THEN 1 ELSE 0 END AS BIGINT) AS n_repeats "
+            "FROM tok k JOIN thr r ON k.dom = r.dom) "
+            "WHERE n_repeats > 0"
         ),
         "doc_gopher_filters": (
             # Gopher App. A battery over the _plant_gopher-augmented

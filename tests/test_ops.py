@@ -2517,3 +2517,47 @@ def test_gopher_repetition_keep_matches_query_verdict(ray_session):
     )
     assert (want["rep_keep"].to_numpy() == mask.astype(np.int64)).all()
     assert mask.any() and not mask.all()  # non-vacuous both ways
+
+
+def test_mix_unimax_epoch_repeats(ray_session):
+    """epoch_cap > 1 doc-repeat semantics: a domain whose allocation is
+    a non-integer number of epochs gets full repeats + a hash-threshold
+    fractional epoch; expected tokens == allocation exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.mixing import SCALE, _hash64_str, mix_unimax
+
+    # small: 10 docs x 10 toks (mass 100); big: 80 docs x 10 (mass 800)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(90),
+            "source": ["small"] * 10 + ["big"] * 80,
+            "n_tokens": [10] * 90,
+        }
+    )
+    # budget 450, cap 3 epochs: small (cap 300) takes min(300, 225)=225
+    # = 2.25 epochs -> every small doc repeats 2x, 25% get a 3rd;
+    # big takes min(2400, 225)=225 of mass 800 -> 0 full + 28.125% frac
+    out = mix_unimax(
+        rd.from_pandas(df), budget_tokens=450, epoch_cap=3, salt="um"
+    ).to_pandas()
+    small = out[out["source"] == "small"]
+    big = out[out["source"] == "big"]
+    assert len(small) == 10 and set(small["n_repeats"]) <= {2, 3}
+    h = _hash64_str("um:" + small["doc_id"].astype(str)) % SCALE
+    frac_thr = (225 - 2 * 100) * SCALE // 100  # 250000
+    assert (
+        small["n_repeats"].to_numpy() == 2 + (h.astype("int64") < frac_thr)
+    ).all()
+    assert (big["n_repeats"] == 1).all()
+    hb = _hash64_str("um:" + big["doc_id"].astype(str)) % SCALE
+    assert len(big) == int((hb.astype("int64") < 225 * SCALE // 800).sum())
+    # determinism across partitionings
+    out2 = mix_unimax(
+        rd.from_pandas(df).repartition(7), budget_tokens=450, epoch_cap=3,
+        salt="um",
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])

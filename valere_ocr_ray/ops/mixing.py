@@ -157,6 +157,42 @@ def _sample_by_thresholds(
     return ds.map_batches(sample, batch_format="pandas")
 
 
+def _sample_with_repeats(
+    ds: ray.data.Dataset,
+    specs: Mapping[str, tuple[int, int]],
+    *,
+    key_col: str,
+    id_col: str,
+    salt: str,
+) -> ray.data.Dataset:
+    """``specs[key] = (full_epochs, frac_threshold_millionths)``:
+    a row is kept with ``n_repeats = full + (hash < frac)`` when that
+    is > 0 — the repeat-aware generalization of
+    :func:`_sample_by_thresholds` (``(0, thr)`` reproduces it exactly).
+    Stateless per row, so retries/partitionings can't change the
+    sample, and the annotation rides the row (no driver state)."""
+    specs = dict(specs)
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(n_repeats=pd.Series([], dtype="int64"))
+        h = (_hash64_str(salt + ":" + df[id_col].astype(str)) % SCALE).astype(
+            np.int64
+        )
+        full = (
+            df[key_col].map(lambda s: specs.get(s, (0, 0))[0]).to_numpy(np.int64)
+        )
+        frac = (
+            df[key_col].map(lambda s: specs.get(s, (0, 0))[1]).to_numpy(np.int64)
+        )
+        reps = full + (h < frac)
+        out = df[reps > 0].copy()
+        out["n_repeats"] = reps[reps > 0]
+        return out
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
 def mix_by_temperature(
     ds: ray.data.Dataset,
     *,
@@ -248,12 +284,21 @@ def mix_unimax(
         key=lambda cv: (cv[0], cv[1]),
     )
     remaining, k = budget, len(items)
-    thresholds: dict = {}
+    specs: dict[str, tuple[int, int]] = {}
     for cap, key, mass in items:
         alloc = min(cap, remaining // k)
         remaining -= alloc
         k -= 1
-        thresholds[key] = 0 if mass <= 0 else min(SCALE, alloc * SCALE // mass)
-    return _sample_by_thresholds(
-        ds, thresholds, key_col=key_col, id_col=id_col, salt=salt, default_thr=0
+        if mass <= 0:
+            specs[key] = (0, 0)
+        else:
+            # doc-REPEAT semantics (Chung et al. 2023's actual regime —
+            # a low-resource domain allocated alloc > mass contributes
+            # multiple epochs): every doc repeats floor(alloc/mass)
+            # times, and the fractional remainder epoch is the usual
+            # hash-threshold subset — E[domain tokens] == alloc exactly.
+            full = alloc // mass
+            specs[key] = (full, (alloc - full * mass) * SCALE // mass)
+    return _sample_with_repeats(
+        ds, specs, key_col=key_col, id_col=id_col, salt=salt
     )

@@ -5423,3 +5423,30 @@ def doc_unimax_mix(sf_dir: str):
         batch_format="pandas",
     )
     return mix_unimax(ds, budget_denom=2, salt="unimax").sort("doc_id")
+
+
+def doc_unimax_epochs(sf_dir: str):
+    """UniMax with ``epoch_cap=3`` and a FULL-corpus budget over a
+    deliberately skewed domain mapping (three rare sources kept
+    distinct, the rest pooled as 'big') — the Chung et al. 2023 regime
+    the epoch cap exists for: low-resource domains contribute MULTIPLE
+    epochs (``n_repeats`` up to 3) while the pooled majority lands a
+    fractional second epoch via the hash threshold.  The SQL oracle
+    replays the integer water-filling with the recursive CTE extended
+    by the repeat count — bit-exact membership AND repeats."""
+    from valere_ocr_ray.ops.mixing import mix_unimax
+
+    rare = ("src1", "src2", "src3")
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    ).map_batches(
+        lambda df: df.assign(
+            n_tokens=df["text"].str.count(r"\S+").astype("int64"),
+            dom=np.where(df["source"].isin(rare), df["source"], "big"),
+        )[["doc_id", "dom", "n_tokens"]],
+        batch_format="pandas",
+    )
+    return mix_unimax(
+        ds, budget_denom=1, epoch_cap=3, key_col="dom", salt="unimax3"
+    ).sort("doc_id")

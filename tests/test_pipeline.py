@@ -719,3 +719,42 @@ def test_build_training_shards_gopher_rep_gate(ray_session, tmp_path):
         gopher_rep_rules=True,
     )
     assert got == again
+
+
+def test_pages_report_consistency(ray_session, extracted_out):
+    """The pages datasheet agrees with the oracled doc-type counts, the
+    per-shard lineage manifests, and local ground truth over the same
+    extraction output (VERDICT r3 item 7)."""
+    from valere_ocr_ray.pipelines.report import pages_report
+
+    out_dir, summary = extracted_out
+    rep = pages_report(out_dir)
+    df = _read_sorted(out_dir)
+
+    assert rep["n_docs"] == len(df) == 500
+    assert rep["status_counts"] == {
+        str(k): int(v) for k, v in df["status"].value_counts().sort_index().items()
+    }
+    assert rep["kind_counts"] == {
+        str(k): int(v)
+        for k, v in df["doc_kind"].value_counts().sort_index().items()
+    }
+    ok = df[df["status"] == "ok"]
+    assert rep["class_counts"] == {
+        str(k): int(v)
+        for k, v in ok["doc_type"].value_counts().sort_index().items()
+    }
+    assert rep["class_bytes"] == {
+        str(k): int(v)
+        for k, v in ok.groupby("doc_type")["size_bytes"].sum().sort_index().items()
+    }
+    # OCR rate: standalone rasters + the scanned PDF, over ok docs
+    n_ocr = int(ok["ocr_used"].sum())
+    assert n_ocr == len(ok[ok["doc_kind"] == "image"]) + 1  # +1 scanned pdf
+    assert rep["ocr_per_mil"] == n_ocr * 1000 // len(ok)
+    assert rep["ok_per_mil"] == len(ok) * 1000 // 500
+    # lineage cross-check: manifests agree with the corpus-level audit
+    assert rep["lineage_n_shards"] == summary["n_shards"]
+    assert rep["lineage_n_in"] == 500
+    assert rep["lineage_n_ok"] == len(ok)
+    assert rep["total_bytes_in"] == int(df["size_bytes"].sum())

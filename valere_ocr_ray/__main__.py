@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     rp.add_argument("--input", required=True, help="parquet file or dir")
     rp.add_argument("--text-col", default="text")
+    rp.add_argument(
+        "--kind", choices=("documents", "pages"), default="documents",
+        help="'pages' audits a run_resumable extraction output "
+        "(status/kind/class mix, OCR rate, lineage cross-check) "
+        "instead of a text corpus",
+    )
     rp.add_argument("--num-cpus", type=int, default=None)
 
     cu = sub.add_parser(
@@ -229,9 +235,14 @@ def main(argv: list[str] | None = None) -> int:
             outs = convert_warc_dir(a.input, a.out)
             print(json.dumps({"n_archives": len(outs), "out": a.out}))
         elif a.cmd == "report":
-            from valere_ocr_ray.pipelines.report import corpus_report
+            if a.kind == "pages":
+                from valere_ocr_ray.pipelines.report import pages_report
 
-            s = corpus_report(a.input, text_col=a.text_col)
+                s = pages_report(a.input)
+            else:
+                from valere_ocr_ray.pipelines.report import corpus_report
+
+                s = corpus_report(a.input, text_col=a.text_col)
             print(json.dumps(s, indent=2, sort_keys=True))
     finally:
         ray.shutdown()

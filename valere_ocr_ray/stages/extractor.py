@@ -97,16 +97,19 @@ class PageExtractor:
         texts: list[str] = []
         out_status: list[str] = []
         sig_tiers: list[int] = []
+        ocr_used: list[bool] = []
         for i, (kind, status) in enumerate(zip(kinds, statuses)):
             if status != STATUS_OK:
                 texts.append("")
                 out_status.append(status)
                 sig_tiers.append(0)
+                ocr_used.append(False)
                 continue
             payload = html[i].as_buffer().to_pybytes()
             try:
                 sig_tier = 0
                 row_status = STATUS_OK
+                row_ocr = False
                 if kind == KIND_PDF:
                     text = extract_pdf_text(payload)
                     if not text:
@@ -121,15 +124,17 @@ class PageExtractor:
                         )
                         if n_found and not n_decoded:
                             row_status = STATUS_SKIPPED_NO_OCR
+                        row_ocr = n_decoded > 0
                 elif kind == KIND_HTML:
                     text, sig_tier = extract_main_text_meta(payload)
                 elif kind == KIND_IMAGE:
-                    # the OCR seam: decodable rasters (BMP/PPM) come
-                    # back as text; codec-less formats carry a skip
-                    # status, never vanish
+                    # the OCR seam: decodable rasters come back as
+                    # text; codec-less formats carry a skip status,
+                    # never vanish
                     if self._ocr is not None:
                         try:
                             text = self._ocr(payload)
+                            row_ocr = True
                         except ImageFormatError:
                             text = ""
                             row_status = STATUS_SKIPPED_NO_OCR
@@ -141,15 +146,18 @@ class PageExtractor:
                 texts.append(text)
                 out_status.append(row_status)
                 sig_tiers.append(sig_tier)
+                ocr_used.append(row_ocr)
             except Exception:
                 texts.append("")
                 out_status.append(STATUS_ERROR_PARSE)
                 sig_tiers.append(0)
+                ocr_used.append(False)
 
         out = batch.drop_columns(["html", "status"])  # bytes stop here
         return (
             out.append_column("extracted_text", pa.array(texts, pa.large_string()))
             .append_column("sig_tier", pa.array(sig_tiers, pa.int32()))
+            .append_column("ocr_used", pa.array(ocr_used, pa.bool_()))
             .append_column("status", pa.array(out_status, pa.string()))
         )
 

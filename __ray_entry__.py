@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge learning -> broadcast-table encode (rows-only: greedy
         # merge encode is a fold; invariants pytest-pinned, test_bpe.py)
         "doc_bpe_tokens": q.doc_bpe_tokens,
+        "doc_bpe_fertility": q.doc_bpe_fertility,
         # CCNet-style interpolated bigram-LM perplexity filter
         # (SQL-oracled; one LM order above doc_unigram_logprob)
         "doc_bigram_logprob": q.doc_bigram_logprob,

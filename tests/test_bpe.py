@@ -133,3 +133,58 @@ def test_sample_rate_trains_on_subset(ray_session):
     a = train_bpe(docs, num_merges=32, sample_rate=0.2)
     b = train_bpe(docs, num_merges=32, sample_rate=0.2)
     assert a == b
+
+
+def test_bpe_fertility_matches_local_twin(ray_session):
+    """doc_bpe_fertility's distributed (source, lang) cells are
+    bit-exact vs a single-process recomputation with the same merges
+    (the pinned local twin for the rows-only query)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from valere_ocr_ray.ops import textstats
+    from valere_ocr_ray.ops.bpe import encode_word, train_bpe
+    from valere_ocr_ray.pipelines.queries import doc_bpe_fertility
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_bpe_fertility(sf).to_pandas().reset_index(drop=True)
+
+    docs = pd.read_parquet(
+        sf + "/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    merges = train_bpe(
+        rd.read_parquet(sf + "/documents.parquet", columns=["doc_id", "text"]),
+        num_merges=64,
+        num_partitions=8,
+    )
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    cache = {}
+
+    def n_bpe(t):
+        total = 0
+        for w in str(t).split():
+            if w not in cache:
+                cache[w] = len(encode_word(w, ranks))
+            total += cache[w]
+        return total
+
+    local = pd.DataFrame(
+        {
+            "source": docs["source"],
+            "lang": textstats.langid_batch(docs[["text"]], "text")["lang_pred"],
+            "n_docs": np.int64(1),
+            "n_words": docs["text"].str.count(r"\S+").astype("int64"),
+            "n_bpe": docs["text"].map(n_bpe).astype("int64"),
+        }
+    ).groupby(["source", "lang"], as_index=False).sum()
+    local["fertility_per_mil"] = (
+        local["n_bpe"] * 1000 // local["n_words"].clip(lower=1)
+    ).astype("int64")
+    local = local.sort_values(["source", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[local.columns], local)
+    # fertility is a real signal: every word is >= 1 token (= 1000
+    # per-mil exactly when a cell's words all fully merge), and the
+    # 256-merge vocab leaves most cells genuinely re-split
+    assert (got["fertility_per_mil"] >= 1000).all()
+    assert (got["fertility_per_mil"] > 1000).any()

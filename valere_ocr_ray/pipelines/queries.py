@@ -5129,6 +5129,58 @@ def doc_bpe_tokens(sf_dir: str):
     return toks.sort("doc_id")
 
 
+def doc_bpe_fertility(sf_dir: str):
+    """Tokenizer-health (fertility) audit before mixing: BPE tokens per
+    word, rolled up per (source, predicted lang) — the check that a
+    tokenizer isn't mis-pricing some slice of the corpus 2-5x (code,
+    URLs, non-English) before token budgets are set from it.  64
+    corpus-learned merges (a deliberately small vocab: the synthetic
+    corpus's word inventory is tiny, and 256 merges fully merge every
+    word, collapsing fertility to exactly 1.0 everywhere — vacuous),
+    broadcast rank table, per-doc counts folded
+    to #(source x lang) cells by the tree combine — the driver holds
+    cells, never docs.  Rows-only (the greedy lowest-rank encode is a
+    fold, not SQL); counts are pinned bit-exact vs a single-process
+    local twin by pytest (tests/test_bpe.py)."""
+    from valere_ocr_ray.ops.bpe import bpe_token_counts, train_bpe
+    from valere_ocr_ray.ops.combine import tree_keyed_sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+    )
+    merges = train_bpe(ds, num_merges=64, num_partitions=8)
+    out = bpe_token_counts(ds, merges, concurrency=4)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "lang": textstats.langid_batch(df[["text"]], "text")[
+                    "lang_pred"
+                ].to_numpy(),
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "n_words": df["text"]
+                .str.count(textstats.TOKEN_RE)
+                .to_numpy(np.int64),
+                "n_bpe": df["n_bpe_tokens"].to_numpy(np.int64),
+            }
+        ).groupby(["source", "lang"], as_index=False).sum()
+
+    cells = tree_keyed_sum(
+        out.map_batches(partial, batch_format="pandas"),
+        ["source", "lang"],
+        ["n_docs", "n_words", "n_bpe"],
+    )
+    return cells.map_batches(
+        lambda df: df.assign(
+            fertility_per_mil=(
+                df["n_bpe"] * 1000 // df["n_words"].clip(lower=1)
+            ).astype("int64")
+        ),
+        batch_format="pandas",
+    ).sort(["source", "lang"])
+
+
 def doc_bigram_logprob(sf_dir: str):
     """Interpolated bigram-LM quality score — the CCNet LM filter
     (Wenzek et al. 2020) one order up from ``doc_unigram_logprob``:

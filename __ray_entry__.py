@@ -1851,8 +1851,10 @@ def oracle_sql() -> dict[str, str]:
             # text (three id-keyed appends, mirrored verbatim); every
             # ratio is floor-divided per-mil on BIGINTs, the regex set
             # (\S+ words, \S*[A-Za-z]\S* alpha words, \b stop words,
-            # non-overlapping '...') is identical on both engines, and
-            # the bullet trim char set matches python str.strip()
+            # non-overlapping '...') runs re.ASCII-pinned on the
+            # engine side so it means the SAME THING as RE2's ASCII
+            # classes here even on non-ASCII text, and the bullet trim
+            # set is the 5 ASCII blanks on both sides (ADVICE r3)
             "WITH aug AS (SELECT doc_id, text "
             "|| CASE WHEN doc_id % 9 = 3 THEN chr(10) || "
             "'the model be to of and that we have with data.' ELSE '' END "

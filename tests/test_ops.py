@@ -2561,3 +2561,40 @@ def test_mix_unimax_epoch_repeats(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_gopher_keep_ascii_pinned():
+    """ADVICE r3 item 1: the gopher battery's \\s/\\b/strip semantics
+    are ASCII-pinned to the RE2 oracle — NBSP is NOT whitespace, a
+    non-ASCII letter IS a word boundary, on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from valere_ocr_ray.ops.textstats import gopher_keep
+
+    nbsp_bullet = " - not a bullet under ASCII trim\nplain line"
+    abutting = "théthe qué"  # 'the' bounded by non-ASCII letters
+    texts = pd.Series([nbsp_bullet, abutting])
+
+    # engine side: NBSP survives the ASCII strip -> line doesn't match
+    # the bullet class; 'the' abutting 'é' still \b-matches under
+    # re.ASCII (é is a non-word char there)
+    import re
+
+    assert not re.match(r"[-*•]", nbsp_bullet.split("\n")[0].strip(" \t\r\f\v"))
+    assert re.search(r"\bthe\b", abutting, re.ASCII)
+
+    # oracle side agrees on both judgements
+    con = duckdb.connect()
+    sql_bullet = con.execute(
+        "SELECT regexp_matches(trim(?, ' ' || chr(9) || chr(13) || chr(12) "
+        "|| chr(11)), '^[-*•]')",
+        [nbsp_bullet.split("\n")[0]],
+    ).fetchone()[0]
+    assert sql_bullet is False
+    sql_stop = con.execute(
+        r"SELECT regexp_matches(?, '\bthe\b')", [abutting]
+    ).fetchone()[0]
+    assert sql_stop is True
+    # and the composed verdict still runs clean over non-ASCII input
+    assert gopher_keep(texts).shape == (2,)

@@ -532,6 +532,20 @@ def tfidf_top_terms(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def quality_tier(alpha_ratio: np.ndarray, stop_per_ktok: np.ndarray) -> np.ndarray:
+    """FineWeb-style quality tier from the integer-scaled signals —
+    THE single definition shared by ``doc_quality_tiers`` (the oracled
+    query) and the corpus-report datasheet (ADVICE r3 item 2: a retune
+    must move both or the datasheet silently desyncs from the oracle):
+    tier 2 = alpha >= 825 per-mil AND stop >= 40 per-ktok; tier 1 =
+    alpha >= 815; tier 0 = rest."""
+    a = np.asarray(alpha_ratio, dtype=np.int64)
+    s = np.asarray(stop_per_ktok, dtype=np.int64)
+    return np.where((a >= 825) & (s >= 40), 2, np.where(a >= 815, 1, 0)).astype(
+        np.int64
+    )
+
+
 _GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -544,19 +558,32 @@ def gopher_keep(text: pd.Series) -> np.ndarray:
     bullet-start lines < 90%, ellipsis-end lines < 30%, words with an
     alphabetic char > 80%, >= 2 of the 8 canonical stop words.  All
     ratios in integer per-mil (floor division) so the verdict is
-    float-free and engine-independent; one vectorized pass, O(doc)."""
+    float-free and engine-independent; one vectorized pass, O(doc).
+
+    Every ``\\s``/``\\S``/``\\b`` here is ``re.ASCII``-pinned and the
+    bullet strip set is the 5 ASCII blanks — matching the SQL oracle's
+    RE2 ASCII classes and ``trim(' '||chr(9)||chr(13)||chr(12)||
+    chr(11))`` EXACTLY, so a line starting with NBSP+'-' or a stop word
+    abutting a non-ASCII letter cannot diverge engine-vs-oracle
+    (ADVICE r3 item 1)."""
     text = text.astype(str)
     low = text.str.lower()
-    n_words = text.str.count(r"\S+").astype("int64")
+    n_words = text.str.count(re.compile(r"\S+", re.ASCII)).astype("int64")
     nw1 = n_words.clip(lower=1)
-    n_chars = text.str.replace(r"\s+", "", regex=True).str.len().astype("int64")
+    n_chars = (
+        text.str.replace(re.compile(r"\s+", re.ASCII), "", regex=True)
+        .str.len()
+        .astype("int64")
+    )
     mean_len = n_chars * 1000 // nw1
     n_sym = (
         text.str.count("#") + text.str.count(r"\.\.\.") + text.str.count("…")
     ).astype("int64")
-    n_alpha = text.str.count(r"\S*[A-Za-z]\S*").astype("int64")
+    n_alpha = text.str.count(
+        re.compile(r"\S*[A-Za-z]\S*", re.ASCII)
+    ).astype("int64")
     n_stop = sum(
-        low.str.contains(rf"\b{w}\b", regex=True).astype("int64")
+        low.str.contains(re.compile(rf"\b{w}\b", re.ASCII)).astype("int64")
         for w in _GOPHER_STOP_WORDS
     )
     idx = pd.RangeIndex(len(text))
@@ -567,8 +594,10 @@ def gopher_keep(text: pd.Series) -> np.ndarray:
     per_line = pd.DataFrame(
         {
             "i": ex["i"].to_numpy(dtype=np.int64),
-            "bullet": ln.str.strip().str.match(r"[-*•]").to_numpy(),
-            "ell": ln.str.contains(r"(?:\.\.\.|…)\s*$", regex=True).to_numpy(),
+            "bullet": ln.str.strip(" \t\r\f\v").str.match(r"[-*•]").to_numpy(),
+            "ell": ln.str.contains(
+                re.compile(r"(?:\.\.\.|…)\s*$", re.ASCII)
+            ).to_numpy(),
         }
     )
     agg = (

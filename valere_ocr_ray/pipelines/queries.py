@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -5080,13 +5081,15 @@ def doc_quality_tiers(sf_dir: str):
 
     def tiered(df: pd.DataFrame) -> pd.DataFrame:
         qual = textstats.quality_batch(df, "text")
-        a = qual["alpha_ratio"].to_numpy(np.int64)
-        s = qual["stop_per_ktok"].to_numpy(np.int64)
-        tier = np.where((a >= 825) & (s >= 40), 2, np.where(a >= 815, 1, 0))
+        # the ONE tier rule, shared with the datasheet (ADVICE r3)
+        tier = textstats.quality_tier(
+            qual["alpha_ratio"].to_numpy(np.int64),
+            qual["stop_per_ktok"].to_numpy(np.int64),
+        )
         toks = df["text"].str.count(textstats.TOKEN_RE).astype("int64")
         g = pd.DataFrame(
             {
-                "tier": tier.astype(np.int64),
+                "tier": tier,
                 "n_docs": np.ones(len(df), dtype=np.int64),
                 "toks": toks.to_numpy(np.int64),
             }
@@ -5333,21 +5336,28 @@ def doc_gopher_filters(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def signals(df: pd.DataFrame) -> pd.DataFrame:
+        # \s/\S/\b re.ASCII-pinned + 5-ASCII-blank strip set == the
+        # oracle's RE2/trim semantics exactly (ADVICE r3 item 1; same
+        # pin as ops/textstats.gopher_keep)
         text = _plant_gopher(df)
         low = text.str.lower()
-        n_words = text.str.count(r"\S+").astype("int64")
+        n_words = text.str.count(re.compile(r"\S+", re.ASCII)).astype("int64")
         nw1 = n_words.clip(lower=1)
         n_chars = (
-            text.str.replace(r"\s+", "", regex=True).str.len().astype("int64")
+            text.str.replace(re.compile(r"\s+", re.ASCII), "", regex=True)
+            .str.len()
+            .astype("int64")
         )
         n_sym = (
             text.str.count("#")
             + text.str.count(r"\.\.\.")
             + text.str.count("…")
         ).astype("int64")
-        n_alpha = text.str.count(r"\S*[A-Za-z]\S*").astype("int64")
+        n_alpha = text.str.count(
+            re.compile(r"\S*[A-Za-z]\S*", re.ASCII)
+        ).astype("int64")
         n_stop = sum(
-            low.str.contains(rf"\b{w}\b", regex=True).astype("int64")
+            low.str.contains(re.compile(rf"\b{w}\b", re.ASCII)).astype("int64")
             for w in _GOPHER_STOPS
         )
         ex = df.assign(_ln=text.str.split("\n"))[["doc_id", "_ln"]].explode(
@@ -5357,9 +5367,9 @@ def doc_gopher_filters(sf_dir: str):
         per_line = pd.DataFrame(
             {
                 "doc_id": ex["doc_id"].to_numpy(dtype=np.int64),
-                "bullet": ln.str.strip().str.match(r"[-*•]").to_numpy(),
+                "bullet": ln.str.strip(" \t\r\f\v").str.match(r"[-*•]").to_numpy(),
                 "ell": ln.str.contains(
-                    r"(?:\.\.\.|…)\s*$", regex=True
+                    re.compile(r"(?:\.\.\.|…)\s*$", re.ASCII)
                 ).to_numpy(),
             }
         )

@@ -45,9 +45,11 @@ def _signals(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
 
     text = df[text_col].astype(str)
     qual = textstats.quality_batch(df[[text_col]], text_col)
-    a = qual["alpha_ratio"].to_numpy(np.int64)
-    s = qual["stop_per_ktok"].to_numpy(np.int64)
-    tier = np.where((a >= 825) & (s >= 40), 2, np.where(a >= 815, 1, 0))
+    # the ONE tier rule, shared with doc_quality_tiers (ADVICE r3)
+    tier = textstats.quality_tier(
+        qual["alpha_ratio"].to_numpy(np.int64),
+        qual["stop_per_ktok"].to_numpy(np.int64),
+    )
     low = text.str.lower()
     c4 = (
         ~low.str.contains("lorem ipsum", regex=False)

@@ -1497,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN left(to_hex(html), 8) = '89504E47' "
             f"OR left(to_hex(html), 6) = 'FFD8FF' "
             f"OR left(to_hex(html), 8) IN ('49492A00', '4D4D002A') "
+            f"OR left(to_hex(html), 12) IN ('474946383761', '474946383961') "
             f"OR left(to_hex(html), 4) IN ('424D', '5036') THEN 'image' "
             f"ELSE 'unknown' END AS doc_kind, count(*) AS n "
             f"FROM read_parquet('{_PAGES_GLOB}') GROUP BY 1"

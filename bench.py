@@ -115,6 +115,9 @@ def _run_benchmarks() -> dict:
         timed("doc_holdout_split", q.doc_holdout_split)
         timed("doc_gopher_filters", q.doc_gopher_filters)
         timed("doc_unimax_mix", q.doc_unimax_mix)
+        timed("doc_gopher_repetition", q.doc_gopher_repetition)
+        timed("doc_unimax_epochs", q.doc_unimax_epochs)
+        timed("doc_bpe_fertility", q.doc_bpe_fertility)
 
     ray.shutdown()
     return {

@@ -59,6 +59,7 @@ def oracle_row(i: int) -> dict:
         or html[:8] == b"\x89PNG\r\n\x1a\n"
         or html[:3] == b"\xff\xd8\xff"
         or html[:4] in (b"II*\x00", b"MM\x00*")
+        or html[:6] in (b"GIF87a", b"GIF89a")
     ):
         # scanned raster card: the golden expectation is the PRINTED
         # text (canonicalized) — the OCR kernel under test never runs

@@ -5,9 +5,9 @@ Textract OCR (``IDD/finalcodes/InsuranceCard1.py:89-109``,
 ``Facesheet.py:87-88``).  This container ships no OCR model, but the
 OCR *pipeline shape* — decode pixels, find text lines, segment glyph
 cells, classify each cell, emit byte-stable text — is fully
-implementable over the repo's dependency-free BMP/PPM/PNG/JPEG
-decoders (``extract/image_decode.py``, ``extract/jpeg.py``) with a
-fixed bitmap font:
+implementable over the repo's dependency-free BMP/PPM/PNG/JPEG/TIFF/
+GIF decoders (``extract/image_decode.py``, ``extract/jpeg.py``,
+``extract/tiff.py``, ``extract/gif.py``) with a fixed bitmap font:
 
 * ``render_text_image`` is the corpus-synthesis twin: it rasterizes
   text with the module's 5x7 font on a strict 6px-pitch grid (the
@@ -250,8 +250,8 @@ def ocr_image(pixels: np.ndarray) -> str:
 
 def ocr_image_bytes(payload: bytes) -> str:
     """The ``PageExtractor`` OCR seam: image bytes -> text.  Raises
-    :class:`ImageFormatError` for formats without a decoder (PNG/JPEG —
-    no codecs in this environment), which the extractor routes to
+    :class:`ImageFormatError` for formats without a decoder (WebP,
+    progressive JPEG), which the extractor routes to
     ``skipped_image_no_ocr`` rather than an error."""
     return ocr_image(decode_image(payload))
 

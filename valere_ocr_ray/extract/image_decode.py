@@ -39,6 +39,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -313,7 +315,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         from valere_ocr_ray.extract.tiff import decode_tiff
 
         return decode_tiff(payload)
-    raise ImageFormatError("undecodable format (no BMP/PPM/PNG/JPEG/TIFF magic)")
+    if fmt == "gif":
+        from valere_ocr_ray.extract.gif import decode_gif
+
+        return decode_gif(payload)
+    raise ImageFormatError(
+        "undecodable format (no BMP/PPM/PNG/JPEG/TIFF/GIF magic)"
+    )
 
 
 def image_feature(pixels: np.ndarray, dim: int = 32) -> np.ndarray:

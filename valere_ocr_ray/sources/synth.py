@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 6  # v6: TIFF cards + scanned (image-only) PDFs in the PDF slot
+CORPUS_VERSION = 7  # v7: +GIF cards (v6: TIFF cards + scanned image-only PDFs)
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -348,22 +348,25 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
     )
     from valere_ocr_ray.extract.jpeg import encode_jpeg
 
+    from valere_ocr_ray.extract.gif import encode_gif
     from valere_ocr_ray.extract.tiff import encode_tiff
 
     img = render_text_image(_scanned_card_lines(r))
     # i % 100 == 95 is always odd — rotate container by the hundreds so
-    # every decodable raster format (BMP/PPM/PNG/JPEG/TIFF) appears in
-    # the corpus.  JPEG is lossy, but at quality 90 the glyph
+    # every decodable raster format (BMP/PPM/PNG/JPEG/TIFF/GIF) appears
+    # in the corpus.  JPEG is lossy, but at quality 90 the glyph
     # binarization is pixel-exact (pinned by test_glyph_ocr), so the
-    # golden text contract holds across all five containers.  TIFF
-    # ships the scanner default: LZW + horizontal predictor.
+    # golden text contract holds across all six containers.  TIFF
+    # ships the scanner default (LZW + horizontal predictor); GIF is
+    # palettized (2-color card) per the web norm.
     enc = (
         encode_bmp,
         encode_ppm,
         encode_png,
         encode_jpeg,
         lambda px: encode_tiff(px, lzw=True, predictor=True),
-    )[(i // 100) % 5]
+        encode_gif,
+    )[(i // 100) % 6]
     return enc(img)
 
 
@@ -567,6 +570,8 @@ def synth_row(i: int) -> tuple[str, int, bytes, str, str]:
         ext = ".jpg"
     elif html[:4] in (b"II*\x00", b"MM\x00*"):
         ext = ".tif"
+    elif html[:6] in (b"GIF87a", b"GIF89a"):
+        ext = ".gif"
     else:
         ext = ".html"
     url = f"https://site{i % 97}.example/{slug}/{i:08d}{ext}"

@@ -60,6 +60,8 @@ def _sniff_kinds(html: pa.BinaryArray) -> pa.Array:
         (2, b"P6"),
         (4, b"II*\x00"),
         (4, b"MM\x00*"),
+        (6, b"GIF87a"),
+        (6, b"GIF89a"),
     ):
         is_image = pc.or_(is_image, _prefix_is(n, lit))
 

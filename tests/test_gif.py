@@ -106,3 +106,108 @@ def test_gif_rows_extract_in_pipeline(ray_session, tmp_path):
     assert (gifs["doc_type"].astype(str) == "INSURANCE_CARD").all()
     assert gifs["extracted_text"].str.contains("MEMBER ID").all()
     assert gifs["ocr_used"].all()
+
+
+def test_animated_gif_frame_round_trip():
+    from valere_ocr_ray.extract.gif import decode_gif_frames, encode_gif_frames
+
+    rng = np.random.default_rng(4)
+    lut = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    frames = [lut[rng.integers(0, 17, (21, 30))] for _ in range(5)]
+    gif = encode_gif_frames(frames)
+    back = decode_gif_frames(gif)
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    assert len(decode_gif_frames(gif, max_frames=2)) == 2
+    # first-frame decode path sees frame 0 of the animation
+    assert (decode_gif(gif) == frames[0]).all()
+
+
+def test_animated_gif_composition_semantics():
+    """GIF89a composition: partial frames land at (left, top),
+    transparent pixels keep the prior canvas, disposal 2 restores the
+    region to background."""
+    import struct
+
+    from valere_ocr_ray.extract.gif import (
+        decode_gif_frames,
+        gif_lzw_encode,
+    )
+
+    # hand-built 4x3 canvas, global palette [black, red, green]
+    pal = b"\x00\x00\x00" + b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 3, 0x80 | 1 | (1 << 4), 0, 0)  # 4-color GCT
+    out += pal
+
+    def img_block(x, y, w, h, indexes, *, gce=None):
+        b = bytearray()
+        if gce is not None:
+            packed, tidx = gce
+            b += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, packed, 0, tidx, 0)
+        b += struct.pack("<BHHHHB", 0x2C, x, y, w, h, 0)
+        b.append(2)  # min code size
+        data = gif_lzw_encode(bytes(indexes), 2)
+        b.append(len(data))
+        b += data
+        b.append(0)
+        return b
+
+    # frame 1: full canvas of red, disposal 2 (packed bits 2-4;
+    # restore to bg after)
+    out += img_block(0, 0, 4, 3, [1] * 12, gce=(2 << 2, 0))
+    # frame 2: 2x1 green patch at (1,1), disposal 1 + index 0
+    # TRANSPARENT (packed bit 0)
+    out += img_block(1, 1, 2, 1, [2, 0], gce=((1 << 2) | 1, 0))
+    out.append(0x3B)
+
+    f = decode_gif_frames(bytes(out))
+    assert len(f) == 2
+    assert (f[0] == [255, 0, 0]).all()  # all red
+    # frame 2: canvas restored to background (black), patch green at
+    # (1,1), transparent pixel at (1,2) stays background
+    assert (f[1][1, 1] == [0, 255, 0]).all()
+    assert (f[1][1, 2] == [0, 0, 0]).all()
+    assert (f[1][0, 0] == [0, 0, 0]).all()
+
+
+def test_sample_gif_frames_stage(ray_session):
+    """The multimodal frame-sample stage: one row per sampled frame
+    (BMP payloads a downstream feature stage consumes for real),
+    non-GIF payloads routed not dropped."""
+    import ray.data as rd
+
+    from valere_ocr_ray.extract.image_decode import decode_bmp
+    from valere_ocr_ray.ops.multimodal import (
+        extract_media_features,
+        sample_gif_frames,
+        synth_media_table,
+    )
+
+    t = synth_media_table(40)
+    out = sample_gif_frames(
+        rd.from_arrow(t), every_n=2, max_frames=3
+    ).to_pandas()
+    vids = out[out["media_type"] == "video"]
+    assert (vids["status"] == "ok").all() and len(vids) > 0
+    assert (vids["frame_index"] % 2 == 0).all()
+    assert vids.groupby("media_id").size().max() <= 3
+    # frames are real decodable BMPs of the logical screen
+    px = decode_bmp(vids["payload"].iloc[0])
+    assert px.shape == (18, 24, 3)
+    # non-GIF media pass through as single skipped rows
+    rest = out[out["media_type"] != "video"]
+    assert (rest["status"] == "skipped_no_decoder").all()
+    assert (rest["frame_index"] == -1).all()
+    # composition: relabeled frames feature-extract through the REAL
+    # image path (decoded geometry in the feature tail)
+    frames_ds = rd.from_pandas(
+        vids.assign(media_type="image", width=0, height=0, duration_ms=0)[
+            ["media_id", "url", "media_type", "payload", "width", "height",
+             "duration_ms"]
+        ]
+    )
+    feats = extract_media_features(frames_ds, concurrency=2).to_pandas()
+    assert (feats["status"] == "ok").all()
+    assert (feats["decoded_w"] == 24).all() and (feats["decoded_h"] == 18).all()

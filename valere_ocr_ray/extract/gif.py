@@ -168,31 +168,40 @@ def _skip_subblocks(payload: bytes, pos: int) -> int:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes → (h, w, 3) uint8 RGB of the FIRST frame."""
+def _iter_frames(payload: bytes):
+    """Yield ``(x, y, idx_array, palette, gce)`` per image descriptor;
+    ``gce`` is ``(disposal, transparent_index | None)`` from the
+    preceding Graphic Control Extension (0, None when absent)."""
     if not sniff_gif(payload):
         raise ImageFormatError("not a GIF")
     if len(payload) < 13:
         raise ImageFormatError("truncated GIF header")
-    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n_colors = 2 << (flags & 0x07)
         gct = _read_color_table(payload, pos, n_colors)
         pos += 3 * n_colors
+    yield (sw, sh, gct, bg)  # header tuple first
     n = len(payload)
+    gce: tuple[int, int | None] = (0, None)
     while pos < n:
         block = payload[pos]
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks
             if pos >= n:
                 raise ImageFormatError("truncated GIF extension")
+            label = payload[pos]
+            if label == 0xF9 and pos + 6 <= n:  # Graphic Control Ext
+                packed = payload[pos + 2]
+                tidx = payload[pos + 5] if packed & 1 else None
+                gce = ((packed >> 2) & 0x7, tidx)
             pos = _skip_subblocks(payload, pos + 1)
-        elif block == 0x2C:  # image descriptor — the first frame
+        elif block == 0x2C:  # image descriptor
             if pos + 9 > n:
                 raise ImageFormatError("truncated GIF image descriptor")
-            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            x, y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             if w <= 0 or h <= 0:
                 raise ImageFormatError("degenerate GIF dimensions")
@@ -225,19 +234,71 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 deinter = np.empty_like(idx)
                 src = 0
                 for start, step in _INTERLACE_PASSES:
-                    rows = range(start, h, step)
-                    for r in rows:
+                    for r in range(start, h, step):
                         deinter[r] = idx[src]
                         src += 1
                 idx = deinter
             if int(idx.max(initial=0)) >= len(table):
                 raise ImageFormatError("GIF palette index out of range")
-            return table[idx]
+            yield (x, y, idx, table, gce)
+            gce = (0, None)
         elif block == 0x3B:  # trailer
-            break
+            return
         else:
             raise ImageFormatError(f"unknown GIF block 0x{block:02x}")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (h, w, 3) uint8 RGB of the FIRST frame."""
+    it = _iter_frames(payload)
+    next(it)  # header
+    for x, y, idx, table, _gce in it:
+        return table[idx]
     raise ImageFormatError("GIF contains no image")
+
+
+def decode_gif_frames(
+    payload: bytes, *, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Animated GIF → composed full-canvas RGB frames (the real kernel
+    behind the multimodal frame-sample stage).
+
+    Composition per GIF89a: each frame's rectangle lands at its
+    (left, top) on the logical screen; transparent-index pixels leave
+    the canvas unchanged; disposal 0/1 leave the region, disposal 2
+    restores it to the background color.  Disposal 3
+    (restore-previous) raises — the documented seam for the rare
+    archival GIFs that use it."""
+    it = _iter_frames(payload)
+    sw, sh, gct, bg = next(it)
+    if sw <= 0 or sh <= 0:
+        raise ImageFormatError("degenerate GIF logical screen")
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    for x, y, idx, table, (disposal, tidx) in it:
+        if disposal >= 3:
+            raise ImageFormatError(f"unsupported GIF disposal {disposal}")
+        h, w = idx.shape
+        if y + h > sh or x + w > sw:
+            raise ImageFormatError("GIF frame outside logical screen")
+        region = canvas[y : y + h, x : x + w]
+        rgb = table[idx]
+        if tidx is not None:
+            mask = idx != tidx
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore region to background
+            canvas[y : y + h, x : x + w] = bg_rgb
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ImageFormatError("GIF contains no image")
+    return frames
 
 
 # ---------------------------------------------------------------- encode
@@ -277,9 +338,56 @@ def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_gif_frames(
+    frames: list[np.ndarray], *, delay_cs: int = 10
+) -> bytes:
+    """Full-canvas RGB frames (shared ≤256-color palette) → animated
+    GIF89a bytes (NETSCAPE loop block, GCE disposal 1 per frame) — the
+    test/synth twin of :func:`decode_gif_frames`."""
+    if not frames:
+        raise ValueError("encode_gif_frames: no frames")
+    h, w, _ = frames[0].shape
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif_frames: more than 256 distinct colors")
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_pal = 1 << bits
+    palette = np.zeros((n_pal, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bits - 1) & 7) | ((bits - 1) << 4), 0, 0
+    )
+    out += palette.tobytes()
+    # NETSCAPE2.0 loop-forever application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    per_frame = w * h
+    for k, f in enumerate(frames):
+        if f.shape != (h, w, 3):
+            raise ValueError("encode_gif_frames: frames must share geometry")
+        # GCE: size 4, packed 0x04 (disposal 1, no transparency),
+        # delay, transparent idx 0, terminator
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(mcs)
+        idx = inv[k * per_frame : (k + 1) * per_frame].astype(np.uint8)
+        data = gif_lzw_encode(idx.tobytes(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 __all__ = [
     "decode_gif",
+    "decode_gif_frames",
     "encode_gif",
+    "encode_gif_frames",
     "gif_lzw_decode",
     "gif_lzw_encode",
     "sniff_gif",

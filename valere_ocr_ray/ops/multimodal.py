@@ -153,11 +153,88 @@ def extract_media_features(
 
 def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:
     """Deterministic frame-sampling timestamps for a video payload —
-    the plan half of a decode+sample stage (the decode half is the
-    stubbed kernel above)."""
+    the plan half of a decode+sample stage (the decode half is real
+    for animated GIFs via :func:`sample_gif_frames`; ffmpeg-class
+    containers stay behind the stub)."""
     if duration_ms <= 0:
         return []
     return list(range(0, duration_ms, every_ms))
+
+
+def sample_gif_frames(
+    ds: ray.data.Dataset,
+    *,
+    every_n: int = 2,
+    max_frames: int = 8,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """REAL frame sampling for animated-GIF video payloads: decode the
+    composed frame sequence (``extract/gif.decode_gif_frames`` —
+    GIF89a composition with placement/transparency/disposal), keep
+    every ``every_n``-th frame up to ``max_frames``, and emit ONE ROW
+    PER SAMPLED FRAME with the frame re-encoded as BMP — the layout
+    downstream per-frame feature/resize stages already consume.
+    Non-GIF payloads pass through as a single ``skipped_no_decoder``
+    row (the ffmpeg-class seam); corrupt GIFs route to
+    ``error_decode``.  Rows are never dropped.
+
+    Scale shape: pure flat-map — no shuffle, no driver state; frames
+    multiply bytes by ≤ ``max_frames``, so ``batch_size`` stays small
+    like every payload-wide stage (module docstring)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        from valere_ocr_ray.extract.gif import decode_gif_frames, sniff_gif
+        from valere_ocr_ray.extract.image_decode import encode_bmp
+
+        payloads = batch["payload"]
+        ids = batch["media_id"].to_pylist()
+        urls = batch["url"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        out = {
+            "media_id": [],
+            "url": [],
+            "media_type": [],
+            "frame_index": [],
+            "n_frames": [],
+            "payload": [],
+            "status": [],
+        }
+
+        def emit(i, frame_index, n_frames, payload, status):
+            out["media_id"].append(ids[i])
+            out["url"].append(urls[i])
+            out["media_type"].append(types[i])
+            out["frame_index"].append(frame_index)
+            out["n_frames"].append(n_frames)
+            out["payload"].append(payload)
+            out["status"].append(status)
+
+        for i in range(len(batch)):
+            buf = payloads[i].as_buffer().to_pybytes()
+            if not sniff_gif(buf):
+                emit(i, -1, 0, buf, "skipped_no_decoder")
+                continue
+            try:
+                frames = decode_gif_frames(buf)
+            except Exception:
+                emit(i, -1, 0, buf, "error_decode")
+                continue
+            picks = list(range(0, len(frames), max(1, every_n)))[:max_frames]
+            for k in picks:
+                emit(i, k, len(frames), encode_bmp(frames[k]), "ok")
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "url": pa.array(out["url"], pa.string()),
+                "media_type": pa.array(out["media_type"], pa.string()),
+                "frame_index": pa.array(out["frame_index"], pa.int32()),
+                "n_frames": pa.array(out["n_frames"], pa.int32()),
+                "payload": pa.array(out["payload"], pa.binary()),
+                "status": pa.array(out["status"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=batch_size)
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
@@ -198,6 +275,23 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
                 n_s
             ).astype(np.float32)
             payload = encode_wav(wave, rate)
+            w = h = 0
+        elif mt == "video":
+            # REAL animated-GIF payloads: a seeded square marching
+            # across a dark canvas (shared tiny palette), so the
+            # frame-sample stage decodes genuine multi-frame content
+            from valere_ocr_ray.extract.gif import encode_gif_frames
+
+            rng = np.random.default_rng(int.from_bytes(d[:4], "little"))
+            w, h = 24, 18
+            fg = rng.integers(64, 256, 3).astype(np.uint8)
+            frames = []
+            for k in range(3 + i % 5):
+                f = np.zeros((h, w, 3), dtype=np.uint8)
+                x0 = (2 + 3 * k) % (w - 4)
+                f[4:10, x0 : x0 + 4] = fg
+                frames.append(f)
+            payload = encode_gif_frames(frames)
             w = h = 0
         else:
             w = h = 0

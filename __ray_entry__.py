@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled flagship projection (VERDICT r3 item 2): md5-prefix
         # parity of extracted_text against the input-stored F5 probe
         "pages_extract_stats": q.pages_extract_stats,
+        # oracled OCR-leg audit: per pdf/image row, expected
+        # ok/ocr_used/marker recomputed from the input alone
+        "pages_ocr_stats": q.pages_ocr_stats,
         "pages_exact_dedup": q.pages_exact_dedup,
         "pages_url_tokens": q.pages_url_tokens,
         "pages_kind_counts": q.pages_kind_counts,
@@ -1350,6 +1353,28 @@ def oracle_sql() -> dict[str, str]:
         "pages_exact_dedup": (
             f"SELECT min(url) AS url, count(*) AS n_copies "
             f"FROM read_parquet('{_PAGES_GLOB}') GROUP BY html"
+        ),
+        "pages_ocr_stats": (
+            # the OCR-leg expectation stated from the INPUT alone: every
+            # raster container and every pdf extracts ok with its
+            # planted marker; ocr_used is 1 for rasters and for the
+            # scanned quarter of the pdf slot ((i//100)%4==3, i from
+            # the url's zero-padded row index).  A decoder regression
+            # in ANY family (BMP/PPM/PNG/JPEG/TIFF/GIF, PDF XObjects)
+            # flips a row and fails the hash.
+            f"SELECT url, CASE WHEN left(to_hex(html), 10) = '255044462D' "
+            f"THEN 'pdf' ELSE 'image' END AS doc_kind, "
+            f"CAST(1 AS BIGINT) AS ok, "
+            f"CAST(CASE WHEN left(to_hex(html), 10) = '255044462D' THEN "
+            f"CASE WHEN (CAST(regexp_extract(url, '([0-9]{{8}})', 1) AS BIGINT) "
+            f"// 100) % 4 = 3 THEN 1 ELSE 0 END ELSE 1 END AS BIGINT) "
+            f"AS ocr_used, CAST(1 AS BIGINT) AS has_marker "
+            f"FROM read_parquet('{_PAGES_GLOB}') "
+            f"WHERE left(to_hex(html), 10) = '255044462D' "
+            f"OR left(to_hex(html), 8) IN ('89504E47', '49492A00', '4D4D002A') "
+            f"OR left(to_hex(html), 6) = 'FFD8FF' "
+            f"OR left(to_hex(html), 12) IN ('474946383761', '474946383961') "
+            f"OR left(to_hex(html), 4) IN ('424D', '5036')"
         ),
         "pages_extract_stats": (
             # the flagship-projection oracle: every probe-carrying row

@@ -4611,6 +4611,43 @@ def pages_extract_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pandas")
 
 
+def pages_ocr_stats(sf_dir: str):
+    """ORACLED per-row audit of the OCR / raster legs — one row per
+    pdf/image page with ``(ok, ocr_used, has_marker)``.  The DuckDB
+    oracle states the EXPECTATION from the input alone: every admitted
+    raster (all six containers: BMP/PPM/PNG/JPEG/TIFF/GIF) and every
+    PDF must extract ok and contain its planted marker ('MEMBER ID:'
+    on cards, 'RENTAL AGREEMENT' in agreements), and ``ocr_used`` must
+    be 1 exactly for rasters + the SCANNED quarter of the PDF slot
+    (recomputed from the row index embedded in the url — the corpus
+    schedule is deterministic).  Any decoder/OCR/XObject regression in
+    any family flips a row and fails the driver hash."""
+    pages_dir = ensure_pages(sf_dir)
+    ds = build_extraction_ds(pages_dir)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_kind"].isin(["pdf", "image"])]
+        text = df["extracted_text"].astype(str)
+        is_pdf = df["doc_kind"].to_numpy() == "pdf"
+        has = np.asarray(
+            [
+                ("RENTAL AGREEMENT" if p else "MEMBER ID:") in t
+                for t, p in zip(text, is_pdf)
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "url": df["url"].to_numpy(),
+                "doc_kind": df["doc_kind"].to_numpy(),
+                "ok": (df["status"] == "ok").to_numpy().astype("int64"),
+                "ocr_used": df["ocr_used"].to_numpy().astype("int64"),
+                "has_marker": has.astype("int64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 def pages_line_dedup(sf_dir: str):
     """Corpus-level boilerplate-line strip over the FLAGSHIP surface:
     extract the pages corpus, then drop every text line that appears in

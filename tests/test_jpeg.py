@@ -9,7 +9,11 @@ from valere_ocr_ray.extract.image_decode import (
     decode_image,
     sniff_image_format,
 )
-from valere_ocr_ray.extract.jpeg import decode_jpeg, encode_jpeg
+from valere_ocr_ray.extract.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 
 def _gradient(h=40, w=56):
@@ -87,12 +91,13 @@ def test_corrupt_and_unsupported_raise():
         decode_jpeg(good[:20])  # truncated before SOS
     with pytest.raises(ImageFormatError):
         decode_jpeg(b"notajpeg")
-    # progressive marker (SOF2) rejected cleanly
-    prog = bytearray(good)
-    idx = prog.find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
+    # arithmetic-coding marker (SOF9) rejected cleanly (progressive
+    # SOF2 is now a SUPPORTED mode — see the progressive tests below)
+    arith = bytearray(good)
+    idx = arith.find(b"\xff\xc0")
+    arith[idx + 1] = 0xC9
     with pytest.raises(ImageFormatError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
 
 
 def test_restart_markers():
@@ -102,3 +107,63 @@ def test_restart_markers():
     plain = decode_jpeg(encode_jpeg(img, quality=92))
     restarted = decode_jpeg(encode_jpeg(img, quality=92, restart_interval=3))
     assert np.array_equal(plain, restarted)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) mode — the other half of real-world web JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_pixel_identical_to_baseline():
+    """Progressive is a pure reordering of the same quantized
+    coefficients, so decode(progressive) must be BYTE-IDENTICAL to
+    decode(baseline) at the same quality/subsampling — across shapes
+    (incl. odd dims and sub-MCU images), both subsampling modes and
+    several qualities."""
+    for h, w in ((1, 1), (7, 9), (8, 8), (17, 23), (40, 56)):
+        img = _gradient(h, w)
+        for sub in ("444", "420"):
+            for q in (75, 90, 95):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=q, subsampling=sub)
+                )
+                assert np.array_equal(base, prog), (h, w, sub, q)
+
+
+def test_progressive_flat_text_card_identity():
+    """Mostly-flat text-card content drives the long-EOB-run and
+    AC-refinement paths (runs of zero/correction bits); identity must
+    hold there too."""
+    from valere_ocr_ray.extract.glyph_font import render_text_image
+
+    img = render_text_image(["POLICY NO 12345", "TOTAL DUE $99.10"])
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90, subsampling=sub))
+        assert np.array_equal(base, prog), sub
+
+
+def test_progressive_sniff_and_dispatch():
+    payload = encode_jpeg_progressive(_gradient(8, 8))
+    assert payload[:2] == b"\xff\xd8"
+    assert b"\xff\xc2" in payload  # SOF2 frame marker present
+    assert sniff_image_format(payload) == "jpeg"
+    assert decode_image(payload).shape == (8, 8, 3)
+
+
+def test_ocr_through_progressive_jpeg_byte_exact():
+    """Glyph OCR over a progressive scan reproduces the printed text
+    byte-for-byte, same contract as the baseline path."""
+    from valere_ocr_ray.extract.glyph_font import (
+        canonical_text,
+        ocr_image_bytes,
+        render_text_image,
+    )
+
+    lines = ["MEMBER ID: A12345", "GROUP: XY-99", "PLAN (PPO) 7/2024"]
+    img = render_text_image(lines)
+    for q in (85, 90, 95):
+        assert ocr_image_bytes(
+            encode_jpeg_progressive(img, quality=q)
+        ) == canonical_text(lines)

@@ -8,18 +8,27 @@ Baseline sequential JPEG is fully decodable with numpy: canonical
 Huffman tables (DHT), dequantization (DQT), 8×8 inverse DCT as a pair
 of matmuls, chroma upsampling and the JFIF YCbCr→RGB transform.
 
-Decoder coverage: SOF0/SOF1 (baseline/extended sequential), 8-bit,
-1-component grayscale or 3-component YCbCr with any H/V sampling
-factors ≤ 2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart markers (DRI/RSTn),
-0xFF00 byte unstuffing.  Progressive (SOF2), arithmetic coding and
-12-bit precision raise :class:`ImageFormatError` → the extraction
-stage's documented ``skipped_image_no_ocr`` route, never a crash.
+Decoder coverage: SOF0/SOF1 (baseline/extended sequential) AND SOF2
+(progressive: spectral selection + successive approximation, EOB-run
+coding, interleaved DC scans, per spec §G.1.2 — the other half of
+real-world web JPEG), 8-bit, 1-component grayscale or 3-component
+YCbCr with any H/V sampling factors ≤ 2 (4:4:4, 4:2:2, 4:4:0,
+4:2:0), restart markers (DRI/RSTn), 0xFF00 byte unstuffing.
+Arithmetic coding, hierarchical/lossless modes and 12-bit precision
+raise :class:`ImageFormatError` → the extraction stage's documented
+``skipped_image_no_ocr`` route, never a crash.
 
-Encoder (the test/synth twin): baseline, standard Annex K quant
-tables scaled by IJG quality, the spec's K.3 Huffman tables, 4:4:4 or
-4:2:0.  Round-trip is lossy by nature; at quality ≥ 90 the error on
-high-contrast text stays far below the binarization threshold, so
-glyph OCR over a JPEG scan is byte-stable (pinned by test).
+Encoder (the test/synth twin): baseline or progressive
+(:func:`encode_jpeg_progressive`, the libjpeg default scan script),
+standard Annex K quant tables scaled by IJG quality, the spec's K.3
+Huffman tables (progressive AC scans use a flat custom table that
+covers the EOBn symbols K.3 lacks), 4:4:4 or 4:2:0.  Progressive is
+a pure reordering of the same quantized coefficients, so
+``decode(encode_progressive(img, q))`` is pinned BYTE-IDENTICAL to
+``decode(encode(img, q))``.  Round-trip is lossy by nature; at
+quality ≥ 90 the error on high-contrast text stays far below the
+binarization threshold, so glyph OCR over a JPEG scan is byte-stable
+(pinned by test).
 
 Huffman decode is table-driven: the unstuffed entropy segment becomes
 one numpy bit array, and each symbol is a single 65536-entry LUT
@@ -240,6 +249,259 @@ def _extend(v: int, s: int) -> int:
     return v
 
 
+def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start`` → (segments split at RSTn with
+    0xFF00 unstuffed, position of the terminating marker's 0xFF)."""
+    n = len(payload)
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    while p < n:
+        b = payload[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        m = payload[p + 1] if p + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or next marker
+            break
+    segments.append(bytes(cur))
+    return segments, p
+
+
+# ---------------------------------------------------------------------------
+# progressive scan decoder (spec §G.1.2; coefficient-domain, per scan)
+# ---------------------------------------------------------------------------
+
+
+def _decode_prog_scan(
+    segments: list[bytes],
+    scomps: list[tuple[int, int, int]],
+    band: tuple[int, int, int, int],
+    st: dict,
+    huff: dict,
+    restart_interval: int,
+) -> None:
+    """Decode one progressive scan into ``st['blocks']`` (per-component
+    lists of 64-int coefficient blocks, zigzag order, two's-complement
+    Python ints so successive-approximation bit surgery is exact)."""
+    ss, se, ah, al = band
+    comps = st["comps"]
+    blocks = st["blocks"]
+    if ss == 0:
+        if se != 0:
+            raise ImageFormatError("progressive DC scan requires Se=0")
+        is_dc = True
+    else:
+        if len(scomps) != 1:
+            raise ImageFormatError("progressive AC scan must be one component")
+        if se > 63 or ss > se:
+            raise ImageFormatError("bad spectral band")
+        is_dc = False
+
+    # ns>1 (DC only) walks interleaved MCUs; ns==1 walks the
+    # component's own block raster (spec A.2: non-interleaved order)
+    interleaved = len(scomps) > 1
+
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    w32, pos = reader.w32, 0
+    preds = {ci: 0 for ci, _, _ in scomps}
+    eobrun = 0
+    unit_in_seg = 0
+
+    def next_segment() -> None:
+        nonlocal seg_i, reader, w32, pos, preds, eobrun, unit_in_seg
+        seg_i += 1
+        if seg_i >= len(segments):
+            raise ImageFormatError("missing restart segment")
+        reader = _BitReader(segments[seg_i])
+        w32, pos = reader.w32, 0
+        preds = {ci: 0 for ci, _, _ in scomps}
+        eobrun = 0
+        unit_in_seg = 0
+
+    if is_dc:
+        specs = []
+        for ci, td, _ta in scomps:
+            if ah == 0:
+                lut = huff.get((0, td))
+                if lut is None:
+                    raise ImageFormatError("missing DC Huffman table")
+                specs.append((ci, lut.sym, lut.length))
+            else:
+                specs.append((ci, None, None))
+        p1 = 1 << al
+        if interleaved:
+            units = st["mcuy"] * st["mcux"]
+        else:
+            ci0 = scomps[0][0]
+            units = st["nbh"][ci0] * st["nbw"][ci0]
+        for u in range(units):
+            if restart_interval and unit_in_seg == restart_interval:
+                next_segment()
+            if interleaved:
+                my, mx = divmod(u, st["mcux"])
+                todo = []
+                for ci, dc_sym, dc_len in specs:
+                    _cid, hs, vs, _tq = comps[ci]
+                    bw = st["bw"][ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            todo.append(
+                                (ci, dc_sym, dc_len,
+                                 (my * vs + by) * bw + mx * hs + bx)
+                            )
+            else:
+                ci, dc_sym, dc_len = specs[0]
+                r, c = divmod(u, st["nbw"][ci])
+                todo = [(ci, dc_sym, dc_len, r * st["bw"][ci] + c)]
+            for ci, dc_sym, dc_len, bi in todo:
+                blk = blocks[ci][bi]
+                if ah == 0:
+                    key = (w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                    ln = dc_len[key]
+                    if ln == 0:
+                        raise ImageFormatError("invalid DC Huffman code")
+                    pos += ln
+                    s = dc_sym[key]
+                    if s:
+                        v = ((w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (
+                            16 - s
+                        )
+                        pos += s
+                        if v < (1 << (s - 1)):
+                            v += 1 - (1 << s)
+                    else:
+                        v = 0
+                    preds[ci] += v
+                    blk[0] = preds[ci] << al
+                else:
+                    bit = (w32[pos >> 3] >> (16 - (pos & 7))) & 0x8000
+                    pos += 1
+                    if bit:
+                        blk[0] |= p1
+            unit_in_seg += 1
+        if pos > reader.n + 7:
+            raise ImageFormatError("truncated entropy data")
+        return
+
+    # AC scan: single component, band ss..se
+    ci, _td, ta = scomps[0]
+    lut = huff.get((1, ta))
+    if lut is None:
+        raise ImageFormatError("missing AC Huffman table")
+    ac_sym, ac_len = lut.sym, lut.length
+    bw = st["bw"][ci]
+    nbh, nbw = st["nbh"][ci], st["nbw"][ci]
+    p1 = 1 << al
+    m1 = -p1
+    for u in range(nbh * nbw):
+        if restart_interval and unit_in_seg == restart_interval:
+            next_segment()
+        r_, c_ = divmod(u, nbw)
+        blk = blocks[ci][r_ * bw + c_]
+        if ah == 0:  # first scan for this band/bit (G.1.2.2)
+            if eobrun > 0:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    key = (w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                    ln = ac_len[key]
+                    if ln == 0:
+                        raise ImageFormatError("invalid AC Huffman code")
+                    pos += ln
+                    rs = ac_sym[key]
+                    s = rs & 0xF
+                    if s:
+                        k += rs >> 4
+                        if k > se:
+                            raise ImageFormatError("AC band overrun")
+                        v = ((w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (
+                            16 - s
+                        )
+                        pos += s
+                        if v < (1 << (s - 1)):
+                            v += 1 - (1 << s)
+                        blk[k] = v << al
+                        k += 1
+                    else:
+                        r = rs >> 4
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += (
+                                    (w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                                ) >> (16 - r)
+                                pos += r
+                            break
+                        k += 16
+        else:  # refinement scan (G.1.2.3, correction bits)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    key = (w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                    ln = ac_len[key]
+                    if ln == 0:
+                        raise ImageFormatError("invalid AC Huffman code")
+                    pos += ln
+                    rs = ac_sym[key]
+                    s = rs & 0xF
+                    r = rs >> 4
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += (
+                                    (w32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                                ) >> (16 - r)
+                                pos += r
+                            break
+                    elif s == 1:
+                        bit = (w32[pos >> 3] >> (16 - (pos & 7))) & 0x8000
+                        pos += 1
+                        val = p1 if bit else m1
+                    else:
+                        raise ImageFormatError("AC refine size != 1")
+                    while k <= se:
+                        c = blk[k]
+                        if c:
+                            bit = (w32[pos >> 3] >> (16 - (pos & 7))) & 0x8000
+                            pos += 1
+                            if bit and not (c & p1):
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = blk[k]
+                    if c:
+                        bit = (w32[pos >> 3] >> (16 - (pos & 7))) & 0x8000
+                        pos += 1
+                        if bit and not (c & p1):
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+        unit_in_seg += 1
+    if pos > reader.n + 7:
+        raise ImageFormatError("truncated entropy data")
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -256,6 +518,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
     restart_interval = 0
     scan = None
+    progressive = False
+    prog: dict | None = None  # progressive coefficient state, built at first SOS
 
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -288,7 +552,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[sp + 17 : sp + 17 + nv])
                 huff[(tc, th)] = _lut_for(bits, vals)
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: (extended) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ImageFormatError(f"{prec}-bit precision unsupported")
@@ -302,49 +566,101 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ImageFormatError(f"sampling {hs}x{vs} unsupported")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ImageFormatError("progressive/arithmetic JPEG unsupported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageFormatError("arithmetic/hierarchical/lossless JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ImageFormatError("SOS before SOF")
             ns = seg[0]
             tables = {}
+            scomps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 tables[cs] = (tdta >> 4, tdta & 0xF)
-            scan = (tables, pos + seglen)
-            break
+                cids = [cc[0] for cc in frame[2]]
+                if cs not in cids:
+                    raise ImageFormatError(f"scan component {cs} not in frame")
+                scomps.append((cids.index(cs), tdta >> 4, tdta & 0xF))
+            if not progressive:
+                scan = (tables, pos + seglen)
+                break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog is None:
+                h, w, comps = frame
+                if h == 0 or w == 0:
+                    raise ImageFormatError("degenerate dimensions")
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                cw = [-(-w * c[1] // hmax) for c in comps]  # ceil-scaled dims
+                ch = [-(-h * c[2] // vmax) for c in comps]
+                prog = {
+                    "comps": comps,
+                    "mcux": mcux,
+                    "mcuy": mcuy,
+                    "bw": [mcux * c[1] for c in comps],
+                    "bh": [mcuy * c[2] for c in comps],
+                    # non-interleaved grids: ceil(scaled dim / 8)
+                    "nbw": [-(-x // 8) for x in cw],
+                    "nbh": [-(-x // 8) for x in ch],
+                    "blocks": [
+                        [[0] * 64 for _ in range(mcux * c[1] * mcuy * c[2])]
+                        for c in comps
+                    ],
+                }
+            segments, end = _split_entropy(payload, pos + seglen)
+            _decode_prog_scan(
+                segments,
+                scomps,
+                (ss, se, ahal >> 4, ahal & 0xF),
+                prog,
+                huff,
+                restart_interval,
+            )
+            pos = end
+            continue
         # APPn / COM / others: skip
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None:
         raise ImageFormatError("missing SOF/SOS")
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ImageFormatError("degenerate dimensions")
-    tables, data_start = scan
 
-    # split entropy data at RST markers, unstuff 0xFF00 within segments
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = data_start
-    while p < n:
-        b = payload[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
-            continue
-        m = payload[p + 1] if p + 1 < n else 0xD9
-        if m == 0x00:
-            cur.append(0xFF)
-            p += 2
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            p += 2
-        else:  # EOI or next marker
-            break
-    segments.append(bytes(cur))
+    if progressive:
+        # every scan already decoded into prog['blocks']: dequantize the
+        # accumulated coefficients and run the shared IDCT/color tail
+        if prog is None:
+            raise ImageFormatError("missing SOF/SOS")
+        planes = []
+        coef_rows = []
+        place = []
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            if tq not in qt:
+                raise ImageFormatError(f"missing quant table {tq}")
+            q_zz = qt[tq].reshape(64)[ZIGZAG].astype(np.float64)
+            bw, bh = prog["bw"][ci], prog["bh"][ci]
+            planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+            arr = np.array(prog["blocks"][ci], dtype=np.float64) * q_zz
+            coef_rows.append(arr)
+            for bi in range(bh * bw):
+                by, bx = divmod(bi, bw)
+                place.append((ci, by * 8, bx * 8))
+        coefs = np.concatenate(coef_rows, axis=0)
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        return _idct_to_rgb(coefs, place, planes, comps, hmax, vmax, h, w)
+
+    if scan is None:
+        raise ImageFormatError("missing SOF/SOS")
+    tables, data_start = scan
+    segments, _end = _split_entropy(payload, data_start)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -450,7 +766,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         bi += 1
             mcu_in_seg += 1
 
-    # batch dezigzag + dequantized IDCT over every block at once
+    return _idct_to_rgb(coefs, place, planes, comps, hmax, vmax, h, w)
+
+
+def _idct_to_rgb(
+    coefs: np.ndarray,
+    place: list[tuple[int, int, int]],
+    planes: list[np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    hmax: int,
+    vmax: int,
+    h: int,
+    w: int,
+) -> np.ndarray:
+    """Shared decode tail: dequantized zigzag coefficient rows → batch
+    dezigzag + IDCT → plane placement → upsample/crop → RGB."""
+    n_blocks = coefs.shape[0]
     raster = np.zeros((n_blocks, 64), dtype=np.float64)
     raster[:, ZIGZAG] = coefs
     f = raster.reshape(n_blocks, 8, 8)
@@ -555,6 +886,300 @@ def _pad_to(img: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(
         img, ((0, -h % bh), (0, -w % bw)), mode="edge"
     )
+
+
+# progressive AC scans need EOBn symbols (r<<4, r=1..14) that the K.3
+# sequential tables lack; a flat all-8-bit canonical table over every
+# symbol a progressive AC scan can emit (EOBn, ZRL, (r<<4)|s for
+# s<=11) is legal (Kraft sum 208/256) and trivially correct — fixture
+# size, not compression, is what the twin optimizes for.
+_AC_PROG_VALS = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 12)]
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[7] = len(_AC_PROG_VALS)  # every code 8 bits long
+
+
+def _quant_grid(plane: np.ndarray, q_raster: np.ndarray) -> np.ndarray:
+    """8-padded plane → (nbh, nbw, 64) quantized coefficients, zigzag.
+
+    Computed block-by-block with the EXACT float expression
+    :func:`_encode_block` uses — a batched einsum sums in a different
+    order, and exact-.5 quotients (common on high-contrast text
+    blocks) then round differently, breaking the pinned
+    progressive≡baseline pixel identity."""
+    hh, ww = plane.shape
+    nbh, nbw = hh // 8, ww // 8
+    blocks = plane.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    out = np.empty((nbh * nbw, 64), dtype=np.int64)
+    for i in range(nbh * nbw):
+        f = _DCT_M @ (blocks[i].astype(np.float64) - 128.0) @ _DCT_M.T
+        out[i] = np.round(f / q_raster).astype(np.int64).reshape(64)[ZIGZAG]
+    return out.reshape(nbh, nbw, 64)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """RGB array → progressive (SOF2) JFIF JPEG bytes.
+
+    Same quant tables and coefficient math as :func:`encode_jpeg`, the
+    libjpeg default scan script (DC Al=1 → per-band AC first scans →
+    successive-approximation refinements → DC refine), so the decode
+    is pinned pixel-identical to the baseline encoding at the same
+    quality.  Exercises every progressive decode path: interleaved DC
+    first/refine, AC first with EOB runs, AC refinement with buffered
+    correction bits."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+    qy = _scaled_quant(_QUANT_LUM, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    qy_r = np.zeros(64, np.int64)
+    qy_r[ZIGZAG] = qy
+    qc_r = np.zeros(64, np.int64)
+    qc_r[ZIGZAG] = qc
+
+    if subsampling == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+        grids = [
+            _quant_grid(_pad_to(y, 8, 8), qy_r.reshape(8, 8)),
+            _quant_grid(_pad_to(cb, 8, 8), qc_r.reshape(8, 8)),
+            _quant_grid(_pad_to(cr, 8, 8), qc_r.reshape(8, 8)),
+        ]
+        mcuy, mcux = grids[0].shape[:2]
+    else:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        yp = _pad_to(y, 16, 16)
+        cb2 = (
+            cb[: h & ~1, : w & ~1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            if h >= 2 and w >= 2
+            else cb
+        )
+        cr2 = (
+            cr[: h & ~1, : w & ~1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            if h >= 2 and w >= 2
+            else cr
+        )
+        mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+        cbp = _pad_to(_pad_to(cb2, 8, 8), mcuy * 8, mcux * 8)[: mcuy * 8, : mcux * 8]
+        crp = _pad_to(_pad_to(cr2, 8, 8), mcuy * 8, mcux * 8)[: mcuy * 8, : mcux * 8]
+        grids = [
+            _quant_grid(yp, qy_r.reshape(8, 8)),
+            _quant_grid(cbp, qc_r.reshape(8, 8)),
+            _quant_grid(crp, qc_r.reshape(8, 8)),
+        ]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    nb = []  # non-interleaved (nbh, nbw) per component
+    for hs, vs in samp:
+        cwc = -(-w * hs // hmax)
+        chc = -(-h * vs // vmax)
+        nb.append((-(-chc // 8), -(-cwc // 8)))
+
+    codes = {
+        name: {s: (c, ln) for s, c, ln in _canonical_codes(bits, vals)}
+        for name, (bits, vals) in {
+            "dcl": (_DC_LUM_BITS, _DC_LUM_VALS),
+            "dcc": (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            "acp": (_AC_PROG_BITS, _AC_PROG_VALS),
+        }.items()
+    }
+    dc_codes = [codes["dcl"], codes["dcc"], codes["dcc"]]
+    acp = codes["acp"]
+
+    def dc_first(wtr: _BitWriter, al: int) -> None:
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            c = int(grids[ci][my * vs + by, mx * hs + bx, 0])
+                            tmp = c >> al  # arithmetic shift, per G.1.2.1
+                            diff = tmp - preds[ci]
+                            preds[ci] = tmp
+                            s = abs(diff).bit_length() if diff else 0
+                            code, ln = dc_codes[ci][s]
+                            wtr.write(code, ln)
+                            if s:
+                                wtr.write(
+                                    diff if diff > 0 else diff + (1 << s) - 1, s
+                                )
+
+    def dc_refine(wtr: _BitWriter, al: int) -> None:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            c = int(grids[ci][my * vs + by, mx * hs + bx, 0])
+                            wtr.write((c >> al) & 1, 1)
+
+    def ac_first(wtr: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
+        nbh, nbw = nb[ci]
+        grid = grids[ci]
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = acp[nbits << 4]
+                wtr.write(code, ln)
+                if nbits:
+                    wtr.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for u in range(nbh * nbw):
+            by, bx = divmod(u, nbw)
+            blk = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                c = int(blk[k])
+                t = c >> al if c >= 0 else -((-c) >> al)  # point transform
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, ln = acp[0xF0]
+                    wtr.write(code, ln)
+                    r -= 16
+                s = abs(t).bit_length()
+                code, ln = acp[(r << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(t if t > 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def ac_refine(wtr: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
+        nbh, nbw = nb[ci]
+        grid = grids[ci]
+        eobrun = 0
+        bebits: list[int] = []  # correction bits deferred behind the EOB run
+
+        def flush_eob() -> None:
+            nonlocal eobrun, bebits
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, ln = acp[nbits << 4]
+                wtr.write(code, ln)
+                if nbits:
+                    wtr.write(eobrun - (1 << nbits), nbits)
+                for b in bebits:
+                    wtr.write(b, 1)
+                bebits = []
+                eobrun = 0
+
+        for u in range(nbh * nbw):
+            by, bx = divmod(u, nbw)
+            blk = grid[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1  # index of last NEWLY-significant coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = ss + i
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                temp = absv[k - ss]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush_eob()
+                    code, ln = acp[0xF0]
+                    wtr.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if temp > 1:  # already significant: one correction bit
+                    br.append(temp & 1)
+                    continue
+                flush_eob()
+                code, ln = acp[(r << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(1 if int(blk[k]) > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                bebits.extend(br)
+                if eobrun == 0x7FFF or len(bebits) > 937:
+                    flush_eob()
+        flush_eob()
+
+    # libjpeg's default progressive scan script
+    script = [
+        ("dc_first", (0, 1, 2), 0, 0, 0, 1),
+        ("ac_first", (0,), 1, 5, 0, 2),
+        ("ac_first", (2,), 1, 63, 0, 1),
+        ("ac_first", (1,), 1, 63, 0, 1),
+        ("ac_first", (0,), 6, 63, 0, 2),
+        ("ac_refine", (0,), 1, 63, 2, 1),
+        ("dc_refine", (0, 1, 2), 0, 0, 1, 0),
+        ("ac_refine", (2,), 1, 63, 1, 0),
+        ("ac_refine", (0,), 1, 63, 1, 0),
+        ("ac_refine", (1,), 1, 63, 1, 0),
+    ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qy.astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hs, vs), tq in zip((1, 2, 3), samp, (0, 1, 1)):
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += seg(0xC2, sof)
+    for tcth, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x10, _AC_PROG_BITS, _AC_PROG_VALS),
+    ):
+        out += seg(0xC4, bytes([tcth] + bits + vals))
+
+    for kind, scomps, ss, se, ah, al in script:
+        sos = bytes([len(scomps)])
+        for ci in scomps:
+            td = ci if ci < 2 else 1  # DC: lum table 0, chroma table 1
+            sos += bytes([ci + 1, (td << 4) | 0])  # AC always table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        wtr = _BitWriter()
+        if kind == "dc_first":
+            dc_first(wtr, al)
+        elif kind == "dc_refine":
+            dc_refine(wtr, al)
+        elif kind == "ac_first":
+            ac_first(wtr, scomps[0], ss, se, al)
+        else:
+            ac_refine(wtr, scomps[0], ss, se, al)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(

@@ -1360,8 +1360,8 @@ def oracle_sql() -> dict[str, str]:
             # planted marker; ocr_used is 1 for rasters and for the
             # scanned quarter of the pdf slot ((i//100)%4==3, i from
             # the url's zero-padded row index).  A decoder regression
-            # in ANY family (BMP/PPM/PNG/JPEG/TIFF/GIF, PDF XObjects)
-            # flips a row and fails the hash.
+            # in ANY family (BMP/PPM/PNG/JPEG/TIFF/GIF/WebP, PDF
+            # XObjects) flips a row and fails the hash.
             f"SELECT url, CASE WHEN left(to_hex(html), 10) = '255044462D' "
             f"THEN 'pdf' ELSE 'image' END AS doc_kind, "
             f"CAST(1 AS BIGINT) AS ok, "
@@ -1374,6 +1374,8 @@ def oracle_sql() -> dict[str, str]:
             f"OR left(to_hex(html), 8) IN ('89504E47', '49492A00', '4D4D002A') "
             f"OR left(to_hex(html), 6) = 'FFD8FF' "
             f"OR left(to_hex(html), 12) IN ('474946383761', '474946383961') "
+            f"OR (left(to_hex(html), 8) = '52494646' "
+            f"AND substr(to_hex(html), 17, 8) = '57454250') "
             f"OR left(to_hex(html), 4) IN ('424D', '5036')"
         ),
         "pages_extract_stats": (
@@ -1523,6 +1525,8 @@ def oracle_sql() -> dict[str, str]:
             f"OR left(to_hex(html), 6) = 'FFD8FF' "
             f"OR left(to_hex(html), 8) IN ('49492A00', '4D4D002A') "
             f"OR left(to_hex(html), 12) IN ('474946383761', '474946383961') "
+            f"OR (left(to_hex(html), 8) = '52494646' "
+            f"AND substr(to_hex(html), 17, 8) = '57454250') "
             f"OR left(to_hex(html), 4) IN ('424D', '5036') THEN 'image' "
             f"ELSE 'unknown' END AS doc_kind, count(*) AS n "
             f"FROM read_parquet('{_PAGES_GLOB}') GROUP BY 1"

@@ -250,8 +250,8 @@ def ocr_image(pixels: np.ndarray) -> str:
 
 def ocr_image_bytes(payload: bytes) -> str:
     """The ``PageExtractor`` OCR seam: image bytes -> text.  Raises
-    :class:`ImageFormatError` for formats without a decoder (WebP),
-    which the extractor routes to
+    :class:`ImageFormatError` for formats without a decoder (lossy
+    VP8 WebP — lossless VP8L decodes), which the extractor routes to
     ``skipped_image_no_ocr`` rather than an error."""
     return ocr_image(decode_image(payload))
 

@@ -41,6 +41,8 @@ def sniff_image_format(payload: bytes) -> str | None:
         return "tiff"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -319,8 +321,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from valere_ocr_ray.extract.gif import decode_gif
 
         return decode_gif(payload)
+    if fmt == "webp":
+        from valere_ocr_ray.extract.webp import decode_webp
+
+        return decode_webp(payload)
     raise ImageFormatError(
-        "undecodable format (no BMP/PPM/PNG/JPEG/TIFF/GIF magic)"
+        "undecodable format (no BMP/PPM/PNG/JPEG/TIFF/GIF/WebP magic)"
     )
 
 

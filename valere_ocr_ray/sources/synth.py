@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 7  # v7: +GIF cards (v6: TIFF cards + scanned image-only PDFs)
+CORPUS_VERSION = 9  # v9: WebP cards, libwebp-validated bitstream (v7: GIF)
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -350,15 +350,17 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
 
     from valere_ocr_ray.extract.gif import encode_gif
     from valere_ocr_ray.extract.tiff import encode_tiff
+    from valere_ocr_ray.extract.webp import encode_webp
 
     img = render_text_image(_scanned_card_lines(r))
     # i % 100 == 95 is always odd — rotate container by the hundreds so
-    # every decodable raster format (BMP/PPM/PNG/JPEG/TIFF/GIF) appears
-    # in the corpus.  JPEG is lossy, but at quality 90 the glyph
-    # binarization is pixel-exact (pinned by test_glyph_ocr), so the
-    # golden text contract holds across all six containers.  TIFF
-    # ships the scanner default (LZW + horizontal predictor); GIF is
-    # palettized (2-color card) per the web norm.
+    # every decodable raster format (BMP/PPM/PNG/JPEG/TIFF/GIF/WebP)
+    # appears in the corpus.  JPEG is lossy, but at quality 90 the
+    # glyph binarization is pixel-exact (pinned by test_glyph_ocr), so
+    # the golden text contract holds across all seven containers.
+    # TIFF ships the scanner default (LZW + horizontal predictor); GIF
+    # and WebP are palettized (2-color card) per the web norm — WebP
+    # takes the VP8L color-indexing path with 8-px/byte bundling.
     enc = (
         encode_bmp,
         encode_ppm,
@@ -366,7 +368,8 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
         encode_jpeg,
         lambda px: encode_tiff(px, lzw=True, predictor=True),
         encode_gif,
-    )[(i // 100) % 6]
+        encode_webp,
+    )[(i // 100) % 7]
     return enc(img)
 
 
@@ -572,6 +575,8 @@ def synth_row(i: int) -> tuple[str, int, bytes, str, str]:
         ext = ".tif"
     elif html[:6] in (b"GIF87a", b"GIF89a"):
         ext = ".gif"
+    elif html[:4] == b"RIFF" and html[8:12] == b"WEBP":
+        ext = ".webp"
     else:
         ext = ".html"
     url = f"https://site{i % 97}.example/{slug}/{i:08d}{ext}"

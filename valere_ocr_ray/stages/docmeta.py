@@ -64,6 +64,14 @@ def _sniff_kinds(html: pa.BinaryArray) -> pa.Array:
         (6, b"GIF89a"),
     ):
         is_image = pc.or_(is_image, _prefix_is(n, lit))
+    # WebP: RIFF container with a WEBP form tag at offset 8
+    is_webp = pc.and_(
+        _prefix_is(4, b"RIFF"),
+        pc.fill_null(
+            pc.equal(pc.binary_slice(html, 8, 12), b"WEBP"), False
+        ),
+    )
+    is_image = pc.or_(is_image, is_webp)
 
     kind = pa.array([KIND_UNKNOWN] * len(html), pa.string())
     kind = pc.if_else(is_image, KIND_IMAGE, kind)

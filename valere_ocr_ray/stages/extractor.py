@@ -37,9 +37,9 @@ from valere_ocr_ray.stages.docmeta import (
 
 STATUS_ERROR_PARSE = "error_parse"
 # image payload admitted but its FORMAT has no decoder behind the OCR
-# seam (WebP; inside PDFs: CCITT/JBIG2/JPX) —
-# routed, not dropped; BMP/PPM/PNG/TIFF/GIF/JPEG (baseline AND
-# progressive) raster pages
+# seam (lossy-VP8 WebP; inside PDFs: CCITT/JBIG2/JPX) —
+# routed, not dropped; BMP/PPM/PNG/TIFF/GIF/lossless-WebP/JPEG
+# (baseline AND progressive) raster pages
 # (standalone OR embedded in a scanned PDF) go through the real
 # glyph-template OCR (``extract/glyph_font``) and come back 'ok'
 STATUS_SKIPPED_NO_OCR = "skipped_image_no_ocr"
@@ -69,11 +69,11 @@ class PageExtractor:
     def __init__(self, ocr_seam=None, ocr_pixels=None) -> None:
         # scanned-page OCR seam.  Default: the deterministic 5x7
         # glyph-template reader over the dependency-free
-        # BMP/PPM/PNG/TIFF/GIF/JPEG (baseline + progressive) decoders
-        # (the Textract analog,
+        # BMP/PPM/PNG/TIFF/GIF/JPEG (baseline + progressive) and
+        # lossless-WebP (VP8L) decoders (the Textract analog,
         # ``IDD/finalcodes/InsuranceCard1.py:89-109``); it raises
-        # ImageFormatError for codec-less formats (WebP), which
-        # routes to 'skipped_image_no_ocr'.
+        # ImageFormatError for the remaining codec-less format
+        # (lossy-VP8 WebP), which routes to 'skipped_image_no_ocr'.
         # ``ocr_pixels`` is the decoded-raster flavor of the same seam
         # (ndarray → text) used for images embedded INSIDE PDFs — the
         # reference's async-Textract scanned-PDF case

@@ -45,6 +45,17 @@ if HAVE_LIBWEBP:
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    _lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    _lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),  # width
+        ctypes.POINTER(ctypes.c_int),  # height
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),  # u
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),  # v
+        ctypes.POINTER(ctypes.c_int),  # stride
+        ctypes.POINTER(ctypes.c_int),  # uv_stride
+    ]
     _lib.WebPFree.argtypes = [ctypes.c_void_p]
 
 
@@ -76,6 +87,50 @@ def ref_encode_lossy(img: np.ndarray, quality: float = 90.0) -> bytes:
     data = ctypes.string_at(out, n)
     _lib.WebPFree(out)
     return data
+
+
+def ref_decode_yuv(
+    data: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """WebP bytes -> (Y, U, V) uint8 planes via libwebp (4:2:0; U/V are
+    ceil-half size).  The YUV planes are fully determined by the VP8
+    spec (reconstruction + loop filter), unlike RGB which also bakes in
+    libwebp's upsampler — so this is the sharpest decode oracle."""
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    yp = _lib.WebPDecodeYUV(
+        data,
+        len(data),
+        ctypes.byref(w),
+        ctypes.byref(h),
+        ctypes.byref(up),
+        ctypes.byref(vp),
+        ctypes.byref(stride),
+        ctypes.byref(uv_stride),
+    )
+    if not yp:
+        return None
+    ww, hh = w.value, h.value
+    uvw, uvh = (ww + 1) // 2, (hh + 1) // 2
+
+    def plane(ptr, rows, cols, rstride):
+        # exact byte count — the final row may be shorter than stride
+        raw = ctypes.string_at(ptr, (rows - 1) * rstride + cols)
+        out = np.empty((rows, cols), np.uint8)
+        flat = np.frombuffer(raw, np.uint8)
+        for r in range(rows):
+            out[r] = flat[r * rstride : r * rstride + cols]
+        return out
+
+    y = plane(yp, hh, ww, stride.value)
+    u = plane(up, uvh, uvw, uv_stride.value)
+    v = plane(vp, uvh, uvw, uv_stride.value)
+    _lib.WebPFree(yp)
+    return y, u, v
 
 
 def ref_decode(data: bytes) -> np.ndarray | None:

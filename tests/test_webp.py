@@ -115,10 +115,17 @@ def test_docmeta_routes_webp_as_image():
     assert kinds.to_pylist() == ["image", "unknown", "html"]
 
 
-def test_lossy_vp8_is_a_seam():
+def test_lossy_vp8_routed_to_vp8_decoder():
+    # a VP8 chunk is no longer a seam: it routes to extract.vp8, which
+    # rejects this garbage body as a malformed keyframe
     lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBPVP8 " + b"\x00" * 8
-    with pytest.raises(ImageFormatError, match="lossy"):
+    with pytest.raises(ImageFormatError):
         decode_webp(lossy)
+    # and a real lossy file decodes through the container path
+    from valere_ocr_ray.extract.vp8 import encode_vp8
+    img = _rng().integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    rgb = decode_webp(encode_vp8(img, 4))
+    assert rgb.shape == (9, 11, 3)
 
 
 def test_vp8x_extended_container():

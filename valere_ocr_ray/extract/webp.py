@@ -21,9 +21,9 @@ public spec (RFC 9649 "WebP Image Format", §3–5, the VP8L bitstream):
 * color cache, LZ77 backward references with the 120-entry 2D
   distance map, and the meta-prefix (entropy image) group lookup.
 
-Lossy WebP (``VP8 `` chunks — a full VP8 intra decoder) stays behind
-the codec seam and raises :class:`ImageFormatError`, documented at the
-seam site.
+Lossy WebP (``VP8 `` chunks) is handled by the sibling from-scratch
+VP8 keyframe decoder in :mod:`valere_ocr_ray.extract.vp8` — the
+container scan here routes the chunk body to it.
 
 ``encode_webp`` is the test/synth twin: a spec-valid VP8L encoder
 (palette + pixel bundling for ≤256-color images, else optional
@@ -686,9 +686,10 @@ def decode_webp(payload: bytes) -> np.ndarray:
             vp8l = body
             break
         if tag == b"VP8 ":
-            raise ImageFormatError(
-                "lossy WebP (VP8) unsupported — codec seam"
-            )
+            # lossy WebP: full from-scratch VP8 keyframe decoder
+            from valere_ocr_ray.extract.vp8 import decode_vp8
+
+            return decode_vp8(body)
         pos += 8 + size + (size & 1)  # chunks are even-padded
     if vp8l is None or len(vp8l) < 5:
         raise ImageFormatError("no VP8L chunk in WebP container")

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 9  # v9: WebP cards, libwebp-validated bitstream (v7: GIF)
+CORPUS_VERSION = 10  # v10: lossy-WebP (VP8) cards join the rotation (v9: VP8L)
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -350,17 +350,20 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
 
     from valere_ocr_ray.extract.gif import encode_gif
     from valere_ocr_ray.extract.tiff import encode_tiff
+    from valere_ocr_ray.extract.vp8 import encode_vp8
     from valere_ocr_ray.extract.webp import encode_webp
 
     img = render_text_image(_scanned_card_lines(r))
     # i % 100 == 95 is always odd — rotate container by the hundreds so
-    # every decodable raster format (BMP/PPM/PNG/JPEG/TIFF/GIF/WebP)
-    # appears in the corpus.  JPEG is lossy, but at quality 90 the
-    # glyph binarization is pixel-exact (pinned by test_glyph_ocr), so
-    # the golden text contract holds across all seven containers.
-    # TIFF ships the scanner default (LZW + horizontal predictor); GIF
-    # and WebP are palettized (2-color card) per the web norm — WebP
-    # takes the VP8L color-indexing path with 8-px/byte bundling.
+    # every decodable raster format (BMP/PPM/PNG/JPEG/TIFF/GIF/WebP
+    # lossless AND lossy) appears in the corpus.  JPEG and VP8 are
+    # lossy, but at their chosen qualities the glyph binarization is
+    # pixel-exact (pinned by test_glyph_ocr / test_vp8), so the golden
+    # text contract holds across all eight containers.  TIFF ships the
+    # scanner default (LZW + horizontal predictor); GIF and VP8L are
+    # palettized (2-color card) per the web norm — VP8L takes the
+    # color-indexing path with 8-px/byte bundling; VP8 is the full
+    # keyframe transform path at qi=4.
     enc = (
         encode_bmp,
         encode_ppm,
@@ -369,7 +372,8 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
         lambda px: encode_tiff(px, lzw=True, predictor=True),
         encode_gif,
         encode_webp,
-    )[(i // 100) % 7]
+        lambda px: encode_vp8(px, 4),
+    )[(i // 100) % 8]
     return enc(img)
 
 

@@ -86,16 +86,17 @@ def test_libwebp_streams_decode_under_mine(name):
 
 
 def test_synth_corpus_webp_cards_are_spec_valid():
-    # the corpus generator's WebP cards must be readable by ANY webp
-    # decoder, not just ours
+    # the corpus generator's WebP cards — BOTH rotation slots, VP8L
+    # lossless (slot 6) and VP8 lossy (slot 7) — must be readable by
+    # ANY webp decoder, not just ours, and decode identically here
     from valere_ocr_ray.sources import synth
 
     n = 0
-    for i in range(600, 1400):
-        if i % 100 == 95 and (i // 100) % 7 == 6:
+    for i in range(600, 1700):
+        if i % 100 == 95 and (i // 100) % 8 in (6, 7):
             html = synth.synth_row(i)[2]
             got = ref_decode(html)
             assert got is not None, f"libwebp rejected synth card {i}"
             assert np.array_equal(got, decode_webp(html))
             n += 1
-    assert n > 0
+    assert n >= 2

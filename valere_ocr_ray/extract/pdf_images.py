@@ -15,10 +15,13 @@ Supported XObject subset (the scanner-output shapes):
   (``extract/jpeg.decode_jpeg``);
 * ``/Filter /FlateDecode`` or no filter — zlib-inflated (or raw)
   8-bit samples, ``/ColorSpace /DeviceRGB`` or ``/DeviceGray``;
-* anything else (CCITTFax, JBIG2, JPX, indexed color, 1-bit) comes
-  back as ``None`` — *found but undecodable* — so the caller can
-  route the row to ``skipped_image_no_ocr`` instead of silently
-  pretending the page was blank.
+* ``/Filter /CCITTFaxDecode`` with ``/K < 0`` — Group 4 (T.6)
+  bilevel, the scanner/fax default (``extract/ccitt.decode_g4``;
+  black runs -> gray 0, so ``/BlackIs1`` bit packing never enters);
+* anything else (G3 CCITT, JBIG2, JPX, indexed color) comes back as
+  ``None`` — *found but undecodable* — so the caller can route the
+  row to ``skipped_image_no_ocr`` instead of silently pretending the
+  page was blank.
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _COLORSPACE_RE = re.compile(rb"/ColorSpace\s*/(\w+)")
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
+_K_RE = re.compile(rb"/K\s+(-?\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 
 
 def _decode_xobject(dct: bytes, body: bytes) -> np.ndarray:
@@ -54,6 +59,21 @@ def _decode_xobject(dct: bytes, body: bytes) -> np.ndarray:
         if px.shape[:2] != (h, w):
             raise ImageFormatError("DCTDecode geometry mismatch with dict")
         return px
+    if filt == b"CCITTFaxDecode":
+        # scanner/fax bilevel pages — the G4 (/K < 0) case, which is
+        # what document scanners emit; G3 streams stay on the seam
+        from valere_ocr_ray.extract.ccitt import decode_g4
+
+        km = _K_RE.search(dct)
+        if not km or int(km.group(1)) >= 0:
+            raise ImageFormatError("CCITTFax K>=0 (G3) unsupported")
+        colm = _COLUMNS_RE.search(dct)
+        cols = int(colm.group(1)) if colm else 1728
+        if cols != w:
+            raise ImageFormatError("CCITTFax Columns mismatch with /Width")
+        ink = decode_g4(body, w, h)
+        gray = np.where(ink, 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     bm = _BPC_RE.search(dct)
     if bm and int(bm.group(1)) != 8:
         raise ImageFormatError(f"unsupported BitsPerComponent {bm.group(1)!r}")

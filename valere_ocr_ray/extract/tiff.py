@@ -205,6 +205,33 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photo = one(_T_PHOTOMETRIC)
     planar = one(_T_PLANAR, 1)
     pred = one(_T_PREDICTOR, 1)
+    offsets_g4 = tags.get(_T_STRIP_OFFSETS)
+    counts_g4 = tags.get(_T_STRIP_COUNTS)
+    if comp == 4:
+        # CCITT Group 4 — the scanner/fax bilevel default
+        from valere_ocr_ray.extract.ccitt import decode_g4
+
+        if bits != [1] or spp != 1 or photo not in (0, 1) or planar != 1:
+            raise ImageFormatError(
+                f"unsupported G4 TIFF (bits={bits}, photo={photo})"
+            )
+        if not offsets_g4 or not counts_g4:
+            raise ImageFormatError("TIFF strip layout missing")
+        rows_per_strip = one(_T_ROWS_PER_STRIP, h)
+        ink = np.zeros((h, w), bool)
+        for si, (off, cnt) in enumerate(zip(offsets_g4, counts_g4)):
+            if off + cnt > len(payload):
+                raise ImageFormatError("TIFF strip out of range")
+            y0 = si * rows_per_strip
+            n_rows = min(rows_per_strip, h - y0)
+            ink[y0 : y0 + n_rows] = decode_g4(
+                payload[off : off + cnt], w, n_rows
+            )
+        # photometric 0 (min-is-white): G4 black run -> dark pixel;
+        # photometric 1 (min-is-black) inverts the sample meaning
+        black, white = (0, 255) if photo == 0 else (255, 0)
+        gray = np.where(ink, black, white).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     if any(b != 8 for b in bits) or planar != 1:
         raise ImageFormatError(
             f"unsupported TIFF (bits={bits}, planar={planar})"

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 10  # v10: lossy-WebP (VP8) cards join the rotation (v9: VP8L)
+CORPUS_VERSION = 11  # v11: CCITT-G4 scanned PDFs (v10: lossy-WebP cards)
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -429,7 +429,9 @@ def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
     of a scanner-produced PDF, the reference's async-Textract core case
     (``IDD/finalcodes/SignedAgreement.py:124-156``).  ``codec``:
     ``jpeg`` (/DCTDecode), ``flate`` (/FlateDecode /DeviceRGB),
-    ``flate_gray`` (/FlateDecode /DeviceGray), ``raw`` (no filter)."""
+    ``flate_gray`` (/FlateDecode /DeviceGray), ``raw`` (no filter),
+    ``ccitt`` (/CCITTFaxDecode /K -1 — the fax/scanner bilevel G4
+    default)."""
     import zlib as _zlib
 
     from valere_ocr_ray.extract.glyph_font import render_text_image
@@ -454,13 +456,22 @@ def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
         )
     elif codec == "raw":
         body, cs, filt = img.tobytes(), b"/DeviceRGB", b""
+    elif codec == "ccitt":
+        from valere_ocr_ray.extract.ccitt import encode_g4
+
+        body, cs = encode_g4(img[:, :, 0] < 128), b"/DeviceGray"
+        filt = (
+            b" /Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns "
+            + str(w).encode() + b" /Rows " + str(h).encode() + b" >>"
+        )
     else:
         raise ValueError(f"unknown scanned-pdf codec {codec!r}")
+    bpc = b"1" if codec == "ccitt" else b"8"
     img_obj = (
         b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
         + b" /Height " + str(h).encode()
         + b" /ColorSpace " + cs
-        + b" /BitsPerComponent 8" + filt
+        + b" /BitsPerComponent " + bpc + filt
         + b" /Length " + str(len(body)).encode()
         + b" >>\nstream\n" + body + b"\nendstream"
     )
@@ -512,7 +523,7 @@ def _pdf_agreement(r: _Rand, i: int = 0) -> bytes:
     # the embedded-image codec rotating too
     phase = (i // 100) % 4
     if phase == 3:
-        codec = ("jpeg", "flate", "flate_gray", "raw")[(i // 400) % 4]
+        codec = ("jpeg", "flate", "flate_gray", "raw", "ccitt")[(i // 400) % 5]
         return build_scanned_pdf_bytes(lines, codec=codec)
     return build_pdf_bytes(lines, flate=phase == 1)
 

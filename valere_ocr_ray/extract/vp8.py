@@ -43,6 +43,14 @@ Ref parity note: the reference pipeline ships raster uploads to AWS
 Textract without transcoding (``IDD/finalcodes/SignedAgreement.py``);
 this module exists so the Ray engine can decode the same uploads
 in-process inside ``map_batches`` actors with zero native deps.
+
+Scale note: pure-Python VP8 decode runs ~0.2-0.5 MP/s per core (the
+boolean coder and the in-loop filter are inherently sequential per
+macroblock; the numpy kernels are at per-call-overhead floor).  The
+extraction stage parallelizes ACROSS images (one actor per core), so
+node throughput scales linearly with cores, and the F2 size-cap
+router bounds the worst-case single payload.  For a decode-bound
+corpus the right lever is more actors, not a faster kernel.
 """
 
 from __future__ import annotations
@@ -806,7 +814,11 @@ def _recon_bpred(
 # ---------------------------------------------------------- loop filter
 
 def _sclip(v: np.ndarray, lim: int) -> np.ndarray:
-    return np.clip(v, -lim - 1, lim)
+    return np.minimum(np.maximum(v, -lim - 1), lim)
+
+
+def _clip255(v: np.ndarray) -> np.ndarray:
+    return np.minimum(np.maximum(v, 0), 255)
 
 
 def _filter_common(seg: np.ndarray, sel: np.ndarray, use_outer: np.ndarray):
@@ -820,15 +832,11 @@ def _filter_common(seg: np.ndarray, sel: np.ndarray, use_outer: np.ndarray):
     a1 = _sclip((a + 4) >> 3, 15)
     a2 = _sclip((a + 3) >> 3, 15)
     a3 = (a1 + 1) >> 1
-    np0 = np.clip(p0 + a2, 0, 255)
-    nq0 = np.clip(q0 - a1, 0, 255)
-    np1 = np.clip(p1 + a3, 0, 255)
-    nq1 = np.clip(q1 - a3, 0, 255)
     inner = sel & ~use_outer
-    seg[:, 3] = np.where(sel, np0, p0)
-    seg[:, 4] = np.where(sel, nq0, q0)
-    seg[:, 2] = np.where(inner, np1, p1)
-    seg[:, 5] = np.where(inner, nq1, q1)
+    seg[:, 3] = np.where(sel, _clip255(p0 + a2), p0)
+    seg[:, 4] = np.where(sel, _clip255(q0 - a1), q0)
+    seg[:, 2] = np.where(inner, _clip255(p1 + a3), p1)
+    seg[:, 5] = np.where(inner, _clip255(q1 - a3), q1)
 
 
 def _filter6(seg: np.ndarray, sel: np.ndarray) -> None:
@@ -839,24 +847,18 @@ def _filter6(seg: np.ndarray, sel: np.ndarray) -> None:
     a1 = (27 * a + 63) >> 7
     a2 = (18 * a + 63) >> 7
     a3 = (9 * a + 63) >> 7
-    seg[:, 1] = np.where(sel, np.clip(p2 + a3, 0, 255), p2)
-    seg[:, 2] = np.where(sel, np.clip(p1 + a2, 0, 255), p1)
-    seg[:, 3] = np.where(sel, np.clip(p0 + a1, 0, 255), p0)
-    seg[:, 4] = np.where(sel, np.clip(q0 - a1, 0, 255), q0)
-    seg[:, 5] = np.where(sel, np.clip(q1 - a2, 0, 255), q1)
-    seg[:, 6] = np.where(sel, np.clip(q2 - a3, 0, 255), q2)
+    seg[:, 1] = np.where(sel, _clip255(p2 + a3), p2)
+    seg[:, 2] = np.where(sel, _clip255(p1 + a2), p1)
+    seg[:, 3] = np.where(sel, _clip255(p0 + a1), p0)
+    seg[:, 4] = np.where(sel, _clip255(q0 - a1), q0)
+    seg[:, 5] = np.where(sel, _clip255(q1 - a2), q1)
+    seg[:, 6] = np.where(sel, _clip255(q2 - a3), q2)
 
 
 def _needs_filter2(seg: np.ndarray, t: int, it: int) -> np.ndarray:
-    p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
-    q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
-    ok = (4 * np.abs(p0 - q0) + np.abs(p1 - q1)) <= t
-    ok &= np.abs(p3 - p2) <= it
-    ok &= np.abs(p2 - p1) <= it
-    ok &= np.abs(p1 - p0) <= it
-    ok &= np.abs(q3 - q2) <= it
-    ok &= np.abs(q2 - q1) <= it
-    ok &= np.abs(q1 - q0) <= it
+    d = np.abs(np.diff(seg, axis=1))  # |p3-p2| .. |q3-q2| (7 cols)
+    ok = (4 * d[:, 3] + np.abs(seg[:, 2] - seg[:, 5])) <= t
+    ok &= np.max(d[:, (0, 1, 2, 4, 5, 6)], axis=1) <= it
     return ok
 
 
@@ -883,20 +885,40 @@ def _store_lanes(
         plane[y - 4 : y + 4, x : x + n] = seg.T.astype(np.uint8)
 
 
+def _normal_filter(seg: np.ndarray, limit, ilevel, hev_t, mb_edge) -> bool:
+    """Apply the normal filter to lane array ``seg`` in place; returns
+    whether anything was modified."""
+    sel = _needs_filter2(seg, 2 * limit + 1, ilevel)
+    if not sel.any():
+        return False
+    hv = _hev(seg, hev_t)
+    if mb_edge:
+        _filter6(seg, sel & ~hv)
+        _filter_common(seg, sel & hv, np.ones(len(seg), bool))
+    else:
+        _filter_common(seg, sel, hv)
+    return True
+
+
 def _normal_edge(
     plane, y, x, n, horiz, limit, ilevel, hev_t, mb_edge: bool
 ) -> None:
     seg = _edge_lanes(plane, y, x, n, horiz)
-    sel = _needs_filter2(seg, 2 * limit + 1, ilevel)
-    if not sel.any():
-        return
-    hv = _hev(seg, hev_t)
-    if mb_edge:
-        _filter6(seg, sel & ~hv)
-        _filter_common(seg, sel & hv, np.ones(n, bool))
-    else:
-        _filter_common(seg, sel, hv)
-    _store_lanes(plane, y, x, n, horiz, seg)
+    if _normal_filter(seg, limit, ilevel, hev_t, mb_edge):
+        _store_lanes(plane, y, x, n, horiz, seg)
+
+
+def _normal_edge_uv(
+    u, v, y, x, horiz, limit, ilevel, hev_t, mb_edge: bool
+) -> None:
+    """One chroma edge, both planes as a single 16-lane batch (the
+    kernels are lane-independent, so stacking U over V is exact)."""
+    su = _edge_lanes(u, y, x, 8, horiz)
+    sv = _edge_lanes(v, y, x, 8, horiz)
+    seg = np.concatenate([su, sv])
+    if _normal_filter(seg, limit, ilevel, hev_t, mb_edge):
+        _store_lanes(u, y, x, 8, horiz, seg[:8])
+        _store_lanes(v, y, x, 8, horiz, seg[8:])
 
 
 def _simple_edge(plane, y, x, n, horiz, limit) -> None:
@@ -974,22 +996,18 @@ def _loop_filter(
             else:
                 if mx > 0:
                     _normal_edge(Y, y0, x0, 16, True, limit + 4, ilevel, hev_t, True)
-                    _normal_edge(U, cy0, cx0, 8, True, limit + 4, ilevel, hev_t, True)
-                    _normal_edge(V, cy0, cx0, 8, True, limit + 4, ilevel, hev_t, True)
+                    _normal_edge_uv(U, V, cy0, cx0, True, limit + 4, ilevel, hev_t, True)
                 if inner:
                     for k in (4, 8, 12):
                         _normal_edge(Y, y0, x0 + k, 16, True, limit, ilevel, hev_t, False)
-                    _normal_edge(U, cy0, cx0 + 4, 8, True, limit, ilevel, hev_t, False)
-                    _normal_edge(V, cy0, cx0 + 4, 8, True, limit, ilevel, hev_t, False)
+                    _normal_edge_uv(U, V, cy0, cx0 + 4, True, limit, ilevel, hev_t, False)
                 if my > 0:
                     _normal_edge(Y, y0, x0, 16, False, limit + 4, ilevel, hev_t, True)
-                    _normal_edge(U, cy0, cx0, 8, False, limit + 4, ilevel, hev_t, True)
-                    _normal_edge(V, cy0, cx0, 8, False, limit + 4, ilevel, hev_t, True)
+                    _normal_edge_uv(U, V, cy0, cx0, False, limit + 4, ilevel, hev_t, True)
                 if inner:
                     for k in (4, 8, 12):
                         _normal_edge(Y, y0 + k, x0, 16, False, limit, ilevel, hev_t, False)
-                    _normal_edge(U, cy0 + 4, cx0, 8, False, limit, ilevel, hev_t, False)
-                    _normal_edge(V, cy0 + 4, cx0, 8, False, limit, ilevel, hev_t, False)
+                    _normal_edge_uv(U, V, cy0 + 4, cx0, False, limit, ilevel, hev_t, False)
 
 
 # ---------------------------------------------------------- yuv -> rgb

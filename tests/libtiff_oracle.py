@@ -68,7 +68,7 @@ def _unpack_bits(raw: bytes, w: int, h: int) -> np.ndarray:
     return np.unpackbits(arr, axis=1)[:, :w].astype(bool)
 
 
-def _open_g4(path: str, mode: bytes, w: int, h: int):
+def _open_g4(path: str, mode: bytes, w: int, h: int, compression: int = 4):
     tif = _lib.TIFFOpen(path.encode(), mode)
     if not tif:
         raise RuntimeError("TIFFOpen failed")
@@ -84,7 +84,7 @@ def _open_g4(path: str, mode: bytes, w: int, h: int):
         f("width", w)
         f("length", h)
         f("bits", 1)
-        f("compression", 4)  # CCITT T.6
+        f("compression", compression)  # 4 = CCITT T.6, 2 = CCITT RLE (MH)
         f("photometric", 0)  # min-is-white
         f("spp", 1)
         f("rows_per_strip", h)
@@ -92,12 +92,12 @@ def _open_g4(path: str, mode: bytes, w: int, h: int):
     return tif
 
 
-def ref_encode_g4(ink: np.ndarray) -> bytes:
-    """Boolean ink array -> reference T.6 bytes via libtiff."""
+def ref_encode_g4(ink: np.ndarray, compression: int = 4) -> bytes:
+    """Boolean ink array -> reference T.6 (or T.4-RLE) bytes via libtiff."""
     h, w = ink.shape
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "x.tif")
-        tif = _open_g4(path, b"w", w, h)
+        tif = _open_g4(path, b"w", w, h, compression)
         bits = _pack_bits(ink)
         n = _lib.TIFFWriteEncodedStrip(tif, 0, bits, len(bits))
         _lib.TIFFClose(tif)
@@ -112,11 +112,11 @@ def ref_encode_g4(ink: np.ndarray) -> bytes:
         return buf.raw[:m]
 
 
-def ref_decode_g4(data: bytes, w: int, h: int) -> np.ndarray | None:
-    """T.6 bytes -> boolean ink array via libtiff; None on reject."""
+def ref_decode_g4(data: bytes, w: int, h: int, compression: int = 4) -> np.ndarray | None:
+    """T.6 (or T.4-RLE) bytes -> boolean ink array via libtiff; None on reject."""
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "x.tif")
-        tif = _open_g4(path, b"w", w, h)
+        tif = _open_g4(path, b"w", w, h, compression)
         n = _lib.TIFFWriteRawStrip(tif, 0, data, len(data))
         _lib.TIFFClose(tif)
         if n < 0:

@@ -115,15 +115,68 @@ def test_scanned_pdf_ccitt_ocr():
     assert text == canonical_text(CARD_LINES)
 
 
-def test_g3_pdf_routes_to_seam():
+def test_mixed_g3_pdf_routes_to_seam():
     from valere_ocr_ray.extract.pdf_images import extract_pdf_images
     from valere_ocr_ray.sources.synth import build_scanned_pdf_bytes
 
     pdf = build_scanned_pdf_bytes(CARD_LINES, codec="ccitt")
-    # flip /K -1 to /K 0 (G3): found-but-undecodable, not dropped
-    g3 = pdf.replace(b"/K -1", b"/K 0")
+    # flip /K -1 to /K 1 (mixed G3): found-but-undecodable, not dropped
+    g3 = pdf.replace(b"/K -1", b"/K 1")
     imgs = extract_pdf_images(g3)
     assert imgs == [None]
+
+
+def test_g3_1d_self_roundtrip():
+    from valere_ocr_ray.extract.ccitt import decode_g3_1d, encode_g3_1d
+
+    for name, ink in _cases().items():
+        h, w = ink.shape
+        for align in (False, True):
+            back = decode_g3_1d(
+                encode_g3_1d(ink, byte_align=align), w, h, byte_align=align
+            )
+            assert np.array_equal(back, ink), (name, align)
+
+
+@needs_libtiff
+def test_g3_rle_cross_validates_with_libtiff():
+    # TIFF Compression=2 ("CCITT RLE") is exactly MH with byte-aligned
+    # rows — the same run tables G4 horizontal mode shares
+    from valere_ocr_ray.extract.ccitt import decode_g3_1d, encode_g3_1d
+
+    for name, ink in _cases().items():
+        h, w = ink.shape
+        ref_bits = ref_encode_g4(ink, compression=2)
+        mine = decode_g3_1d(ref_bits, w, h, byte_align=True)
+        assert np.array_equal(mine, ink), name
+        back = ref_decode_g4(
+            encode_g3_1d(ink, byte_align=True), w, h, compression=2
+        )
+        assert back is not None and np.array_equal(back, ink), name
+
+
+def test_g3_pdf_xobject_ocr():
+    """A /K 0 (pure 1-D) CCITT XObject decodes and OCRs byte-exact."""
+    from valere_ocr_ray.extract.ccitt import encode_g3_1d
+    from valere_ocr_ray.extract.pdf_images import extract_pdf_images
+    from valere_ocr_ray.sources.synth import build_scanned_pdf_bytes
+
+    pdf = build_scanned_pdf_bytes(CARD_LINES, codec="ccitt")
+    # rebuild the XObject body as G3 1-D with /K 0
+    img = render_text_image(CARD_LINES)
+    g3_body = encode_g3_1d(img[:, :, 0] < 128)
+    from valere_ocr_ray.extract.pdf_text import iter_streams
+
+    (dct, s, e), = [t for t in iter_streams(pdf) if b"/Image" in t[0]]
+    old_body = pdf[s:e]
+    newdct = dct.replace(b"/K -1", b"/K 0").replace(
+        b"/Length " + str(len(old_body)).encode(),
+        b"/Length " + str(len(g3_body)).encode(),
+    )
+    g3_pdf = pdf.replace(dct, newdct).replace(old_body, g3_body)
+    imgs = extract_pdf_images(g3_pdf)
+    assert len(imgs) == 1 and imgs[0] is not None
+    assert ocr_image(imgs[0]) == canonical_text(CARD_LINES)
 
 
 @needs_libtiff

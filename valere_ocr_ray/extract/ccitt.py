@@ -282,6 +282,84 @@ def _changes(rowbuf: np.ndarray) -> list[int]:
     return np.flatnonzero(np.diff(ext)).tolist()
 
 
+def decode_g3_1d(
+    data: bytes, width: int, height: int, byte_align: bool = False
+) -> np.ndarray:
+    """CCITT Group 3 one-dimensional (T.4 MH) bytes -> boolean ink.
+
+    The PDF ``/K 0`` case: every line is an independent sequence of
+    alternating white/black modified-Huffman runs summing to ``width``
+    (EOL codes, tolerated if present, are skipped).  ``byte_align`` is
+    PDF's ``/EncodedByteAlign`` (each line starts on a byte boundary
+    — also TIFF Compression=2 "CCITT RLE" layout)."""
+    if width <= 0 or height <= 0:
+        raise ImageFormatError("bad CCITT geometry")
+    bits = _Bits(data)
+    out = np.zeros((height, width), bool)
+    for row in range(height):
+        if byte_align and bits.pos % 8:
+            bits.pos += 8 - bits.pos % 8
+        if bits.pos >= bits.n:
+            break
+        # optional EOL (000000000001) before the line
+        while bits.peek_zero_run() >= 11 and bits.pos + 12 <= bits.n:
+            z = bits.peek_zero_run()
+            probe = bits.pos + z
+            if probe < bits.n and z >= 11:
+                bits.pos = probe + 1  # consume the trailing 1
+            else:
+                break
+        pos = 0
+        white = True
+        rowbuf = out[row]
+        while pos < width:
+            run = _read_run(bits, _WHITE_TREE if white else _BLACK_TREE)
+            if pos + run > width:
+                raise ImageFormatError("CCITT G3 run overflows the line")
+            if not white and run:
+                rowbuf[pos : pos + run] = True
+            pos += run
+            white = not white
+    return out
+
+
+def encode_g3_1d(ink: np.ndarray, byte_align: bool = False) -> bytes:
+    """Boolean ink -> T.4 one-dimensional bytes (the twin)."""
+    if ink.ndim != 2:
+        raise ImageFormatError("encode_g3_1d wants a 2-D boolean array")
+    h, w = ink.shape
+    outbits: list[str] = []
+
+    def emit_run(run: int, black: bool) -> None:
+        table = _BLACK_EMIT if black else _WHITE_EMIT
+        while run >= 2624:
+            outbits.append(table[2560])
+            run -= 2560
+        if run >= 64:
+            make = (run // 64) * 64
+            outbits.append(table[make])
+            run -= make
+        outbits.append(table[run])
+
+    for row in range(h):
+        if byte_align:
+            n = sum(len(s) for s in outbits)
+            if n % 8:
+                outbits.append("0" * (8 - n % 8))
+        changes = _changes(ink[row]) + [w]
+        pos = 0
+        black = False
+        for c in changes:
+            emit_run(c - pos, black)
+            pos = c
+            black = not black
+        if pos < w:
+            emit_run(w - pos, black)
+    s = "".join(outbits)
+    s += "0" * ((-len(s)) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
 def encode_g4(ink: np.ndarray, with_eofb: bool = True) -> bytes:
     """Boolean ink array (True = black) -> T.6 bytes (the twin)."""
     if ink.ndim != 2:

@@ -60,18 +60,25 @@ def _decode_xobject(dct: bytes, body: bytes) -> np.ndarray:
             raise ImageFormatError("DCTDecode geometry mismatch with dict")
         return px
     if filt == b"CCITTFaxDecode":
-        # scanner/fax bilevel pages — the G4 (/K < 0) case, which is
-        # what document scanners emit; G3 streams stay on the seam
-        from valere_ocr_ray.extract.ccitt import decode_g4
+        # scanner/fax bilevel pages: G4 (/K < 0, the scanner default)
+        # and 1-D G3 (/K 0); mixed-mode G3 (/K > 0) stays on the seam
+        from valere_ocr_ray.extract.ccitt import decode_g3_1d, decode_g4
 
         km = _K_RE.search(dct)
-        if not km or int(km.group(1)) >= 0:
-            raise ImageFormatError("CCITTFax K>=0 (G3) unsupported")
+        k = int(km.group(1)) if km else 0
         colm = _COLUMNS_RE.search(dct)
         cols = int(colm.group(1)) if colm else 1728
         if cols != w:
             raise ImageFormatError("CCITTFax Columns mismatch with /Width")
-        ink = decode_g4(body, w, h)
+        if k < 0:
+            ink = decode_g4(body, w, h)
+        elif k == 0:
+            ink = decode_g3_1d(
+                body, w, h,
+                byte_align=b"/EncodedByteAlign true" in dct,
+            )
+        else:
+            raise ImageFormatError("CCITTFax K>0 (mixed G3) unsupported")
         gray = np.where(ink, 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
     bm = _BPC_RE.search(dct)

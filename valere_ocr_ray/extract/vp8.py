@@ -158,6 +158,9 @@ _SEGMENT_TREE = (2, 4, 0, -1, -2, -3)  # leaf 0 encoded as 0 (root-only)
 # forked arithmetic state, a flipped mode many reads later.)
 _RFC2LW = np.array((0, 1, 2, 3, 6, 4, 5, 7, 8, 9))
 KF_BMODE = KF_BMODE_PROBS[np.ix_(_RFC2LW, _RFC2LW)]
+# plain-int copy: the arithmetic decoder runs per-bool in Python, and
+# numpy SCALARS make every (range*prob)>>8 ~3x slower than ints
+_KF_BMODE_PY = [[tuple(int(x) for x in row) for row in plane] for plane in KF_BMODE]
 
 # §13.2 / §13.5
 _BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
@@ -214,12 +217,45 @@ def _decode_block(
 ) -> tuple[list[int], bool]:
     """One 4x4 coefficient block: token tree walk (RFC 6386 §13.3),
     extra-bit categories, sign, zigzag placement, dequantization.
-    Returns (16 dequantized coeffs in raster order, any_nonzero)."""
+    Returns (16 dequantized coeffs in raster order, any_nonzero).
+
+    Hot kernel: the bool-decoder state lives in locals for the whole
+    block (a closure over ``nonlocal`` state instead of per-bool
+    method dispatch) — tokens are most of a frame's bool reads."""
+    data = bd.data
+    ln = len(data)
+    val = bd.value
+    rng = bd.range
+    pos = bd.pos
+    bc = bd.bit_count
+
+    def boolf(p: int) -> int:
+        nonlocal val, rng, pos, bc
+        split = 1 + (((rng - 1) * p) >> 8)
+        big = split << 8
+        if val >= big:
+            ret = 1
+            rng -= split
+            val -= big
+        else:
+            ret = 0
+            rng = split
+        while rng < 128:
+            val <<= 1
+            rng <<= 1
+            bc += 1
+            if bc == 8:
+                bc = 0
+                if pos < ln:
+                    val |= data[pos]
+                pos += 1
+        return ret
+
     out = [0] * 16
     nz = False
     c = first
-    boolf = bd.bool_
     skip_eob = False
+    dq_dc, dq_ac = dq
     while c < 16:
         p = probs[_BANDS[c]][ctx]
         if not skip_eob:
@@ -232,15 +268,15 @@ def _decode_block(
             continue
         skip_eob = False
         if not boolf(p[2]):
-            val = 1
+            val_c = 1
             ctx = 1
         else:
             ctx = 2
             if not boolf(p[3]):
                 if not boolf(p[4]):
-                    val = 2
+                    val_c = 2
                 else:
-                    val = 3 + boolf(p[5])
+                    val_c = 3 + boolf(p[5])
             else:
                 if not boolf(p[6]):
                     cat = 0 if not boolf(p[7]) else 1
@@ -252,12 +288,16 @@ def _decode_block(
                 extra = 0
                 for pb in _PCAT[cat]:  # extra bits, MSB first
                     extra = (extra << 1) | boolf(pb)
-                val = _CAT_BASE[cat] + extra
+                val_c = _CAT_BASE[cat] + extra
         if boolf(128):
-            val = -val
-        out[_ZIGZAG[c]] = val * dq[1 if c > 0 else 0]
+            val_c = -val_c
+        out[_ZIGZAG[c]] = val_c * (dq_ac if c > 0 else dq_dc)
         nz = True
         c += 1
+    bd.value = val
+    bd.range = rng
+    bd.pos = pos
+    bd.bit_count = bc
     return out, nz
 
 
@@ -564,7 +604,9 @@ def _parse_headers(bd: BoolDecoder, width: int, height: int) -> _Headers:
                 for t in range(11):
                     if bd.bool_(int(upd[i, j, k, t])):
                         probs[i, j, k, t] = bd.literal(8)
-    h.coeff_probs = probs
+    # hand the token decoder PYTHON ints (numpy scalars are ~3x
+    # slower in the per-bool arithmetic, and tokens dominate decode)
+    h.coeff_probs = probs.tolist()
 
     h.use_skip = bool(bd.bool_(128))
     h.prob_skip = bd.literal(8) if h.use_skip else 0
@@ -638,7 +680,7 @@ def decode_vp8_yuv(
                         a = above_b[mx, c] if r == 0 else bmodes[my, mx, r - 1, c]
                         l = left_b[r] if c == 0 else bmodes[my, mx, r, c - 1]
                         bm = _tree_read(
-                            bd, _BMODE_TREE, KF_BMODE[a, l]
+                            bd, _BMODE_TREE, _KF_BMODE_PY[a][l]
                         )
                         bmodes[my, mx, r, c] = bm
             else:

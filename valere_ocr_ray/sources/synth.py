@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 11  # v11: CCITT-G4 scanned PDFs (v10: lossy-WebP cards)
+CORPUS_VERSION = 12  # v12: VP8 cards at qi=20 (v11: CCITT-G4 scanned PDFs)
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -363,7 +363,8 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
     # scanner default (LZW + horizontal predictor); GIF and VP8L are
     # palettized (2-color card) per the web norm — VP8L takes the
     # color-indexing path with 8-px/byte bundling; VP8 is the full
-    # keyframe transform path at qi=4.
+    # keyframe transform path at qi=20 (binarization-exact; coarser
+    # quant = sparser token stream = cheaper pure-Python decode).
     enc = (
         encode_bmp,
         encode_ppm,
@@ -372,7 +373,7 @@ def _scanned_card(r: _Rand, i: int) -> bytes:
         lambda px: encode_tiff(px, lzw=True, predictor=True),
         encode_gif,
         encode_webp,
-        lambda px: encode_vp8(px, 4),
+        lambda px: encode_vp8(px, 20),
     )[(i // 100) % 8]
     return enc(img)
 

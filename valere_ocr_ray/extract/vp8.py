@@ -161,6 +161,7 @@ KF_BMODE = KF_BMODE_PROBS[np.ix_(_RFC2LW, _RFC2LW)]
 # plain-int copy: the arithmetic decoder runs per-bool in Python, and
 # numpy SCALARS make every (range*prob)>>8 ~3x slower than ints
 _KF_BMODE_PY = [[tuple(int(x) for x in row) for row in plane] for plane in KF_BMODE]
+_UPD_PY = COEFF_UPDATE_PROBS.tolist()  # header flag loop: ints, not numpy
 
 # §13.2 / §13.5
 _BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
@@ -597,12 +598,12 @@ def _parse_headers(bd: BoolDecoder, width: int, height: int) -> _Headers:
 
     # §13.4 coefficient probability updates
     probs = COEFF_PROBS.copy()
-    upd = COEFF_UPDATE_PROBS
     for i in range(4):
         for j in range(8):
             for k in range(3):
+                row_u = _UPD_PY[i][j][k]
                 for t in range(11):
-                    if bd.bool_(int(upd[i, j, k, t])):
+                    if bd.bool_(row_u[t]):
                         probs[i, j, k, t] = bd.literal(8)
     # hand the token decoder PYTHON ints (numpy scalars are ~3x
     # slower in the per-bool arithmetic, and tokens dominate decode)

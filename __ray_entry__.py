@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer allocation, SQL-oracled via a recursive CTE
         "doc_unimax_mix": q.doc_unimax_mix,
         "doc_unimax_epochs": q.doc_unimax_epochs,
+        # product-quantization ANN audit (Jégou et al. 2011): ADC +
+        # retrieve-and-refine recall vs exact brute force (rows-only:
+        # approximation op; pinned bit-exact vs a numpy twin in pytest)
+        "emb_pq_recall": q.emb_pq_recall,
     }
 
 

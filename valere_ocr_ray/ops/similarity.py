@@ -308,3 +308,240 @@ def kmeans_fit(
         centroids = new_c
 
     return centroids, stats
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(sample: np.ndarray, n_clusters: int, iters: int = 15, seed: int = 42) -> np.ndarray:
+    """Plain L2 Lloyd over a (bounded, in-memory) sample — the
+    per-subspace codebook trainer.  Distances via the matmul identity
+    (no (n,k,d) blowup); empty clusters keep their previous centroid so
+    the codebook shape is stable."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_clusters, replace=False)].astype(
+        np.float64
+    )
+    x2 = (sample * sample).sum(1, keepdims=True)
+    for _ in range(iters):
+        d2 = x2 - 2.0 * (sample @ centroids.T) + (centroids * centroids).sum(1)[None, :]
+        assign = d2.argmin(1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def pq_fit(
+    ds: ray.data.Dataset,
+    *,
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_stride: int = 1,
+    iters: int = 15,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou, Douze & Schmid 2011): split each
+    L2-NORMALIZED vector into ``m`` contiguous subvectors and run L2
+    k-means independently per subspace.  Returns ``(m, n_centroids,
+    d/m)`` float64 codebooks — a few KB, broadcast once via ``ray.put``
+    to every encode/search task.
+
+    The training sample is the id-stride slice ``id % sample_stride ==
+    0`` — an Arrow predicate pushdown, deterministic and
+    partition-invariant (unlike ``random_sample``, whose draw depends
+    on block structure), so a single-process twin reproduces the
+    codebook bit-exactly.  At 100 TB you'd pass a stride that bounds
+    the sample to ~1M rows; codebook quality needs only a sample."""
+    sample_ds = ds.select_columns([id_col, vec_col])
+    if sample_stride > 1:
+        sample_ds = sample_ds.filter(expr=f"{id_col} % {int(sample_stride)} == 0")
+    sample_df = sample_ds.to_pandas().sort_values(id_col)
+    mat = _normalize(np.stack(sample_df[vec_col].to_numpy()).astype(np.float64))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if len(mat) < n_centroids:
+        raise ValueError(f"sample ({len(mat)}) smaller than n_centroids ({n_centroids})")
+    return np.stack(
+        [
+            _kmeans_l2(
+                np.ascontiguousarray(mat[:, j * dsub : (j + 1) * dsub]),
+                n_centroids,
+                iters=iters,
+                seed=seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple = (),
+) -> ray.data.Dataset:
+    """Encode every vector to ``m`` uint8 code bytes (argmin-L2 centroid
+    per subspace, matmul-identity distances) — ONE ``map_batches`` pass;
+    the codebooks ride the object store (``ray.put`` once, fetched
+    zero-copy per task).  Output rows are ``(id, pq_code: bytes[,
+    keep_cols...])`` — at d=768 float32 → m=8 codes that is a 384×
+    compression, which is what makes a full-corpus ADC scan cheap at
+    100 TB: the scan reads the code column only."""
+    m, _, dsub = codebooks.shape
+    cref = ray.put(np.ascontiguousarray(codebooks))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        cb = ray.get(cref)
+        out = {id_col: df[id_col].astype("int64")}
+        for c in keep_cols:
+            out[c] = df[c]
+        if not len(df):
+            out["pq_code"] = pd.Series([], dtype=object)
+            return pd.DataFrame(out)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cj = cb[j]
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2.0 * (sub @ cj.T)
+                + (cj * cj).sum(1)[None, :]
+            )
+            codes[:, j] = d2.argmin(1)
+        out["pq_code"] = [row.tobytes() for row in codes]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_search(
+    codes_ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> pd.DataFrame:
+    """ADC (asymmetric distance computation) top-k over the CODES
+    dataset: per query build the ``(m, n_centroids)`` lookup table of
+    subspace inner products ``q_sub · centroid`` once, then every
+    batch's score is a pure table-gather + row sum over the uint8 code
+    matrix — no float vectors ever leave the codebook.  Per-block
+    partial top-k rows tree-combine (``k × n_blocks`` on the wire, not
+    the corpus).  Scores are approximate inner products on unit vectors
+    (== approximate cosine).  Ties broken by id for run-to-run
+    determinism."""
+    m, kc, dsub = codebooks.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # (n_q, m, kc): lut[qi, j, c] = q_sub · codebook[j, c]
+    lut = np.einsum("qjd,jcd->qjc", q.reshape(len(q), m, dsub), codebooks)
+    lref = ray.put(np.ascontiguousarray(lut))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tab = ray.get(lref)
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    "sim_e6": pd.Series([], dtype="int64"),
+                }
+            )
+        codes = np.frombuffer(b"".join(df[code_col].to_numpy()), dtype=np.uint8)
+        codes = codes.reshape(len(df), m)
+        ids = df[id_col].to_numpy().astype("int64")
+        sub = np.arange(m)[None, :]
+        frames = []
+        for qi in range(len(tab)):
+            s = tab[qi][sub, codes].sum(axis=1)  # (n,) gather + sum
+            order = np.lexsort((ids, -np.round(s, 9)))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qi),
+                        id_col: ids[order],
+                        "sim_e6": np.floor(
+                            np.round(s[order], 9) * 1_000_000
+                        ).astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    # per-block × per-query partial top-k: k·n_q·n_blocks rows reach the
+    # driver (same bounded-reduce shape as knn_brute_force above)
+    out = codes_ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = out.sort_values(["query_id", "sim_e6", id_col], ascending=[True, False, True])
+    return out.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+def pq_search_rerank(
+    codes_ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    vectors_ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    expand: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> pd.DataFrame:
+    """Two-stage retrieve-then-refine: ADC over the compressed codes
+    retrieves ``k × expand`` candidates per query, then ONE pruned pass
+    over the float vector table fetches ONLY the candidate rows
+    (vectorized ``np.isin`` against the broadcast candidate-id array —
+    ≤ k·expand·n_q ids, tiny) and exact cosine re-ranks each query's own
+    candidates.  The corpus-sized scan touches codes only; full vectors
+    are read for a bounded candidate set — the FAISS ``IndexRefine``
+    shape, which is what makes PQ recall usable without ever scanning
+    floats at corpus scale."""
+    cand = pq_search(
+        codes_ds, codebooks, queries, k=k * expand, id_col=id_col, code_col=code_col
+    )
+    cand_ids = np.unique(cand[id_col].to_numpy().astype("int64"))
+    idref = ray.put(cand_ids)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(idref)
+        mask = np.isin(df[id_col].to_numpy().astype("int64"), ids)
+        return df[mask]
+
+    fetched = (
+        vectors_ds.select_columns([id_col, vec_col])
+        .map_batches(keep, batch_format="pandas")
+        .to_pandas()
+    )
+    vecs = _normalize(np.stack(fetched[vec_col].to_numpy()).astype(np.float64))
+    by_id = {int(i): j for j, i in enumerate(fetched[id_col].to_numpy())}
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    frames = []
+    for qi in range(len(q)):
+        ids_q = cand[cand["query_id"] == qi][id_col].to_numpy().astype("int64")
+        rows = np.array([by_id[int(i)] for i in ids_q])
+        s = vecs[rows] @ q[qi]
+        order = np.lexsort((ids_q, -np.round(s, 9)))[:k]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.int64(qi),
+                    id_col: ids_q[order],
+                    "sim_e6": np.floor(np.round(s[order], 9) * 1_000_000).astype(
+                        "int64"
+                    ),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)

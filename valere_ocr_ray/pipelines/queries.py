@@ -5549,3 +5549,51 @@ def doc_unimax_epochs(sf_dir: str):
     return mix_unimax(
         ds, budget_denom=1, epoch_cap=3, key_col="dom", salt="unimax3"
     ).sort("doc_id")
+
+
+def emb_pq_recall(sf_dir: str):
+    """Product-quantization ANN audit (Jégou et al. 2011): PQ codebooks
+    (m=16 subspaces × 256 L2-centroids, trained on the deterministic
+    id-stride sample), every vector encoded to 16 uint8 code bytes (16×
+    smaller than the d=64 float32 row — the compressed-domain scan is
+    what a 100 TB embedding store actually reads), ADC top-10 vs
+    vec_id<3 queries, then the retrieve-and-refine pass (ADC top-50 →
+    exact cosine over ONLY the fetched candidates).  Reports recall@10
+    of both stages against the exact float brute force.  Fully
+    deterministic (stride sample + seeded Lloyd); rows-only by design
+    (approximation op, no SQL analog) — pinned bit-exact against a
+    single-process numpy twin in pytest."""
+    from valere_ocr_ray.ops.similarity import (
+        knn_brute_force,
+        pq_encode,
+        pq_fit,
+        pq_search,
+        pq_search_rerank,
+    )
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_df = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.stack(q_df["embedding"].to_numpy()).astype(np.float64)
+
+    cb = pq_fit(ds, m=16, n_centroids=256)
+    codes = pq_encode(ds, cb)
+    adc = pq_search(codes, cb, queries, k=10)
+    refined = pq_search_rerank(codes, cb, ds, queries, k=10, expand=5)
+    brute = knn_brute_force(ds, queries, k=10)
+
+    rows = []
+    for qi in range(len(queries)):
+        exact_ids = set(brute[brute["query_id"] == qi]["vec_id"].astype(int))
+        adc_ids = set(adc[adc["query_id"] == qi]["vec_id"].astype(int))
+        ref_ids = set(refined[refined["query_id"] == qi]["vec_id"].astype(int))
+        rows.append(
+            {
+                "query_id": np.int64(qi),
+                "k": np.int64(10),
+                "adc_overlap": np.int64(len(exact_ids & adc_ids)),
+                "refined_overlap": np.int64(len(exact_ids & ref_ids)),
+                "code_bytes": np.int64(cb.shape[0]),
+                "compression_x": np.int64(len(queries[0]) * 4 // cb.shape[0]),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retrieve-and-refine recall vs exact brute force (rows-only:
         # approximation op; pinned bit-exact vs a numpy twin in pytest)
         "emb_pq_recall": q.emb_pq_recall,
+        # HyperLogLog distinct sketch — the 64-register STATE itself is
+        # SQL-oracled (same md5 hash as the KMV estimator; rho via exact
+        # integer bit-length on both sides)
+        "events_distinct_users_hll": q.events_distinct_users_hll,
     }
 
 
@@ -1614,6 +1618,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(63 * 9223372036854775808.0 / "
             "greatest(CAST(kth AS DOUBLE), 1.0)) AS BIGINT) END "
             "AS n_distinct_est FROM agg"
+        ),
+        "events_distinct_users_hll": (
+            # the HLL REGISTER STATE replayed: same md5-derived 63-bit
+            # hash as the KMV oracle; register = top 6 bits, rho = 58 -
+            # bit_length of the low-57-bit word (bin() has no leading
+            # zeros, so length(bin(w)) IS bit_length; w=0 caps at 58),
+            # max per register, untouched registers 0.
+            "WITH h AS (SELECT DISTINCT "
+            "CAST(md5_number_upper(CAST(user_id AS VARCHAR)) >> 1 AS BIGINT) "
+            "AS hv FROM events), "
+            "r AS (SELECT hv >> 57 AS register, "
+            "hv & ((1::BIGINT << 57) - 1) AS w FROM h), "
+            "rho AS (SELECT register, CASE WHEN w = 0 THEN 58 "
+            "ELSE CAST(58 - length(bin(w)) AS BIGINT) END AS rho FROM r), "
+            "agg AS (SELECT register, max(rho) AS max_rho FROM rho "
+            "GROUP BY register) "
+            "SELECT g.register, coalesce(a.max_rho, 0) AS max_rho "
+            "FROM (SELECT unnest(range(64)) AS register) g "
+            "LEFT JOIN agg a USING (register) ORDER BY g.register"
         ),
         "doc_dup_clusters_verified": (
             # connected components over the exact-Jaccard pair set

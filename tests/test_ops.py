@@ -2671,3 +2671,38 @@ def test_gopher_keep_ascii_pinned():
     assert sql_stop is True
     # and the composed verdict still runs clean over non-ASCII input
     assert gopher_keep(texts).shape == (2,)
+
+
+# -- HyperLogLog --------------------------------------------------------
+def test_hll_bit_length_exact():
+    """_bit_length64 must be exact where float log/frexp is not: values
+    just under a power of two above 2^53."""
+    from valere_ocr_ray.ops.sketch import _bit_length64
+
+    vals = np.array(
+        [0, 1, 2, 3, (1 << 53) - 1, 1 << 53, (1 << 57) - 1, (1 << 56) + 12345, (1 << 57) - 7],
+        dtype=np.int64,
+    )
+    got = _bit_length64(vals)
+    expect = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+    assert (got == expect).all()
+
+
+def test_hll_partition_invariant_and_estimate(ray_session):
+    """The register state is invariant to block structure (elementwise
+    max is associative+commutative) and the estimator lands within ±2σ
+    (σ = 1.04/√64) of the true distinct count."""
+    import duckdb
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.sketch import grouped_hll, hll_estimate
+
+    ds = rd.read_parquet(f"{SF}/events.parquet").select_columns(["user_id"])
+    a = grouped_hll(ds, "user_id")
+    b = grouped_hll(ds.repartition(13), "user_id")
+    assert (a == b).all()
+    true = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    est = hll_estimate(a)
+    assert abs(est - true) <= max(2 * 1.04 / 8 * true, 2)

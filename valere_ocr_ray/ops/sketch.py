@@ -244,3 +244,100 @@ def column_quantiles_sketch(
     )
     est = quantile_sketch_query(merged, probs)
     return pd.DataFrame({"prob": probs, "quantile_est": est})
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — fixed 2^b registers, mergeable by
+# elementwise max.  The register update is SQL-replayable bit-for-bit
+# (same md5-derived 63-bit hash as KMV; rho via exact integer
+# bit-length, never a float log), so the SKETCH STATE itself can be
+# driver-oracled, not just an exact-regime twin.
+# ---------------------------------------------------------------------------
+
+HLL_B = 6  # 2^6 = 64 registers; std err 1.04/sqrt(64) ≈ 13%
+_HLL_W_BITS = 63 - HLL_B  # 57 value bits below the register index
+
+
+def _bit_length64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length of nonnegative int64 values.  A
+    float64 log2/frexp is WRONG near powers of two once w > 2^53 (a
+    57-bit value like 2^57-1 rounds UP to 2^57), so split high/low: both
+    halves are < 2^32 and convert to float64 exactly; frexp's exponent
+    is then the exact bit length."""
+    w = w.astype(np.int64)
+    hi = w >> 32
+    lo = w & 0xFFFFFFFF
+    _, e_hi = np.frexp(hi.astype(np.float64))
+    _, e_lo = np.frexp(lo.astype(np.float64))
+    return np.where(hi > 0, 32 + e_hi, e_lo).astype(np.int64)
+
+
+def hll_partial_from_hashes(hashes: np.ndarray, b: int = HLL_B) -> np.ndarray:
+    """One block's register vector (length 2^b int64): register = top b
+    bits of the 63-bit hash, rho = leading zeros of the remaining
+    (63-b)-bit word + 1 (an all-zero word caps at 63-b+1), register
+    value = max rho seen.  Returns all-zero registers for an empty
+    block so merges stay shape-stable."""
+    m = 1 << b
+    regs = np.zeros(m, dtype=np.int64)
+    if not len(hashes):
+        return regs
+    h = (hashes >> np.uint64(1)).astype(np.int64)  # 63-bit space
+    idx = h >> (63 - b)
+    w = h & ((np.int64(1) << np.int64(63 - b)) - 1)
+    rho = (63 - b) + 1 - _bit_length64(w)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    arrs = [np.asarray(s, dtype=np.int64) for s in sketches if len(s)]
+    if not arrs:
+        return np.zeros(1 << HLL_B, dtype=np.int64)
+    return np.maximum.reduce(arrs)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with the small-range linear-counting
+    correction.  The harmonic sum is computed in EXACT integer units of
+    2^-(w_bits+1) (python ints, no float accumulation order to match),
+    so the same registers always produce the same estimate."""
+    m = len(regs)
+    wb = _HLL_W_BITS + 1
+    s_int = sum(1 << (wb - int(r)) for r in regs)  # Σ 2^(wb-Mj), exact
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m * float(1 << wb) / float(s_int)
+    n_zero = int((regs == 0).sum())
+    if est <= 2.5 * m and n_zero > 0:
+        est = m * np.log(m / n_zero)
+    return int(np.floor(est))
+
+
+def grouped_hll(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    b: int = HLL_B,
+) -> np.ndarray:
+    """Corpus-wide HLL over ``value_col``: per-block register partials
+    (2^b int64s per block — constant, never the values) elementwise-max
+    through the same (8,1) repartition tree the KMV path uses.  Values
+    hash through the md5 string path so SQL can replay every register."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = hll_partial_from_hashes(
+            _value_hashes64(df[value_col].astype(str).drop_duplicates()), b
+        )
+        return pd.DataFrame({"sketch": [sk.tolist()]})
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        merged = hll_merge([np.asarray(s, dtype=np.int64) for s in df["sketch"]])
+        return pd.DataFrame({"sketch": [merged.tolist()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    for w in (8, 1):
+        parts = parts.repartition(w).map_batches(
+            merge_block, batch_format="pandas", batch_size=None
+        )
+    rows = parts.take_all()  # exactly one row
+    return hll_merge([np.asarray(r["sketch"], dtype=np.int64) for r in rows])

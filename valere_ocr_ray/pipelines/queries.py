@@ -5597,3 +5597,25 @@ def emb_pq_recall(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+def events_distinct_users_hll(sf_dir: str):
+    """HyperLogLog register state over event users, SQL-ORACLED at the
+    SKETCH level: the 64 registers (top-6-bit index, max leading-zero
+    rank of the low 57 bits) are pure integers DuckDB rebuilds
+    bit-for-bit from the same ``md5_number_upper >> 1`` hash — so the
+    driver verifies the distributed max-merge itself, with no float
+    estimate in the compared payload.  Per-block partials are a
+    CONSTANT 64 int64s regardless of block size (the 100 TB story:
+    distinct-count without a distinct-shuffle); the estimator over this
+    state is pinned within ±2σ of the exact count in pytest."""
+    from valere_ocr_ray.ops.sketch import HLL_B, grouped_hll
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    regs = grouped_hll(ds, "user_id")
+    return pa.table(
+        {
+            "register": pa.array(np.arange(1 << HLL_B, dtype="int64")),
+            "max_rho": pa.array(regs.astype("int64")),
+        }
+    )

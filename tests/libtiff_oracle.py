@@ -52,7 +52,7 @@ if HAVE_LIBTIFF:
 _TAGS = {
     "width": 256, "length": 257, "bits": 258, "compression": 259,
     "photometric": 262, "spp": 277, "rows_per_strip": 278,
-    "planar": 284,
+    "planar": 284, "t4options": 292,
 }
 
 
@@ -68,7 +68,8 @@ def _unpack_bits(raw: bytes, w: int, h: int) -> np.ndarray:
     return np.unpackbits(arr, axis=1)[:, :w].astype(bool)
 
 
-def _open_g4(path: str, mode: bytes, w: int, h: int, compression: int = 4):
+def _open_g4(path: str, mode: bytes, w: int, h: int, compression: int = 4,
+             t4options: int | None = None):
     tif = _lib.TIFFOpen(path.encode(), mode)
     if not tif:
         raise RuntimeError("TIFFOpen failed")
@@ -84,7 +85,9 @@ def _open_g4(path: str, mode: bytes, w: int, h: int, compression: int = 4):
         f("width", w)
         f("length", h)
         f("bits", 1)
-        f("compression", compression)  # 4 = CCITT T.6, 2 = CCITT RLE (MH)
+        f("compression", compression)  # 4 = T.6, 3 = T.4 (G3), 2 = RLE (MH)
+        if t4options is not None:
+            f("t4options", t4options)  # bit 0 = 2-D (mixed) encoding
         f("photometric", 0)  # min-is-white
         f("spp", 1)
         f("rows_per_strip", h)
@@ -92,12 +95,13 @@ def _open_g4(path: str, mode: bytes, w: int, h: int, compression: int = 4):
     return tif
 
 
-def ref_encode_g4(ink: np.ndarray, compression: int = 4) -> bytes:
-    """Boolean ink array -> reference T.6 (or T.4-RLE) bytes via libtiff."""
+def ref_encode_g4(ink: np.ndarray, compression: int = 4,
+                  t4options: int | None = None) -> bytes:
+    """Boolean ink array -> reference T.6 / T.4 / RLE bytes via libtiff."""
     h, w = ink.shape
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "x.tif")
-        tif = _open_g4(path, b"w", w, h, compression)
+        tif = _open_g4(path, b"w", w, h, compression, t4options)
         bits = _pack_bits(ink)
         n = _lib.TIFFWriteEncodedStrip(tif, 0, bits, len(bits))
         _lib.TIFFClose(tif)
@@ -112,11 +116,12 @@ def ref_encode_g4(ink: np.ndarray, compression: int = 4) -> bytes:
         return buf.raw[:m]
 
 
-def ref_decode_g4(data: bytes, w: int, h: int, compression: int = 4) -> np.ndarray | None:
-    """T.6 (or T.4-RLE) bytes -> boolean ink array via libtiff; None on reject."""
+def ref_decode_g4(data: bytes, w: int, h: int, compression: int = 4,
+                  t4options: int | None = None) -> np.ndarray | None:
+    """T.6 / T.4 / RLE bytes -> boolean ink array via libtiff; None on reject."""
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "x.tif")
-        tif = _open_g4(path, b"w", w, h, compression)
+        tif = _open_g4(path, b"w", w, h, compression, t4options)
         n = _lib.TIFFWriteRawStrip(tif, 0, data, len(data))
         _lib.TIFFClose(tif)
         if n < 0:

@@ -115,15 +115,54 @@ def test_scanned_pdf_ccitt_ocr():
     assert text == canonical_text(CARD_LINES)
 
 
-def test_mixed_g3_pdf_routes_to_seam():
-    from valere_ocr_ray.extract.pdf_images import extract_pdf_images
+def test_mixed_g3_pdf_xobject_ocr():
+    """A /K 2 (mixed 2-D G3) CCITT XObject decodes and OCRs byte-exact
+    — the round-3 seam is closed; all three /K regimes extract."""
+    from valere_ocr_ray.extract.pdf_images import (
+        extract_pdf_images,
+        ocr_pdf_images,
+    )
     from valere_ocr_ray.sources.synth import build_scanned_pdf_bytes
 
-    pdf = build_scanned_pdf_bytes(CARD_LINES, codec="ccitt")
-    # flip /K -1 to /K 1 (mixed G3): found-but-undecodable, not dropped
-    g3 = pdf.replace(b"/K -1", b"/K 1")
-    imgs = extract_pdf_images(g3)
-    assert imgs == [None]
+    pdf = build_scanned_pdf_bytes(CARD_LINES, codec="ccitt_mixed")
+    imgs = extract_pdf_images(pdf)
+    assert len(imgs) == 1 and imgs[0] is not None
+    text, n_found, n_decoded = ocr_pdf_images(pdf, ocr_image)
+    assert (n_found, n_decoded) == (1, 1)
+    assert text == canonical_text(CARD_LINES)
+
+
+def test_g3_mixed_self_roundtrip():
+    from valere_ocr_ray.extract.ccitt import decode_g3_mixed, encode_g3_mixed
+
+    for name, ink in _cases().items():
+        h, w = ink.shape
+        for k in (1, 2, 4):
+            for align in (False, True):
+                back = decode_g3_mixed(
+                    encode_g3_mixed(ink, k=k, byte_align=align),
+                    w, h, byte_align=align,
+                )
+                assert np.array_equal(back, ink), (name, k, align)
+
+
+@needs_libtiff
+def test_g3_mixed_cross_validates_with_libtiff():
+    """TIFF Compression=3 with T4Options bit 0 (2-D encoding) IS the
+    T.4 mixed stream: libtiff's encoder output must decode here, and
+    every encode_g3_mixed stream must decode under libtiff."""
+    from valere_ocr_ray.extract.ccitt import decode_g3_mixed, encode_g3_mixed
+
+    for name, ink in _cases().items():
+        h, w = ink.shape
+        ref_bits = ref_encode_g4(ink, compression=3, t4options=1)
+        mine = decode_g3_mixed(ref_bits, w, h)
+        assert np.array_equal(mine, ink), name
+        for k in (1, 4):
+            back = ref_decode_g4(
+                encode_g3_mixed(ink, k=k), w, h, compression=3, t4options=1
+            )
+            assert back is not None and np.array_equal(back, ink), (name, k)
 
 
 def test_g3_1d_self_roundtrip():

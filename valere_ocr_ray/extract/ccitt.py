@@ -183,6 +183,82 @@ def _read_run(bits: _Bits, tree: dict) -> int:
         # make-up: a terminating code of the SAME color must follow
 
 
+def _decode_2d_line(bits: _Bits, ref: list[int], width: int) -> list[int]:
+    """Decode ONE two-dimensionally coded line (the T.6 line machinery,
+    shared verbatim by T.4 mixed mode's 2-D lines) against ``ref`` (the
+    previous line's changing elements, ``[width, width]``-padded).
+    Returns the new line's change positions."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white
+    while a0 < width:
+        # b1: first ref change > a0 with parity == color
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        # ---- mode code
+        if bits.bit():  # 1 -> V0
+            a1 = b1
+            mode = "v"
+        else:
+            if bits.bit():  # 01x
+                mode = "v"
+                a1 = b1 + (1 if bits.bit() else -1)
+            else:
+                if bits.bit():  # 001 -> horizontal
+                    mode = "h"
+                else:
+                    if bits.bit():  # 0001 -> pass
+                        mode = "p"
+                    else:
+                        # 0000 1x / 0000 01x ... -> VR2/VL2/VR3/VL3
+                        if bits.bit():  # 00001x
+                            a1 = b1 + (2 if bits.bit() else -2)
+                            mode = "v"
+                        else:
+                            if bits.bit():  # 000001x
+                                a1 = b1 + (3 if bits.bit() else -3)
+                                mode = "v"
+                            else:
+                                raise ImageFormatError(
+                                    "unsupported CCITT extension/EOL"
+                                )
+        if mode == "p":
+            a0 = b2
+            continue
+        if mode == "h":
+            start = max(a0, 0)
+            r1 = _read_run(bits, _BLACK_TREE if color else _WHITE_TREE)
+            r2 = _read_run(bits, _WHITE_TREE if color else _BLACK_TREE)
+            cur.append(start + r1)
+            cur.append(start + r1 + r2)
+            a0 = start + r1 + r2
+            continue
+        # vertical
+        if a1 < 0 or a1 > width:
+            raise ImageFormatError("CCITT vertical mode out of range")
+        cur.append(a1)
+        a0 = a1
+        color ^= 1
+    return [c for c in cur if c <= width]
+
+
+def _paint_row(changes: list[int], rowbuf: np.ndarray) -> None:
+    """changes -> pixels (spans between changes alternate, white first)."""
+    width = len(rowbuf)
+    pos = 0
+    ink = False
+    for c in changes:
+        if ink and c > pos:
+            rowbuf[pos:c] = True
+        pos = c
+        ink = not ink
+    if ink and pos < width:
+        rowbuf[pos:width] = True
+
+
 def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
     """T.6 bytes -> boolean ink array (height, width), True = black.
 
@@ -200,73 +276,8 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
         # EOFB = two EOLs (000000000001 twice)
         if bits.peek_zero_run() >= 11:
             break
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        while a0 < width:
-            # b1: first ref change > a0 with parity == color
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            # ---- mode code
-            if bits.bit():  # 1 -> V0
-                a1 = b1
-                d = 0
-                mode = "v"
-            else:
-                if bits.bit():  # 01x
-                    mode = "v"
-                    a1 = b1 + (1 if bits.bit() else -1)
-                else:
-                    if bits.bit():  # 001 -> horizontal
-                        mode = "h"
-                    else:
-                        if bits.bit():  # 0001 -> pass
-                            mode = "p"
-                        else:
-                            # 0000 1x / 0000 01x ... -> VR2/VL2/VR3/VL3
-                            if bits.bit():  # 00001x
-                                a1 = b1 + (2 if bits.bit() else -2)
-                                mode = "v"
-                            else:
-                                if bits.bit():  # 000001x
-                                    a1 = b1 + (3 if bits.bit() else -3)
-                                    mode = "v"
-                                else:
-                                    raise ImageFormatError(
-                                        "unsupported CCITT extension/EOL"
-                                    )
-            if mode == "p":
-                a0 = b2
-                continue
-            if mode == "h":
-                start = max(a0, 0)
-                r1 = _read_run(bits, _BLACK_TREE if color else _WHITE_TREE)
-                r2 = _read_run(bits, _WHITE_TREE if color else _BLACK_TREE)
-                cur.append(start + r1)
-                cur.append(start + r1 + r2)
-                a0 = start + r1 + r2
-                continue
-            # vertical
-            if a1 < 0 or a1 > width:
-                raise ImageFormatError("CCITT vertical mode out of range")
-            cur.append(a1)
-            a0 = a1
-            color ^= 1
-        # changes -> pixels (spans between changes alternate, white first)
-        changes = [c for c in cur if c <= width]
-        pos = 0
-        ink = False
-        rowbuf = out[row]
-        for c in changes:
-            if ink and c > pos:
-                rowbuf[pos:c] = True
-            pos = c
-            ink = not ink
-        if ink and pos < width:
-            rowbuf[pos:width] = True
+        changes = _decode_2d_line(bits, ref, width)
+        _paint_row(changes, out[row])
         ref = changes + [width, width]
     return out
 
@@ -360,63 +371,168 @@ def encode_g3_1d(ink: np.ndarray, byte_align: bool = False) -> bytes:
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
 
+def _emit_run(outbits: list, run: int, black: bool) -> None:
+    table = _BLACK_EMIT if black else _WHITE_EMIT
+    while run >= 2624:  # repeated max make-up
+        outbits.append(table[2560])
+        run -= 2560
+    if run >= 64:
+        make = (run // 64) * 64
+        outbits.append(table[make])
+        run -= make
+    outbits.append(table[run])
+
+
+def _encode_2d_line(outbits: list, cur: list, ref: list, w: int) -> None:
+    """Emit ONE two-dimensionally coded line (vertical-preferred T.6
+    mode selection) for change list ``cur`` against reference ``ref`` —
+    shared by the G4 twin and the mixed-G3 twin's 2-D lines."""
+    curw = cur + [w, w]
+    a0 = -1
+    color = 0
+    ci = 0  # index into curw of next change > a0
+    while a0 < w:
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        while ci < len(curw) and curw[ci] <= a0:
+            ci += 1
+        a1 = curw[ci] if ci < len(curw) else w
+        if b2 < a1:
+            outbits.append("0001")  # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            outbits.append(
+                {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                 -1: "010", -2: "000010", -3: "0000010"}[d]
+            )
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal: runs a0..a1 (current color), a1..a2 (opposite)
+        a2 = curw[ci + 1] if ci + 1 < len(curw) else w
+        start = max(a0, 0)
+        outbits.append("001")
+        _emit_run(outbits, a1 - start, bool(color))
+        _emit_run(outbits, a2 - a1, not bool(color))
+        a0 = a2
+
+
 def encode_g4(ink: np.ndarray, with_eofb: bool = True) -> bytes:
     """Boolean ink array (True = black) -> T.6 bytes (the twin)."""
     if ink.ndim != 2:
         raise ImageFormatError("encode_g4 wants a 2-D boolean array")
     h, w = ink.shape
     outbits: list[str] = []
-
-    def emit_run(run: int, black: bool) -> None:
-        table = _BLACK_EMIT if black else _WHITE_EMIT
-        while run >= 2624:  # repeated max make-up
-            outbits.append(table[2560])
-            run -= 2560
-        if run >= 64:
-            make = (run // 64) * 64
-            outbits.append(table[make])
-            run -= make
-        outbits.append(table[run])
-
     ref = [w, w]
     for row in range(h):
         cur = _changes(ink[row])
-        curw = cur + [w, w]
-        a0 = -1
-        color = 0
-        ci = 0  # index into curw of next change > a0
-        while a0 < w:
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            while ci < len(curw) and curw[ci] <= a0:
-                ci += 1
-            a1 = curw[ci] if ci < len(curw) else w
-            if b2 < a1:
-                outbits.append("0001")  # pass
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                outbits.append(
-                    {0: "1", 1: "011", 2: "000011", 3: "0000011",
-                     -1: "010", -2: "000010", -3: "0000010"}[d]
-                )
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal: runs a0..a1 (current color), a1..a2 (opposite)
-            a2 = curw[ci + 1] if ci + 1 < len(curw) else w
-            start = max(a0, 0)
-            outbits.append("001")
-            emit_run(a1 - start, bool(color))
-            emit_run(a2 - a1, not bool(color))
-            a0 = a2
+        _encode_2d_line(outbits, cur, ref, w)
         ref = cur + [w, w]
     if with_eofb:
         outbits.append("000000000001" * 2)
+    s = "".join(outbits)
+    pad = (-len(s)) % 8
+    s += "0" * pad
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def decode_g3_mixed(
+    data: bytes, width: int, height: int, byte_align: bool = False
+) -> np.ndarray:
+    """CCITT Group 3 two-dimensional / mixed mode (T.4 \u00a72.2.4, PDF
+    ``/K > 0``) bytes -> boolean ink: every line is preceded by an EOL
+    (000000000001) plus a tag bit — 1 means the line is one-dimensional
+    (MH runs), 0 means two-dimensional (the T.6 line machinery against
+    the previous line).  Fill zeros before an EOL are absorbed by the
+    zero-run scan; RTC / stream end stops decoding early (remaining
+    rows stay white, matching the G4 decoder's tolerance).  A stream
+    that starts without an EOL treats its first line as 1-D, which T.4
+    requires of the first line anyway."""
+    if width <= 0 or height <= 0:
+        raise ImageFormatError("bad CCITT geometry")
+    bits = _Bits(data)
+    out = np.zeros((height, width), bool)
+    ref = [width, width]
+    for row in range(height):
+        if byte_align and bits.pos % 8:
+            bits.pos += 8 - bits.pos % 8
+        if bits.pos >= bits.n:
+            break
+        # consume fill + EOL, then the 1-D/2-D tag bit
+        one_d = True
+        z = bits.peek_zero_run()
+        if z >= 11:
+            if bits.pos + z + 2 > bits.n:
+                break  # trailing fill / RTC tail
+            bits.pos += z + 1  # zeros + the EOL's terminating 1
+            one_d = bool(bits.bit())
+        elif row > 0:
+            raise ImageFormatError("mixed G3 line missing its EOL")
+        if one_d:
+            changes: list[int] = []
+            pos = 0
+            white = True
+            while pos < width:
+                run = _read_run(bits, _WHITE_TREE if white else _BLACK_TREE)
+                if pos + run > width:
+                    raise ImageFormatError("CCITT G3 run overflows the line")
+                pos += run
+                changes.append(pos)
+                white = not white
+        else:
+            changes = _decode_2d_line(bits, ref, width)
+        _paint_row(changes, out[row])
+        ref = changes + [width, width]
+    return out
+
+
+def encode_g3_mixed(
+    ink: np.ndarray, k: int = 2, byte_align: bool = False, with_rtc: bool = True
+) -> bytes:
+    """Boolean ink -> T.4 mixed-mode bytes (the twin): one 1-D line at
+    the top of every ``k``-line group (tag 1), 2-D lines in between
+    (tag 0) — the standard-fax K-factor layout.  ``byte_align`` pads
+    with fill zeros so each EOL ends on a byte boundary (PDF
+    ``/EncodedByteAlign``)."""
+    if ink.ndim != 2:
+        raise ImageFormatError("encode_g3_mixed wants a 2-D boolean array")
+    if k < 1:
+        raise ImageFormatError("mixed G3 needs k >= 1")
+    h, w = ink.shape
+    outbits: list[str] = []
+    ref = [w, w]
+    for row in range(h):
+        one_d = (row % k) == 0
+        if byte_align:
+            n = sum(len(s) for s in outbits)
+            # fill so EOL+tag's final two bits land byte-aligned: pad to
+            # n + fill + 12 + 1 \u2261 0 (mod 8) — PDF aligns the LINE start
+            # (after the tag) in practice; simplest spec-valid choice is
+            # aligning the EOL start, which the zero-run scan absorbs
+            if n % 8:
+                outbits.append("0" * (8 - n % 8))
+        outbits.append("000000000001")
+        outbits.append("1" if one_d else "0")
+        cur = _changes(ink[row])
+        if one_d:
+            pos = 0
+            black = False
+            for c in cur + ([w] if (not cur or cur[-1] != w) else []):
+                _emit_run(outbits, c - pos, black)
+                pos = c
+                black = not black
+            if pos < w:
+                _emit_run(outbits, w - pos, black)
+        else:
+            _encode_2d_line(outbits, cur, ref, w)
+        ref = cur + [w, w]
+    if with_rtc:
+        outbits.append("000000000001" * 6)
     s = "".join(outbits)
     pad = (-len(s)) % 8
     s += "0" * pad

@@ -15,10 +15,12 @@ Supported XObject subset (the scanner-output shapes):
   (``extract/jpeg.decode_jpeg``);
 * ``/Filter /FlateDecode`` or no filter — zlib-inflated (or raw)
   8-bit samples, ``/ColorSpace /DeviceRGB`` or ``/DeviceGray``;
-* ``/Filter /CCITTFaxDecode`` with ``/K < 0`` — Group 4 (T.6)
-  bilevel, the scanner/fax default (``extract/ccitt.decode_g4``;
-  black runs -> gray 0, so ``/BlackIs1`` bit packing never enters);
-* anything else (G3 CCITT, JBIG2, JPX, indexed color) comes back as
+* ``/Filter /CCITTFaxDecode`` — all three ``/K`` regimes: Group 4
+  (``/K < 0``, the scanner/fax default, ``extract/ccitt.decode_g4``),
+  1-D G3 (``/K 0``, ``decode_g3_1d``) and mixed 2-D G3 (``/K > 0``,
+  ``decode_g3_mixed``); black runs -> gray 0, so ``/BlackIs1`` bit
+  packing never enters;
+* anything else (JBIG2, JPX, indexed color) comes back as
   ``None`` — *found but undecodable* — so the caller can route the
   row to ``skipped_image_no_ocr`` instead of silently pretending the
   page was blank.
@@ -60,9 +62,13 @@ def _decode_xobject(dct: bytes, body: bytes) -> np.ndarray:
             raise ImageFormatError("DCTDecode geometry mismatch with dict")
         return px
     if filt == b"CCITTFaxDecode":
-        # scanner/fax bilevel pages: G4 (/K < 0, the scanner default)
-        # and 1-D G3 (/K 0); mixed-mode G3 (/K > 0) stays on the seam
-        from valere_ocr_ray.extract.ccitt import decode_g3_1d, decode_g4
+        # scanner/fax bilevel pages: G4 (/K < 0, the scanner default),
+        # 1-D G3 (/K 0) and mixed 2-D G3 (/K > 0) all decode for real
+        from valere_ocr_ray.extract.ccitt import (
+            decode_g3_1d,
+            decode_g3_mixed,
+            decode_g4,
+        )
 
         km = _K_RE.search(dct)
         k = int(km.group(1)) if km else 0
@@ -70,15 +76,13 @@ def _decode_xobject(dct: bytes, body: bytes) -> np.ndarray:
         cols = int(colm.group(1)) if colm else 1728
         if cols != w:
             raise ImageFormatError("CCITTFax Columns mismatch with /Width")
+        byte_align = b"/EncodedByteAlign true" in dct
         if k < 0:
             ink = decode_g4(body, w, h)
         elif k == 0:
-            ink = decode_g3_1d(
-                body, w, h,
-                byte_align=b"/EncodedByteAlign true" in dct,
-            )
+            ink = decode_g3_1d(body, w, h, byte_align=byte_align)
         else:
-            raise ImageFormatError("CCITTFax K>0 (mixed G3) unsupported")
+            ink = decode_g3_mixed(body, w, h, byte_align=byte_align)
         gray = np.where(ink, 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
     bm = _BPC_RE.search(dct)

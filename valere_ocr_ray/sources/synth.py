@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 12  # v12: VP8 cards at qi=20 (v11: CCITT-G4 scanned PDFs)
+CORPUS_VERSION = 13  # v13: mixed-G3 (/K 2) scanned PDFs join the rotation
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -432,7 +432,8 @@ def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
     ``jpeg`` (/DCTDecode), ``flate`` (/FlateDecode /DeviceRGB),
     ``flate_gray`` (/FlateDecode /DeviceGray), ``raw`` (no filter),
     ``ccitt`` (/CCITTFaxDecode /K -1 — the fax/scanner bilevel G4
-    default)."""
+    default), ``ccitt_mixed`` (/K 2 — T.4 mixed 2-D G3, the
+    standard-fax K-factor layout)."""
     import zlib as _zlib
 
     from valere_ocr_ray.extract.glyph_font import render_text_image
@@ -465,9 +466,17 @@ def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
             b" /Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns "
             + str(w).encode() + b" /Rows " + str(h).encode() + b" >>"
         )
+    elif codec == "ccitt_mixed":
+        from valere_ocr_ray.extract.ccitt import encode_g3_mixed
+
+        body, cs = encode_g3_mixed(img[:, :, 0] < 128, k=2), b"/DeviceGray"
+        filt = (
+            b" /Filter /CCITTFaxDecode /DecodeParms << /K 2 /Columns "
+            + str(w).encode() + b" /Rows " + str(h).encode() + b" >>"
+        )
     else:
         raise ValueError(f"unknown scanned-pdf codec {codec!r}")
-    bpc = b"1" if codec == "ccitt" else b"8"
+    bpc = b"1" if codec.startswith("ccitt") else b"8"
     img_obj = (
         b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
         + b" /Height " + str(h).encode()
@@ -524,7 +533,9 @@ def _pdf_agreement(r: _Rand, i: int = 0) -> bytes:
     # the embedded-image codec rotating too
     phase = (i // 100) % 4
     if phase == 3:
-        codec = ("jpeg", "flate", "flate_gray", "raw", "ccitt")[(i // 400) % 5]
+        codec = ("jpeg", "flate", "flate_gray", "raw", "ccitt", "ccitt_mixed")[
+            (i // 400) % 6
+        ]
         return build_scanned_pdf_bytes(lines, codec=codec)
     return build_pdf_bytes(lines, flate=phase == 1)
 

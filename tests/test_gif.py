@@ -172,6 +172,61 @@ def test_animated_gif_composition_semantics():
     assert (f[1][0, 0] == [0, 0, 0]).all()
 
 
+def test_animated_gif_disposal3_restore_previous():
+    """Disposal 3: after the frame is shown, its region reverts to the
+    canvas as it was BEFORE the frame drew — a later transparent frame
+    must see the pre-patch pixels again (and disposal >= 4 raises)."""
+    import struct
+
+    import pytest as _pytest
+
+    from valere_ocr_ray.extract.gif import (
+        decode_gif_frames,
+        gif_lzw_encode,
+    )
+    from valere_ocr_ray.extract.image_decode import ImageFormatError
+
+    pal = b"\x00\x00\x00" + b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+
+    def gif(frames):
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 4, 3, 0x80 | 1 | (1 << 4), 0, 0)
+        out += pal
+        for x, y, w, h, indexes, packed, tidx in frames:
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, packed, 0, tidx, 0)
+            out += struct.pack("<BHHHHB", 0x2C, x, y, w, h, 0)
+            out.append(2)
+            data = gif_lzw_encode(bytes(indexes), 2)
+            out.append(len(data))
+            out += data
+            out.append(0)
+        out.append(0x3B)
+        return bytes(out)
+
+    f = decode_gif_frames(
+        gif(
+            [
+                # frame 1: full canvas red, disposal 1 (leave)
+                (0, 0, 4, 3, [1] * 12, 1 << 2, 0),
+                # frame 2: 2x1 blue patch at (1,1), disposal 3 (restore prev)
+                (1, 1, 2, 1, [3, 3], 3 << 2, 0),
+                # frame 3: fully transparent full-frame, disposal 1 —
+                # shows the canvas AFTER frame 2's region reverted
+                (0, 0, 4, 3, [0] * 12, (1 << 2) | 1, 0),
+            ]
+        )
+    )
+    assert len(f) == 3
+    assert (f[0] == [255, 0, 0]).all()
+    assert (f[1][1, 1] == [0, 0, 255]).all() and (f[1][1, 2] == [0, 0, 255]).all()
+    assert (f[1][0, 0] == [255, 0, 0]).all()
+    # the patch reverted: frame 3 is all red again
+    assert (f[2] == [255, 0, 0]).all()
+
+    with _pytest.raises(ImageFormatError):
+        decode_gif_frames(gif([(0, 0, 4, 3, [1] * 12, 4 << 2, 0)]))
+
+
 def test_sample_gif_frames_stage(ray_session):
     """The multimodal frame-sample stage: one row per sampled frame
     (BMP payloads a downstream feature stage consumes for real),

@@ -266,9 +266,9 @@ def decode_gif_frames(
     Composition per GIF89a: each frame's rectangle lands at its
     (left, top) on the logical screen; transparent-index pixels leave
     the canvas unchanged; disposal 0/1 leave the region, disposal 2
-    restores it to the background color.  Disposal 3
-    (restore-previous) raises — the documented seam for the rare
-    archival GIFs that use it."""
+    restores it to the background color, disposal 3 restores it to the
+    canvas as it was BEFORE this frame was drawn (the archival
+    restore-previous mode).  Disposal ≥ 4 is reserved and raises."""
     it = _iter_frames(payload)
     sw, sh, gct, bg = next(it)
     if sw <= 0 or sh <= 0:
@@ -279,12 +279,13 @@ def decode_gif_frames(
     canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
     frames: list[np.ndarray] = []
     for x, y, idx, table, (disposal, tidx) in it:
-        if disposal >= 3:
-            raise ImageFormatError(f"unsupported GIF disposal {disposal}")
+        if disposal >= 4:
+            raise ImageFormatError(f"reserved GIF disposal {disposal}")
         h, w = idx.shape
         if y + h > sh or x + w > sw:
             raise ImageFormatError("GIF frame outside logical screen")
         region = canvas[y : y + h, x : x + w]
+        prior = region.copy() if disposal == 3 else None
         rgb = table[idx]
         if tidx is not None:
             mask = idx != tidx
@@ -294,6 +295,8 @@ def decode_gif_frames(
         frames.append(canvas.copy())
         if disposal == 2:  # restore region to background
             canvas[y : y + h, x : x + w] = bg_rgb
+        elif disposal == 3:  # restore region to pre-draw state
+            canvas[y : y + h, x : x + w] = prior
         if max_frames is not None and len(frames) >= max_frames:
             break
     if not frames:

@@ -4,11 +4,11 @@ IMAGE payloads have a REAL decode path: BMP (24-bit BI_RGB) and PPM
 (P6) are decoded to pixel arrays with stdlib struct + numpy
 (``extract/image_decode.py``), and the feature is a genuine luminance
 histogram + decoded-geometry vector.  AUDIO payloads likewise: RIFF
-PCM16 WAV parses with stdlib struct + numpy
-(``extract/wav_decode.py``) into a waveform envelope feature.  Formats
-needing PIL/ffmpeg-class libraries (which don't ship in this
-container) still route through ``_decode_stub`` — video, compressed
-codecs, non-BMP/PPM images — but everything
+PCM16 WAV (``extract/wav_decode.py``) and FLAC (``extract/flac.py`` —
+from-scratch fixed/LPC/Rice decode) both parse into the same waveform
+envelope feature.  Formats needing PIL/ffmpeg-class libraries (which
+don't ship in this container) still route through ``_decode_stub`` —
+lossy audio codecs, unknown containers — but everything
 Ray-side is real and tested either way: schemas, actor-pool
 signatures, batch sizing for large binary rows, status routing, output
 layout.  Swap ``_decode_stub`` for a real decoder and nothing else
@@ -78,6 +78,7 @@ class MediaFeatureExtractor:
             sniff_image_format,
         )
 
+        from valere_ocr_ray.extract.flac import decode_flac, sniff_flac
         from valere_ocr_ray.extract.wav_decode import (
             audio_feature,
             decode_wav,
@@ -100,9 +101,11 @@ class MediaFeatureExtractor:
                     dec_h.append(pixels.shape[0])
                     dec_w.append(pixels.shape[1])
                     status.append("ok")
-                elif mt == "audio" and sniff_wav(buf):
-                    # REAL audio path: RIFF/PCM16 parse → waveform feature
-                    samples, rate = decode_wav(buf)
+                elif mt == "audio" and (sniff_wav(buf) or sniff_flac(buf)):
+                    # REAL audio path: RIFF/PCM16 or FLAC → waveform feature
+                    samples, rate = (
+                        decode_wav(buf) if sniff_wav(buf) else decode_flac(buf)
+                    )
                     feats.append(
                         audio_feature(samples, rate, self.feature_dim).tolist()
                     )
@@ -263,7 +266,9 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             else:
                 payload = encode_bmp(px)
         elif mt == "audio":
-            # REAL WAV payloads: seeded sine + noise through encode_wav
+            # REAL audio payloads: seeded sine + noise, alternating the
+            # WAV and FLAC containers (same float surface out of both)
+            from valere_ocr_ray.extract.flac import encode_flac
             from valere_ocr_ray.extract.wav_decode import encode_wav
 
             rng = np.random.default_rng(int.from_bytes(d[:4], "little"))
@@ -274,7 +279,17 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
                 n_s
             ).astype(np.float32)
-            payload = encode_wav(wave, rate)
+            if (i // 3) % 2:
+                pcm = np.clip(
+                    np.round(wave * 32767.0), -32768, 32767
+                ).astype(np.int64)
+                payload = encode_flac(
+                    pcm, rate, block_size=1024,
+                    stereo_mode="independent",
+                    as_lpc=bool(i % 2),
+                )
+            else:
+                payload = encode_wav(wave, rate)
             w = h = 0
         elif mt == "video":
             # REAL animated-GIF payloads: a seeded square marching

@@ -118,6 +118,8 @@ def _run_benchmarks() -> dict:
         timed("doc_gopher_repetition", q.doc_gopher_repetition)
         timed("doc_unimax_epochs", q.doc_unimax_epochs)
         timed("doc_bpe_fertility", q.doc_bpe_fertility)
+        timed("emb_pq_recall", q.emb_pq_recall)
+        timed("events_distinct_users_hll", q.events_distinct_users_hll)
 
     ray.shutdown()
     return {

@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled (same md5 hash as the KMV estimator; rho via exact
         # integer bit-length on both sides)
         "events_distinct_users_hll": q.events_distinct_users_hll,
+        # BM25 ranked search (per-(doc,term) contributions integer-
+        # quantized BEFORE the cross-term sum so ranking replays
+        # bit-for-bit in SQL)
+        "doc_bm25_search": q.doc_bm25_search,
     }
 
 
@@ -1637,6 +1641,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.register, coalesce(a.max_rho, 0) AS max_rho "
             "FROM (SELECT unnest(range(64)) AS register) g "
             "LEFT JOIN agg a USING (register) ORDER BY g.register"
+        ),
+        "doc_bm25_search": (
+            # Lucene-form BM25 (k1=1.2, b=0.75) with the SAME float
+            # expression shape as the engine (constants left as the
+            # sums the engine evaluates, e.g. 1.2 + 1.0 — not 2.2);
+            # the per-(doc,term) term is quantized to 1e-6 BEFORE the
+            # cross-term sum, so addition order cannot move a ulp
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+            "g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+            "CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+            "WHERE tok IN ('hash','window','vector','spark') "
+            "GROUP BY doc_id, tok), "
+            "dft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df "
+            "FROM tf GROUP BY tok), "
+            "contrib AS (SELECT tf.doc_id, CAST(floor(round("
+            "ln((g.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) "
+            "* tf.tf * (1.2 + 1.0) / "
+            "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (g.sum_dl / g.n_docs)))"
+            ", 9) * 1000000) AS BIGINT) AS c "
+            "FROM tf JOIN dl USING (doc_id) CROSS JOIN g "
+            "JOIN dft ON tf.tok = dft.tok), "
+            "s AS (SELECT doc_id, sum(c) AS bm25_e6 FROM contrib "
+            "GROUP BY doc_id HAVING sum(c) > 0) "
+            "SELECT doc_id, bm25_e6 FROM s "
+            "ORDER BY bm25_e6 DESC, doc_id LIMIT 20"
         ),
         "doc_dup_clusters_verified": (
             # connected components over the exact-Jaccard pair set

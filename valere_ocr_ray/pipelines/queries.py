@@ -5619,3 +5619,89 @@ def events_distinct_users_hll(sf_dir: str):
             "max_rho": pa.array(regs.astype("int64")),
         }
     )
+
+
+def doc_bm25_search(sf_dir: str):
+    """BM25 ranked search (Robertson/Lucene form, k1=1.2 b=0.75) for a
+    fixed 4-term query over the documents table, SQL-ORACLED: pass 1 is
+    one vectorized token pass producing per-doc query-term tfs + doc
+    length AND the global (N, Σdl, df_t) partials tree-combined to a
+    handful of ints; the tiny idf table broadcasts back and pass 2
+    scores + tree-top-20s.  Float discipline: the per-(doc,term)
+    contribution is floor-quantized to 1e-6 FIRST and the doc score is
+    the INTEGER sum of those — addition order can't move a ulp, so
+    DuckDB replays the ranking bit-for-bit.  Tokenization is the shared
+    ``[a-z]+``-on-lowercase contract (``doc_top_tokens``)."""
+    from valere_ocr_ray.ops.combine import tree_topk
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    TERMS = ("hash", "window", "vector", "spark")
+    K1, B = 1.2, 0.75
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.lower().str.findall(r"[a-z]+")
+        # explode() of an empty list yields a NaN row — drop it so
+        # zero-token docs are excluded like SQL's unnest excludes them
+        e = toks.explode().dropna()
+        idx = e.index.to_numpy()
+        dl = e.groupby(idx).size()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[dl.index.to_numpy()],
+                "dl": dl.to_numpy().astype("int64"),
+            }
+        )
+        hit = e[e.isin(TERMS)]
+        for t in TERMS:
+            tf = hit[hit == t].groupby(hit[hit == t].index.to_numpy()).size()
+            col = np.zeros(len(out), dtype="int64")
+            # dl.index positions are the batch row positions
+            pos = {int(r): i for i, r in enumerate(dl.index.to_numpy())}
+            for r, c in tf.items():
+                col[pos[int(r)]] = c
+            out[f"tf_{t}"] = col
+        return out
+
+    per_doc = docs.map_batches(partial, batch_format="pandas")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_docs": np.int64(len(df)), "sum_dl": df["dl"].sum()}
+        for t in TERMS:
+            row[f"df_{t}"] = np.int64((df[f"tf_{t}"] > 0).sum())
+        return pd.DataFrame({"k": [np.int64(0)], **{k: [v] for k, v in row.items()}})
+
+    glob = grouped_sum(
+        per_doc.map_batches(stats, batch_format="pandas"),
+        ["k"],
+        ["n_docs", "sum_dl"] + [f"df_{t}" for t in TERMS],
+    ).to_pandas().iloc[0]
+    n_docs = float(glob["n_docs"])
+    avgdl = float(glob["sum_dl"]) / n_docs
+    idf = {
+        t: np.log((n_docs - float(glob[f"df_{t}"]) + 0.5)
+                  / (float(glob[f"df_{t}"]) + 0.5) + 1.0)
+        for t in TERMS
+    }
+    ref = ray.put((idf, avgdl))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf_t, av = ray.get(ref)
+        total = np.zeros(len(df), dtype="int64")
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        for t in TERMS:
+            tf = df[f"tf_{t}"].to_numpy(dtype=np.float64)
+            s = idf_t[t] * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / av))
+            # integer-quantize PER TERM so the cross-term sum is exact
+            total += np.floor(np.round(s, 9) * 1_000_000).astype("int64")
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "bm25_e6": total}
+        )
+        return out[out["bm25_e6"] > 0]
+
+    scored = per_doc.map_batches(score, batch_format="pandas")
+    top = tree_topk(scored, ["bm25_e6", "doc_id"], [False, True], 20).to_pandas()
+    return top.sort_values(
+        ["bm25_e6", "doc_id"], ascending=[False, True]
+    ).head(20).reset_index(drop=True)

@@ -1666,7 +1666,7 @@ def oracle_sql() -> dict[str, str]:
             ", 9) * 1000000) AS BIGINT) AS c "
             "FROM tf JOIN dl USING (doc_id) CROSS JOIN g "
             "JOIN dft ON tf.tok = dft.tok), "
-            "s AS (SELECT doc_id, sum(c) AS bm25_e6 FROM contrib "
+            "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_e6 FROM contrib "
             "GROUP BY doc_id HAVING sum(c) > 0) "
             "SELECT doc_id, bm25_e6 FROM s "
             "ORDER BY bm25_e6 DESC, doc_id LIMIT 20"

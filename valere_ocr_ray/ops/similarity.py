@@ -360,7 +360,14 @@ def pq_fit(
     the sample to ~1M rows; codebook quality needs only a sample."""
     sample_ds = ds.select_columns([id_col, vec_col])
     if sample_stride > 1:
-        sample_ds = sample_ds.filter(expr=f"{id_col} % {int(sample_stride)} == 0")
+        stride = int(sample_stride)
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            # vectorized id-stride filter (Ray's expr mini-language has
+            # no modulo); one bounded pass, block-layout invariant
+            return df[df[id_col].to_numpy() % stride == 0]
+
+        sample_ds = sample_ds.map_batches(keep, batch_format="pandas")
     sample_df = sample_ds.to_pandas().sort_values(id_col)
     mat = _normalize(np.stack(sample_df[vec_col].to_numpy()).astype(np.float64))
     d = mat.shape[1]

@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming watermark / late-data replay (16 deterministic
         # arrival shards, 1h allowed lateness) — SQL-oracled
         "events_watermark_hourly": q.events_watermark_hourly,
+        # cluster-balanced diversity subsampling (k-means + md5-
+        # threshold downsample to the smallest cluster; rows-only —
+        # k-means isn't SQL; numpy-replay pinned in pytest)
+        "emb_cluster_balanced_sample": q.emb_cluster_balanced_sample,
     }
 
 

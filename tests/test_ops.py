@@ -2752,3 +2752,50 @@ def test_watermark_semantics(ray_session):
     assert int(out["n_ontime"].sum()) > int(out["n_late"].sum())
     # late events contribute no value
     assert (out.loc[out["n_ontime"] == 0, "sum_value_e2"] == 0).all()
+
+
+def test_cluster_balanced_sample_twin_and_balance(ray_session):
+    """The distributed cluster-balanced sample equals a single-process
+    numpy replay (same kmeans, same md5 thresholds) AND each cluster's
+    kept count is near the smallest cluster's size."""
+    import hashlib
+    import sys
+
+    import ray.data as rd
+
+    sys.path.insert(0, "/root/repo")
+    from valere_ocr_ray.ops.similarity import kmeans_fit
+    from valere_ocr_ray.pipelines.queries import emb_cluster_balanced_sample
+
+    got = emb_cluster_balanced_sample(SF).to_pandas()
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    centroids, stats = kmeans_fit(ds.select_columns(["vec_id", "embedding"]), 8, iters=5)
+    df = ds.to_pandas().sort_values("vec_id")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    d2 = (
+        (mat * mat).sum(1, keepdims=True)
+        - 2.0 * (mat @ centroids.T)
+        + (centroids * centroids).sum(1)[None, :]
+    )
+    cl = d2.argmin(1)
+    counts = np.bincount(cl, minlength=8)
+    target = counts[counts > 0].min()
+    ids = df["vec_id"].to_numpy().astype("int64")
+    keep = []
+    for i, c in zip(ids, cl):
+        h = int.from_bytes(
+            hashlib.md5(f"cbal:{int(i)}".encode()).digest()[8:16], "little"
+        )
+        thr = int(round(min(1.0, target / counts[c]) * 1_000_000))
+        if (h % 1_000_000) < thr:
+            keep.append((int(i), int(c)))
+    twin = sorted(keep)
+    mine = sorted(zip(got["vec_id"].astype(int), got["cluster"].astype(int)))
+    assert mine == twin
+    # balance: each cluster's kept count within 4 sigma of the target rate
+    kept_per = got.groupby("cluster").size()
+    for c, n_kept in kept_per.items():
+        n_c, p = counts[c], min(1.0, target / counts[c])
+        sd = max((n_c * p * (1 - p)) ** 0.5, 1.0)
+        assert abs(n_kept - n_c * p) <= 4 * sd + 1

@@ -5793,3 +5793,61 @@ def events_watermark_hourly(sf_dir: str):
         ["n_ontime", "sum_value_e2", "n_late"],
     )
     return out.sort("hour")
+
+
+def emb_cluster_balanced_sample(sf_dir: str):
+    """Diversity-balanced subsampling (the DCLM / SemDeDup-paper
+    cluster-balancing move): Lloyd k-means (k=8, deterministic
+    smallest-id init — ``ops/similarity.kmeans_fit``) partitions the
+    embedding space, per-cluster counts ride one ≤k-row exchange, and
+    every cluster is downsampled to the SMALLEST cluster's size via the
+    mixing family's md5-threshold membership — so the kept set is
+    reproducible, shuffle-free, and balanced in expectation.  Rows-only
+    by design (k-means isn't SQL); pinned bit-exact against a
+    single-process numpy replay in pytest, and the balance property is
+    asserted per cluster."""
+    from valere_ocr_ray.ops.exchange import grouped_sum
+    from valere_ocr_ray.ops.mixing import mix_by_rates
+    from valere_ocr_ray.ops.similarity import kmeans_fit
+
+    K = 8
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    centroids, _stats = kmeans_fit(ds, K, iters=5)
+    cref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d2 = (
+            (mat * mat).sum(1, keepdims=True)
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster": d2.argmin(1).astype("int64").astype(str),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    # per-cluster counts of the FINAL assignment (the kmeans_fit stats
+    # frame reflects the pre-update pass) — ≤k rows on the wire
+    cdf = grouped_sum(
+        assigned.map_batches(
+            lambda df: df.assign(n=np.int64(1))[["cluster", "n"]],
+            batch_format="pandas",
+        ),
+        ["cluster"],
+        ["n"],
+    ).to_pandas()
+    counts = dict(zip(cdf["cluster"], cdf["n"].astype(int)))
+    target = min(counts.values())
+    rates = {c: target / counts[c] for c in counts}
+    kept = mix_by_rates(
+        assigned, rates=rates, key_col="cluster", id_col="vec_id", salt="cbal"
+    )
+    return kept.map_batches(
+        lambda df: df.assign(cluster=df["cluster"].astype("int64")),
+        batch_format="pandas",
+    ).sort("vec_id")

@@ -120,6 +120,9 @@ def _run_benchmarks() -> dict:
         timed("doc_bpe_fertility", q.doc_bpe_fertility)
         timed("emb_pq_recall", q.emb_pq_recall)
         timed("events_distinct_users_hll", q.events_distinct_users_hll)
+        timed("doc_bm25_search", q.doc_bm25_search)
+        timed("events_watermark_hourly", q.events_watermark_hourly)
+        timed("emb_cluster_balanced_sample", q.emb_cluster_balanced_sample)
 
     ray.shutdown()
     return {

@@ -1657,7 +1657,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH e0 AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu, "
             "CAST(CASE WHEN md5_number_upper(CAST(event_id AS VARCHAR)) % 8 = 0 "
             "THEN 1 ELSE 0 END AS BIGINT) AS bump, "
-            "CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events), "
+            "CAST(floor(value * 100) AS BIGINT) AS v_e2 FROM events), "
             "e AS (SELECT tsu, least(least((tsu - 1704067200000000) "
             "// 172800000000, 14) + bump, 15) AS shard, v_e2 FROM e0), "
             "sm AS (SELECT shard, max(tsu) AS mx FROM e GROUP BY shard), "

@@ -243,3 +243,20 @@ def test_tiff_g4_container_decodes():
     px = decode_tiff(data)
     assert np.array_equal(px[:, :, 0] < 128, ink)
     assert ocr_image(px) == canonical_text(CARD_LINES)
+
+
+def test_g3_mixed_unbounded_fill_before_eol():
+    """T.4 fill before an EOL is unbounded (minimum scan-line time);
+    a >32-bit zero run must not desync the EOL scan (ADVICE r4).  EOL
+    (000000000001) is the only 12-zero bit pattern in a T.4 stream, so
+    splicing 40 extra fill zeros ahead of every EOL is a valid stream."""
+    from valere_ocr_ray.extract.ccitt import decode_g3_mixed, encode_g3_mixed
+
+    ink = list(_cases().values())[0]
+    h, w = ink.shape
+    enc = encode_g3_mixed(ink, k=2)
+    bits = "".join(f"{b:08b}" for b in enc)
+    stuffed = bits.replace("000000000001", "0" * 40 + "000000000001")
+    stuffed += "0" * (-len(stuffed) % 8)
+    data = bytes(int(stuffed[i : i + 8], 2) for i in range(0, len(stuffed), 8))
+    assert np.array_equal(decode_g3_mixed(data, w, h), ink)

@@ -166,3 +166,16 @@ def test_flac_rows_flow_through_media_stage(ray_session):
     assert (audio["status"] == "ok").all()
     assert (audio["decoded_w"] > 0).all()  # decoded sample counts
     assert (audio["decoded_h"] == 8000).all()  # sample rate rides along
+
+
+def test_escape_width_covers_order2_extremes():
+    """An order-2 fixed-predictor residual can need bps+2 bits; the
+    escape width must grow to cover it instead of wrapping under the
+    write mask (ADVICE r4).  Ramp (d2 == 0 ⇒ order 2 wins on residual
+    mass) plus one full-swing spike (|d2| ≈ 2^(bps+1))."""
+    n = 1024
+    pcm = (np.arange(n, dtype=np.int64) - 32768).clip(-32768, 32767)
+    pcm[500] = 32767  # spike: d2 at the spike ≈ -125534 → needs 18 bits
+    enc = encode_flac(pcm, 16000, escape=True, block_size=n)
+    back, rate, _ = decode_flac_pcm(enc)
+    assert (back[:, 0] == pcm).all()

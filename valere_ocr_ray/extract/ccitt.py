@@ -166,6 +166,19 @@ class _Bits:
             p += 1
         return k
 
+    def skip_to_one(self) -> int:
+        """Advance past consecutive 0 bits to the next 1 bit, UNCAPPED
+        (T.4 fill before an EOL is unbounded — minimum-scan-line-time
+        padding); cursor lands ON the 1 bit (or at stream end).
+        Returns the number of zeros skipped."""
+        k = 0
+        p = self.pos
+        while p < self.n and not ((self.data[p >> 3] >> (7 - (p & 7))) & 1):
+            k += 1
+            p += 1
+        self.pos = p
+        return k
+
 
 def _read_run(bits: _Bits, tree: dict) -> int:
     """One MH run: make-up codes accumulate until a terminating code
@@ -312,12 +325,12 @@ def decode_g3_1d(
             bits.pos += 8 - bits.pos % 8
         if bits.pos >= bits.n:
             break
-        # optional EOL (000000000001) before the line
+        # optional EOL (000000000001) before the line; fill before an
+        # EOL is unbounded, so walk to the actual terminating 1
         while bits.peek_zero_run() >= 11 and bits.pos + 12 <= bits.n:
-            z = bits.peek_zero_run()
-            probe = bits.pos + z
-            if probe < bits.n and z >= 11:
-                bits.pos = probe + 1  # consume the trailing 1
+            bits.skip_to_one()
+            if bits.pos < bits.n:
+                bits.pos += 1  # consume the trailing 1
             else:
                 break
         pos = 0
@@ -467,9 +480,12 @@ def decode_g3_mixed(
         one_d = True
         z = bits.peek_zero_run()
         if z >= 11:
-            if bits.pos + z + 2 > bits.n:
+            # skip_to_one, not the capped peek: fill is unbounded in
+            # T.4, so walk to the EOL's actual terminating 1 (ADVICE r4)
+            bits.skip_to_one()
+            if bits.pos + 2 > bits.n:
                 break  # trailing fill / RTC tail
-            bits.pos += z + 1  # zeros + the EOL's terminating 1
+            bits.pos += 1  # the EOL's terminating 1
             one_d = bool(bits.bit())
         elif row > 0:
             raise ImageFormatError("mixed G3 line missing its EOL")

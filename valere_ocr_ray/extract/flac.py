@@ -533,7 +533,19 @@ def _write_subframe_fixed(
     for _ in range(order):
         d = np.diff(d)
     res = d
-    escape_bits = (bps + 1 if bps < 31 else 31) if escape else 0
+    # escape width sized from the ACTUAL residual range, not bps+1: an
+    # order-2 fixed-predictor residual can need up to bps+2 bits, and a
+    # too-narrow width would silently wrap under the write mask
+    # (ADVICE r4).  Two's-complement bits for r = bitlen(r>=0 ? r : -r-1)+1.
+    escape_bits = 0
+    if escape:
+        mag = np.where(res >= 0, res, -res - 1) if len(res) else res
+        need = (int(mag.max()) if len(mag) else 0).bit_length() + 1
+        escape_bits = max(min(bps + 1, 31), need)
+        if escape_bits > 31:
+            raise FlacFormatError(
+                f"residual needs {escape_bits} bits, escape caps at 31"
+            )
     if not as_lpc or order == 0:
         w.write(0, 1)
         w.write(8 + order, 6)

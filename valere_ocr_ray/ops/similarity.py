@@ -473,15 +473,17 @@ def pq_search(
         frames = []
         for qi in range(len(tab)):
             s = tab[qi][sub, codes].sum(axis=1)  # (n,) gather + sum
-            order = np.lexsort((ids, -np.round(s, 9)))[:k]
+            # quantize FIRST, cut on (-sim_e6, id): the per-block cut
+            # key must equal the driver merge key, or near-ties inside
+            # one 1e-6 bucket depend on block layout (ADVICE r4)
+            sim_e6 = np.floor(np.round(s, 9) * 1_000_000).astype("int64")
+            order = np.lexsort((ids, -sim_e6))[:k]
             frames.append(
                 pd.DataFrame(
                     {
                         "query_id": np.int64(qi),
                         id_col: ids[order],
-                        "sim_e6": np.floor(
-                            np.round(s[order], 9) * 1_000_000
-                        ).astype("int64"),
+                        "sim_e6": sim_e6[order],
                     }
                 )
             )
@@ -531,13 +533,18 @@ def pq_search_rerank(
         .map_batches(keep, batch_format="pandas")
         .to_pandas()
     )
-    vecs = _normalize(np.stack(fetched[vec_col].to_numpy()).astype(np.float64))
+    if len(fetched):
+        vecs = _normalize(np.stack(fetched[vec_col].to_numpy()).astype(np.float64))
+    else:  # zero ADC candidates anywhere (e.g. empty codes dataset)
+        vecs = np.zeros((0, np.asarray(queries).shape[1]), dtype=np.float64)
     by_id = {int(i): j for j, i in enumerate(fetched[id_col].to_numpy())}
     q = _normalize(np.asarray(queries, dtype=np.float64))
     frames = []
     for qi in range(len(q)):
         ids_q = cand[cand["query_id"] == qi][id_col].to_numpy().astype("int64")
-        rows = np.array([by_id[int(i)] for i in ids_q])
+        # dtype pinned: an empty list comprehension infers float and
+        # float fancy-indexing raises a confusing IndexError (ADVICE r4)
+        rows = np.array([by_id[int(i)] for i in ids_q], dtype=np.int64)
         s = vecs[rows] @ q[qi]
         order = np.lexsort((ids_q, -np.round(s, 9)))[:k]
         frames.append(

@@ -5750,7 +5750,9 @@ def events_watermark_hourly(sf_dir: str):
             {
                 "shard": shard,
                 "tsu": tsu,
-                "v_e2": np.round(df["value"].to_numpy() * 100.0).astype("int64"),
+                # floor (not round): tie-free quantization, the repo
+                # convention shared with every other value oracle
+                "v_e2": np.floor(df["value"].to_numpy() * 100.0).astype("int64"),
             }
         )
 

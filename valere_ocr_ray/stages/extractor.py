@@ -37,11 +37,12 @@ from valere_ocr_ray.stages.docmeta import (
 
 STATUS_ERROR_PARSE = "error_parse"
 # image payload admitted but its FORMAT has no decoder behind the OCR
-# seam (lossy-VP8 WebP; inside PDFs: CCITT/JBIG2/JPX) —
-# routed, not dropped; BMP/PPM/PNG/TIFF/GIF/lossless-WebP/JPEG
-# (baseline AND progressive) raster pages
-# (standalone OR embedded in a scanned PDF) go through the real
-# glyph-template OCR (``extract/glyph_font``) and come back 'ok'
+# seam (inside PDFs: JPX/JPEG2000 only) — routed, not dropped.  All
+# eight raster containers (BMP/PPM/PNG/JPEG baseline+progressive/TIFF/
+# GIF/WebP VP8L+lossy-VP8, ``extract/image_decode.py`` dispatch) and
+# PDF-embedded DCTDecode/Flate/CCITT-G3-G4 scans
+# (``extract/pdf_images.py``) go through the real glyph-template OCR
+# (``extract/glyph_font``) and come back 'ok'
 STATUS_SKIPPED_NO_OCR = "skipped_image_no_ocr"
 
 SPAN_TYPE = pa.list_(
@@ -70,10 +71,10 @@ class PageExtractor:
         # scanned-page OCR seam.  Default: the deterministic 5x7
         # glyph-template reader over the dependency-free
         # BMP/PPM/PNG/TIFF/GIF/JPEG (baseline + progressive) and
-        # lossless-WebP (VP8L) decoders (the Textract analog,
-        # ``IDD/finalcodes/InsuranceCard1.py:89-109``); it raises
-        # ImageFormatError for the remaining codec-less format
-        # (lossy-VP8 WebP), which routes to 'skipped_image_no_ocr'.
+        # WebP (VP8L lossless AND lossy VP8) decoders (the Textract
+        # analog, ``IDD/finalcodes/InsuranceCard1.py:89-109``); it
+        # raises ImageFormatError for a genuinely codec-less payload,
+        # which routes to 'skipped_image_no_ocr'.
         # ``ocr_pixels`` is the decoded-raster flavor of the same seam
         # (ndarray → text) used for images embedded INSIDE PDFs — the
         # reference's async-Textract scanned-PDF case
@@ -117,10 +118,10 @@ class PageExtractor:
                     if not text:
                         # scanned PDF: no text objects → OCR the
                         # embedded image XObjects (the reference's
-                        # async-Textract path).  Images found but none
-                        # decodable (CCITT/JBIG2-class) routes to the
-                        # skip status — "couldn't read the scan" is
-                        # not "blank page".
+                        # async-Textract path; DCT/Flate/CCITT all
+                        # decode).  Images found but none decodable
+                        # (JPX-class) routes to the skip status —
+                        # "couldn't read the scan" is not "blank page".
                         text, n_found, n_decoded = ocr_pdf_images(
                             payload, self._ocr_pixels
                         )

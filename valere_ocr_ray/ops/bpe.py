@@ -56,7 +56,7 @@ def word_counts(
     ds: ray.data.Dataset,
     *,
     text_col: str = "text",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_words: int | None = None,
 ) -> pd.DataFrame:
     """Global (word, count) table: per-batch ``Counter`` partials →
@@ -163,7 +163,7 @@ def train_bpe(
     *,
     text_col: str = "text",
     num_merges: int = 512,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_words: int | None = None,
     sample_rate: float | None = None,
     id_col: str = "doc_id",

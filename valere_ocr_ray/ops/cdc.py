@@ -130,7 +130,7 @@ def cdc_dedup_stats(
     min_size: int = 64,
     mask_bits: int = 8,
     max_size: int = 2048,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Corpus-level CDC dedup audit: one exact row
     ``{total_chunks, unique_chunks, dup_chunks, total_bytes, dup_bytes}``

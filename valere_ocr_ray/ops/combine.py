@@ -118,7 +118,7 @@ def keyed_topn(
     n: int,
     *,
     rank_col: str | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-key top-n — the distributed
     ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY sort_cols) <= n``

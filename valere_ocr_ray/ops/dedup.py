@@ -86,7 +86,7 @@ def exact_dedup(
         )
 
     pre = hashed.map_batches(partial, batch_format="pandas")
-    ex = hash_exchange(pre, ["content_hash"], 16)
+    ex = hash_exchange(pre, ["content_hash"])  # size-derived width
     return ex.map_batches(combine, batch_format="pandas", batch_size=None)
 
 
@@ -350,12 +350,11 @@ def minhash_lsh_pairs(
         band_rows,
         ["band_id", "band_hash"],
         lambda g: _bucket_pairs(g, threshold, max_bucket, star),
-        num_partitions=8,
         min_group_size=2,
     )
     # same pair can surface from several bands → distinct
     return grouped_agg(
-        pairs, ["id_a", "id_b"], ["est_jaccard"], how="min", num_partitions=4
+        pairs, ["id_a", "id_b"], ["est_jaccard"], how="min"
     )
 
 
@@ -442,11 +441,10 @@ def simhash_pairs(
         sh.map_batches(explode, batch_format="pandas"),
         ["band_id", "band_val"],
         bucket,
-        num_partitions=8,
         min_group_size=2,
     )
     return grouped_agg(
-        pairs, ["id_a", "id_b"], ["hamming"], how="min", num_partitions=4
+        pairs, ["id_a", "id_b"], ["hamming"], how="min"
     )
 
 
@@ -477,7 +475,7 @@ def verify_pairs_exact_exchange(
     *,
     n: int = 3,
     threshold: float = 0.5,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verify with ZERO driver state — the scale path
     (the broadcast variant below holds a candidate-texts dict on the
@@ -688,7 +686,7 @@ def embedding_dup_pairs(
         bucketize, batch_format="pandas"
     )
     return grouped_map(
-        bucketed, ["bucket"], bucket_pairs, num_partitions=8, min_group_size=2
+        bucketed, ["bucket"], bucket_pairs, min_group_size=2
     )
 
 
@@ -833,7 +831,7 @@ def embedding_semdedup(
     bucketed = ds.select_columns([id_col, vec_col]).map_batches(
         bucketize, batch_format="pandas"
     )
-    return grouped_map(bucketed, ["bucket"], bucket_survivors, num_partitions=8)
+    return grouped_map(bucketed, ["bucket"], bucket_survivors)
 
 
 # ---------------------------------------------------------------------------
@@ -999,7 +997,7 @@ def _cl_jump_fold(labels: pa.Table, *reply_parts: pa.Table):
 def cluster_labels(
     pairs: ray.data.Dataset,
     *,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_rounds: int = 64,
 ) -> ray.data.Dataset:
     """Distributed connected components over a pair Dataset
@@ -1047,6 +1045,16 @@ def cluster_labels(
     edges_ds = pairs.select_columns(["id_a", "id_b"]).map_batches(
         both_ways, batch_format="pandas"
     )
+    if num_partitions is None:
+        # label tables stay ALIGNED with edge partitions for the whole
+        # run, so the width must be fixed up front: probe the edge set
+        # once (reusing the blocks, no re-execution) and size-derive
+        from valere_ocr_ray.ops.exchange import _auto_partitions, _probe
+
+        refs = list(edges_ds.to_arrow_refs())
+        metas = ray.get([_probe.remote(r) for r in refs])
+        num_partitions = _auto_partitions(sum(b for _, b, _ in metas))
+        edges_ds = ray.data.from_arrow_refs(refs)
     p = max(2, num_partitions)  # the multi-return send path needs p >= 2
     edge_refs = hash_exchange(edges_ds, ["node"], p).to_arrow_refs()
     if len(edge_refs) < p:
@@ -1138,7 +1146,7 @@ def shared_ngram_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     emit_text: bool = True,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact duplicate-SPAN detection (the core of substring-level
     dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language

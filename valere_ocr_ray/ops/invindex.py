@@ -49,7 +49,7 @@ def doc_frequency(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 1,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """(token, df): number of DISTINCT documents containing each token.
     Distinct pairs per batch → keyed exchange → vectorized count; the
@@ -81,7 +81,7 @@ def build_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_postings: int = 1000,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """(token, df, doc_ids, truncated): sorted (ascending id) postings
     list per token, capped at ``max_postings`` ids; ``df`` is always

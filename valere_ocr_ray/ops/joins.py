@@ -29,7 +29,7 @@ def semi_join(
     right_key: str | None = None,
     *,
     anti: bool = False,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Rows of ``left`` whose ``left_key`` appears (``anti=False``) or
     does not appear (``anti=True``) in ``right[right_key]`` — the
@@ -58,7 +58,7 @@ def hash_join(
     right_key: str | None = None,
     *,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Equi-join (``how`` = 'inner' | 'left' | 'outer') with BOTH sides
     exchanged (the two-large-sides path).  Column collisions resolve
@@ -97,7 +97,7 @@ def distinct_set_op(
     right_cols: list[str] | None = None,
     *,
     op: str = "intersect",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) on the
     cogroup exchange: both sides hash-partitioned by the full column
@@ -139,7 +139,7 @@ def skew_hash_join(
     *,
     num_salts: int = 8,
     hot_threshold: int = 50_000,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Inner equi-join with HOT-KEY SALTING: a plain hash join sends
     every row of a hot key to ONE partition, so a single skewed key

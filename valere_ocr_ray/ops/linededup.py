@@ -81,7 +81,7 @@ def repeated_lines(
     min_docs: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """(line_hash, n_docs) for every line in ≥ ``min_docs`` distinct
     docs — the audit/bill-of-materials view of the frequent set."""
@@ -117,7 +117,7 @@ def strip_repeated_lines(
     min_docs: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Broadcast variant: rewrite every doc with its frequent lines
     removed.  Output columns: ``(id_col, text_col, n_dropped)``; every
@@ -175,7 +175,7 @@ def strip_repeated_lines_exchange(
     min_docs: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exchange variant, zero driver state: drop markers (ints) flow
     through a doc_id exchange alongside the text rows; each cogroup

@@ -40,7 +40,7 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = 256,
     n_shards: int = 8,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-doc packing assignment: ``(id, shard, n_toks, seq_id,
     start_off)``.  Tokens are whitespace-split words (swap the counter
@@ -76,7 +76,7 @@ def pack_stats(
     text_col: str = "text",
     budget: int = 256,
     n_shards: int = 8,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-sequence fill audit: ``(shard, seq_id, n_docs, sum_tokens)``
     — the table you read to check packing efficiency (sequences per
@@ -115,7 +115,7 @@ def pack_bins_ffd(
     tokens_col: str = "n_toks",
     budget: int = 256,
     n_shards: int = 8,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """NO-SPLIT packing: first-fit-decreasing bin assignment — every
     document lands whole in exactly one bin of capacity ``budget``

@@ -152,7 +152,7 @@ def segment_dedup_flags(
     text_col: str = "text",
     window: int = 10,
     exact: bool = False,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Every segment row plus a ``keep`` bool: True iff this is the
     corpus-wide FIRST occurrence of the segment (ordered by
@@ -201,7 +201,7 @@ def segment_dedup_stats(
     text_col: str = "text",
     window: int = 10,
     exact: bool = False,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-doc rewrite stats: ``(id, n_segs, n_kept, kept_tokens)`` —
     the audit table a dedup run publishes (how much of each document
@@ -240,7 +240,7 @@ def segment_dedup_rebuild(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 10,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     wire: str = "hash",
 ) -> ray.data.Dataset:
     """The cleaned corpus: ``(id, clean_text, n_kept)`` with dropped

@@ -224,7 +224,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Full-corpus Lloyd k-means, the iterative-algorithm pattern on
     Ray Data: each round broadcasts the k×d centroid matrix once

@@ -49,7 +49,7 @@ def build_training_shards(
     window: int = 10,
     budget: int = 512,
     n_shards: int = 8,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     min_tokens: int = 15,
     min_alpha: int = 600,
     max_top2_per_mil: int = 200,

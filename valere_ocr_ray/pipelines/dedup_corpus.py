@@ -51,7 +51,7 @@ def build_dedup_corpus_ds(
     *,
     minhash_threshold: float = 0.8,
     num_perm: int = 64,
-    num_label_partitions: int = 8,
+    num_label_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Lazy Dataset of the deduplicated corpus rows (see module doc)."""
     import numpy as np

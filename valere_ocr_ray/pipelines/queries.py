@@ -1241,6 +1241,8 @@ def lineitem_part_join_shuffle(sf_dir: str):
     joined = li.join(
         part,
         join_type="inner",
+        # Ray's NATIVE join requires an explicit width (no size-derived
+        # default there); ops/joins + ops/exchange derive theirs
         num_partitions=8,
         on=("l_partkey",),
         right_on=("p_partkey",),
@@ -3882,7 +3884,7 @@ def doc_dup_clusters_verified(sf_dir: str):
     cand = dedup.minhash_lsh_pairs(ds, threshold=0.3)
     verified = dedup.verify_pairs_exact_exchange(ds, cand, n=3, threshold=0.35)
     labels = dedup.cluster_labels(
-        verified.select_columns(["id_a", "id_b"]), num_partitions=8
+        verified.select_columns(["id_a", "id_b"])
     )
     df = labels.to_pandas()
     if not len(df):
@@ -3940,7 +3942,7 @@ def doc_holdout_neardup(sf_dir: str):
     cand = dedup.minhash_lsh_pairs(ds, threshold=0.3)
     verified = dedup.verify_pairs_exact_exchange(ds, cand, n=3, threshold=0.35)
     labels = dedup.cluster_labels(
-        verified.select_columns(["id_a", "id_b"]), num_partitions=8
+        verified.select_columns(["id_a", "id_b"])
     )
 
     def annotate(docs_df: pd.DataFrame, lab_df: pd.DataFrame) -> pd.DataFrame:
@@ -3967,7 +3969,6 @@ def doc_holdout_neardup(sf_dir: str):
         ["doc_id"],
         ["doc_id"],
         annotate,
-        num_partitions=8,
     )
     out = holdout_split_by_key(
         keyed, key_col="grp", holdout_rate=0.1, salt="nd-holdout"
@@ -4090,7 +4091,7 @@ def doc_dup_clusters(sf_dir: str):
     ``(doc_id, cluster)`` rows (docs in no cluster are absent)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = dedup.minhash_lsh_pairs(ds, threshold=0.35, star=True)
-    labels = dedup.cluster_labels(pairs, num_partitions=8)
+    labels = dedup.cluster_labels(pairs)
     df = labels.to_pandas()
     if not len(df):
         return pa.table(
@@ -4127,7 +4128,6 @@ def events_orders_asof(sf_dir: str):
         right_key="o_custkey",
         right_ts="o_orderdate",
         out_col="order_date_us",
-        num_partitions=8,
     )
     return joined.select_columns(["event_id", "order_date_us"])
 
@@ -4152,7 +4152,6 @@ def events_trailing_window(sf_dir: str):
         right_key="user_id",
         right_ts="ts",
         window_us=3600 * 1_000_000,
-        num_partitions=8,
     )
     return joined.select_columns(["event_id", "n_windows"])
 
@@ -5102,7 +5101,7 @@ def doc_pack_bins(sf_dir: str):
 
     from valere_ocr_ray.ops.exchange import grouped_map
 
-    return grouped_map(packed, ["shard"], audit, num_partitions=4).sort("shard")
+    return grouped_map(packed, ["shard"], audit).sort("shard")
 
 
 def doc_quality_tiers(sf_dir: str):
@@ -5158,7 +5157,7 @@ def doc_bpe_tokens(sf_dir: str):
     from valere_ocr_ray.ops.bpe import bpe_token_counts, train_bpe
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    merges = train_bpe(ds, num_merges=256, num_partitions=8)
+    merges = train_bpe(ds, num_merges=256)
     out = bpe_token_counts(ds, merges, concurrency=4)
     toks = out.map_batches(
         lambda df: df.assign(
@@ -5188,7 +5187,7 @@ def doc_bpe_fertility(sf_dir: str):
     ds = rd.read_parquet(
         _t(sf_dir, "documents"), columns=["doc_id", "source", "text"]
     )
-    merges = train_bpe(ds, num_merges=64, num_partitions=8)
+    merges = train_bpe(ds, num_merges=64)
     out = bpe_token_counts(ds, merges, concurrency=4)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -76,7 +76,7 @@ def corpus_report(
     path: str | list[str],
     *,
     text_col: str = "text",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> dict:
     """Audit the corpus at ``path`` (parquet file/dir) and return the
     datasheet dict.  Deterministic: pure functions of the corpus, no
@@ -181,7 +181,7 @@ def corpus_report(
     }
 
 
-def pages_report(run_dir: str, *, num_partitions: int = 8) -> dict:
+def pages_report(run_dir: str, *, num_partitions: int | None = None) -> dict:
     """Datasheet over a ``run_resumable`` EXTRACTION output (the pages
     table, VERDICT r3 item 7): status mix, doc-kind mix, per-class doc
     counts + byte sizes, OCR rate — plus the lineage-manifest totals so

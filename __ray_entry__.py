@@ -1373,6 +1373,37 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT min(url) AS url, count(*) AS n_copies "
             f"FROM read_parquet('{_PAGES_GLOB}') GROUP BY html"
         ),
+        "pages_doc_type_counts": (
+            # per-class counts recomputed from the INPUT alone: the
+            # synth schedule (sources/synth.py synth_row) is pure in
+            # the url-embedded row index, and the ambiguous 85–89
+            # bucket's variant replays the _Rand first-u32 draw via
+            # md5_number_upper (little-endian low 4 bytes of the
+            # 'valere:42:<i>' digest) % 6 — so a routing/classifier
+            # regression in ANY row class flips a count and fails the
+            # hash (VERDICT r4 item 3)
+            f"WITH idx AS (SELECT CAST(regexp_extract(url, '([0-9]{{8}})', 1) "
+            f"AS BIGINT) AS i FROM read_parquet('{_PAGES_GLOB}')), "
+            f"c AS (SELECT CASE "
+            f"WHEN i % 5000 = 4237 THEN 'UNKNOWN' "
+            f"WHEN i % 200 = 199 THEN 'UNKNOWN' "
+            f"WHEN i % 100 = 94 THEN 'SIGNED_AGREEMENT' "
+            f"WHEN i % 100 < 25 THEN 'UNKNOWN' "
+            f"WHEN i % 100 < 40 THEN 'INSURANCE_CARD' "
+            f"WHEN i % 100 < 55 THEN 'FACE_SHEET' "
+            f"WHEN i % 100 < 75 THEN 'PRESCRIPTION' "
+            f"WHEN i % 100 < 85 THEN 'SIGNED_AGREEMENT' "
+            f"WHEN i % 100 < 90 THEN CASE "
+            f"CAST(md5_number_upper('valere:42:' || CAST(i AS VARCHAR)) "
+            f"% 4294967296 % 6 AS BIGINT) "
+            f"WHEN 0 THEN 'INSURANCE_CARD' WHEN 1 THEN 'PRESCRIPTION' "
+            f"WHEN 2 THEN 'SIGNED_AGREEMENT' WHEN 3 THEN 'POSSIBLE_PRESCRIPTION' "
+            f"WHEN 4 THEN 'POSSIBLE_AGREEMENT' ELSE 'UNKNOWN' END "
+            f"WHEN i % 100 = 95 THEN 'INSURANCE_CARD' "
+            f"ELSE 'UNKNOWN' END AS doc_type FROM idx) "
+            f"SELECT doc_type, CAST(count(*) AS BIGINT) AS n FROM c "
+            f"GROUP BY doc_type ORDER BY doc_type"
+        ),
         "pages_ocr_stats": (
             # the OCR-leg expectation stated from the INPUT alone: every
             # raster container and every pdf extracts ok with its

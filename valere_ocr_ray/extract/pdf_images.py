@@ -20,7 +20,11 @@ Supported XObject subset (the scanner-output shapes):
   1-D G3 (``/K 0``, ``decode_g3_1d``) and mixed 2-D G3 (``/K > 0``,
   ``decode_g3_mixed``); black runs -> gray 0, so ``/BlackIs1`` bit
   packing never enters;
-* anything else (JBIG2, JPX, indexed color) comes back as
+* ``/Filter /JBIG2Decode`` — embedded-organization JBIG2 segment
+  streams (``extract/jbig2``): arithmetic generic regions (MQ coder,
+  template 0) and MMR regions both decode; symbol/text/halftone
+  segments raise and route to the seam;
+* anything else (JPX, indexed color) comes back as
   ``None`` — *found but undecodable* — so the caller can route the
   row to ``skipped_image_no_ocr`` instead of silently pretending the
   page was blank.
@@ -83,6 +87,14 @@ def _decode_xobject(dct: bytes, body: bytes) -> np.ndarray:
             ink = decode_g3_1d(body, w, h, byte_align=byte_align)
         else:
             ink = decode_g3_mixed(body, w, h, byte_align=byte_align)
+        gray = np.where(ink, 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if filt == b"JBIG2Decode":
+        # scanner bilevel pages, the post-CCITT default (T.88): the
+        # body is an embedded-organization segment stream
+        from valere_ocr_ray.extract.jbig2 import decode_jbig2_embedded
+
+        ink = decode_jbig2_embedded(body, w, h)
         gray = np.where(ink, 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
     bm = _BPC_RE.search(dct)

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 SEED = 42
 # bump when any template changes — forces cached corpora to regenerate
 # (the _SYNTH_DONE marker embeds this)
-CORPUS_VERSION = 13  # v13: mixed-G3 (/K 2) scanned PDFs join the rotation
+CORPUS_VERSION = 14  # v14: JBIG2 (/JBIG2Decode) scanned PDFs join the rotation
 BLOCKLIST_TOKENS = ("do_not_process",)
 
 _FIRST = ["Maria", "James", "Aisha", "Wei", "Lucia", "Noah", "Priya", "Omar", "Elena", "Kofi"]
@@ -433,7 +433,8 @@ def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
     ``flate_gray`` (/FlateDecode /DeviceGray), ``raw`` (no filter),
     ``ccitt`` (/CCITTFaxDecode /K -1 — the fax/scanner bilevel G4
     default), ``ccitt_mixed`` (/K 2 — T.4 mixed 2-D G3, the
-    standard-fax K-factor layout)."""
+    standard-fax K-factor layout), ``jbig2`` (/JBIG2Decode — embedded
+    T.88 segment stream, MQ generic region)."""
     import zlib as _zlib
 
     from valere_ocr_ray.extract.glyph_font import render_text_image
@@ -474,9 +475,14 @@ def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
             b" /Filter /CCITTFaxDecode /DecodeParms << /K 2 /Columns "
             + str(w).encode() + b" /Rows " + str(h).encode() + b" >>"
         )
+    elif codec == "jbig2":
+        from valere_ocr_ray.extract.jbig2 import encode_jbig2_embedded
+
+        body, cs = encode_jbig2_embedded(img[:, :, 0] < 128), b"/DeviceGray"
+        filt = b" /Filter /JBIG2Decode"
     else:
         raise ValueError(f"unknown scanned-pdf codec {codec!r}")
-    bpc = b"1" if codec.startswith("ccitt") else b"8"
+    bpc = b"1" if codec.startswith("ccitt") or codec == "jbig2" else b"8"
     img_obj = (
         b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
         + b" /Height " + str(h).encode()
@@ -533,9 +539,10 @@ def _pdf_agreement(r: _Rand, i: int = 0) -> bytes:
     # the embedded-image codec rotating too
     phase = (i // 100) % 4
     if phase == 3:
-        codec = ("jpeg", "flate", "flate_gray", "raw", "ccitt", "ccitt_mixed")[
-            (i // 400) % 6
-        ]
+        codec = (
+            "jpeg", "flate", "flate_gray", "raw", "ccitt", "ccitt_mixed",
+            "jbig2",
+        )[(i // 400) % 7]
         return build_scanned_pdf_bytes(lines, codec=codec)
     return build_pdf_bytes(lines, flate=phase == 1)
 

@@ -40,7 +40,7 @@ STATUS_ERROR_PARSE = "error_parse"
 # seam (inside PDFs: JPX/JPEG2000 only) — routed, not dropped.  All
 # eight raster containers (BMP/PPM/PNG/JPEG baseline+progressive/TIFF/
 # GIF/WebP VP8L+lossy-VP8, ``extract/image_decode.py`` dispatch) and
-# PDF-embedded DCTDecode/Flate/CCITT-G3-G4 scans
+# PDF-embedded DCTDecode/Flate/CCITT-G3-G4/JBIG2 scans
 # (``extract/pdf_images.py``) go through the real glyph-template OCR
 # (``extract/glyph_font``) and come back 'ok'
 STATUS_SKIPPED_NO_OCR = "skipped_image_no_ocr"
@@ -118,8 +118,8 @@ class PageExtractor:
                     if not text:
                         # scanned PDF: no text objects → OCR the
                         # embedded image XObjects (the reference's
-                        # async-Textract path; DCT/Flate/CCITT all
-                        # decode).  Images found but none decodable
+                        # async-Textract path; DCT/Flate/CCITT/JBIG2
+                        # all decode).  Images found but none decodable
                         # (JPX-class) routes to the skip status —
                         # "couldn't read the scan" is not "blank page".
                         text, n_found, n_decoded = ocr_pdf_images(

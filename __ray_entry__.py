@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retrieve-and-refine recall vs exact brute force (rows-only:
         # approximation op; pinned bit-exact vs a numpy twin in pytest)
         "emb_pq_recall": q.emb_pq_recall,
+        "emb_pq_persisted": q.emb_pq_persisted,
         # HyperLogLog distinct sketch — the 64-register STATE itself is
         # SQL-oracled (same md5 hash as the KMV estimator; rho via exact
         # integer bit-length on both sides)

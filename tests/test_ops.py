@@ -2799,3 +2799,57 @@ def test_cluster_balanced_sample_twin_and_balance(ray_session):
         n_c, p = counts[c], min(1.0, target / counts[c])
         sd = max((n_c * p * (1 - p)) ** 0.5, 1.0)
         assert abs(n_kept - n_c * p) <= 4 * sd + 1
+
+
+def test_pq_persisted_and_ivfpq(ray_session, tmp_path):
+    """Persisted PQ (VERDICT r4 item 5): searching the on-disk bucketed
+    code layout value-matches the in-memory ADC path; IVF-PQ full-probe
+    agrees too, and a 2-probe search opens a strict subset of the
+    cluster files (the pruned 100 TB read)."""
+    import ray.data as rd
+
+    from valere_ocr_ray.ops.similarity import (
+        ivfpq_build,
+        pq_encode,
+        pq_fit,
+        pq_persist,
+        pq_search,
+        PqIndexOnDisk,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    cb = pq_fit(ds, m=8, n_centroids=16)
+    codes = pq_encode(ds, cb)
+    q_df = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.stack(q_df["embedding"].to_numpy()).astype(np.float64)
+    mem = pq_search(codes, cb, queries, k=10).sort_values(
+        ["query_id", "vec_id"]
+    ).reset_index(drop=True)
+
+    idx = pq_persist(codes, cb, str(tmp_path / "pq"))
+    # reopening from the path alone reconstructs the index (codebooks
+    # + meta ride the sidecar, nothing lives in memory)
+    reopened = PqIndexOnDisk(str(tmp_path / "pq"))
+    disk = reopened.search(queries, k=10).sort_values(
+        ["query_id", "vec_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(disk, mem)
+
+    ivf = ivfpq_build(ds, str(tmp_path / "ivfpq"), n_clusters=4, m=8,
+                      n_centroids=16)
+    full = ivf.search(queries, k=10, n_probe=4).sort_values(
+        ["query_id", "vec_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, mem)
+    assert len(ivf.probe_files(queries, 1)) < len(ivf.probe_files(queries, 4))
+    # rerank through the persisted index reaches exact top-k (the
+    # coarse m=8/16 codebook needs a wider candidate pool than the
+    # m=16/256 one emb_pq_recall uses at expand=5)
+    ref = reopened.search_rerank(ds, queries, k=10, expand=20)
+    from valere_ocr_ray.ops.similarity import knn_brute_force
+
+    brute = knn_brute_force(ds, queries, k=10)
+    for qi in range(3):
+        assert set(ref[ref["query_id"] == qi]["vec_id"]) == set(
+            brute[brute["query_id"] == qi]["vec_id"]
+        )

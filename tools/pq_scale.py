@@ -52,9 +52,11 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     from valere_ocr_ray.ops.similarity import (
+        PqIndexOnDisk,
         knn_brute_force,
         pq_encode,
         pq_fit,
+        pq_persist,
         pq_search,
         pq_search_rerank,
     )
@@ -88,6 +90,24 @@ def main() -> None:
     brute = knn_brute_force(base, queries, k=10)
     brute_s = time.perf_counter() - t0
 
+    # persisted index (VERDICT r4 item 5): write codes once, reopen
+    # from the path alone, search the shards — must value-match the
+    # in-memory ADC result
+    import shutil
+
+    idx_dir = "/tmp/valere_pq_scale_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    pq_persist(codes, cb, idx_dir, num_buckets=32)
+    persist_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    disk = PqIndexOnDisk(idx_dir).search(queries, k=10)
+    disk_s = time.perf_counter() - t0
+    key = ["query_id", "vec_id", "sim_e6"]
+    disk_eq = disk[key].sort_values(key).reset_index(drop=True).equals(
+        adc[key].sort_values(key).reset_index(drop=True)
+    )
+
     def overlap(frame):
         return sum(
             len(
@@ -108,6 +128,9 @@ def main() -> None:
                 "adc_search_sec": round(adc_s, 2),
                 "rerank_search_sec": round(rerank_s, 2),
                 "brute_force_sec": round(brute_s, 2),
+                "persist_sec": round(persist_s, 2),
+                "disk_adc_search_sec": round(disk_s, 2),
+                "disk_eq_memory": bool(disk_eq),
                 "adc_recall_at10": round(overlap(adc), 3),
                 "refined_recall_at10": round(overlap(refined), 3),
                 "code_bytes_per_vec": int(cb.shape[0]),

@@ -559,3 +559,229 @@ def pq_search_rerank(
             )
         )
     return pd.concat(frames, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# persisted PQ / IVF-PQ (the 100 TB ANN serving shape)
+# ---------------------------------------------------------------------------
+
+
+def pq_persist(
+    codes_ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    num_buckets: int = 16,
+) -> "PqIndexOnDisk":
+    """Write an encoded-codes Dataset to a bucketed parquet layout
+    (+ codebooks sidecar), the persisted twin of the in-memory ADC
+    path (``IvfIndex.persist`` shape, VERDICT r4 item 5): a later
+    search opens code shards directly — no re-encode, no float read.
+    Buckets = ``id % num_buckets`` give parallel read units and
+    per-bucket resume granularity; ADC always scans all buckets (it is
+    an exhaustive compressed-domain scan — use :func:`ivfpq_build`
+    when probing should prune I/O)."""
+    import json
+    import os
+
+    nb = int(num_buckets)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pq_bucket"] = (df[id_col].to_numpy().astype("int64") % nb).astype(
+            "int64"
+        )
+        return df
+
+    codes_ds.map_batches(bucket, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["pq_bucket"]
+    )
+    os.makedirs(os.path.join(out_dir, "_meta"), exist_ok=True)
+    np.save(os.path.join(out_dir, "_meta", "codebooks.npy"), codebooks)
+    with open(os.path.join(out_dir, "_meta", "meta.json"), "w") as f:
+        json.dump(
+            {"id_col": id_col, "code_col": code_col, "num_buckets": nb}, f
+        )
+    return PqIndexOnDisk(out_dir)
+
+
+class PqIndexOnDisk:
+    """Persisted PQ codes: search = ``read_parquet`` over the code
+    shards (code column + id only — a few bytes/row at any scale) into
+    the SAME ADC kernel as the in-memory path, so results are
+    value-identical to ``pq_search`` over the pre-persist Dataset."""
+
+    def __init__(self, path: str) -> None:
+        import json
+        import os
+
+        self.path = path
+        self.codebooks = np.load(os.path.join(path, "_meta", "codebooks.npy"))
+        with open(os.path.join(path, "_meta", "meta.json")) as f:
+            meta = json.load(f)
+        self.id_col = meta["id_col"]
+        self.code_col = meta["code_col"]
+
+    def codes_dataset(self) -> ray.data.Dataset:
+        return ray.data.read_parquet(
+            self.path, columns=[self.id_col, self.code_col]
+        )
+
+    def search(self, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+        return pq_search(
+            self.codes_dataset(),
+            self.codebooks,
+            queries,
+            k=k,
+            id_col=self.id_col,
+            code_col=self.code_col,
+        )
+
+    def search_rerank(
+        self,
+        vectors_ds: ray.data.Dataset,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        expand: int = 5,
+        vec_col: str = "embedding",
+    ) -> pd.DataFrame:
+        return pq_search_rerank(
+            self.codes_dataset(),
+            self.codebooks,
+            vectors_ds,
+            queries,
+            k=k,
+            expand=expand,
+            id_col=self.id_col,
+            vec_col=vec_col,
+            code_col=self.code_col,
+        )
+
+
+def ivfpq_build(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    sample_stride: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "IvfPqIndexOnDisk":
+    """IVF-PQ compose (coarse quantizer routes probes, PQ scans within
+    cells — the FAISS ``IVFx,PQy`` serving shape with
+    ``by_residual=False``: codes quantize the raw normalized vectors,
+    which keeps one shared codebook valid across cells and lets the
+    per-cell scan reuse the plain ADC kernel).  Build is two bounded
+    passes: fit (coarse centroids from a bounded sample + PQ codebooks
+    from a stride sample) and ONE encode pass emitting
+    ``(id, ivf_cluster, pq_code)`` written cluster-partitioned; a
+    search then reads ONLY the probed clusters' code files, so probe
+    I/O is ``n_probe/n_clusters`` of an already-16×-compressed corpus."""
+    import json
+    import os
+
+    # deterministic coarse-quantizer sample: the same id-stride slice
+    # convention as pq_fit (partition-invariant, replayable by a
+    # single-process twin) — random_sample's draw depends on block
+    # structure and would make the persisted index layout-dependent
+    coarse_src = ds.select_columns([id_col, vec_col])
+    if sample_stride > 1:
+        stride = int(sample_stride)
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[id_col].to_numpy() % stride == 0]
+
+        coarse_src = coarse_src.map_batches(keep, batch_format="pandas")
+    sample_df = coarse_src.to_pandas().sort_values(id_col).head(sample_size)
+    sample = np.stack(sample_df[vec_col].to_numpy()).astype(np.float32)
+    coarse = _kmeans(sample, min(n_clusters, len(sample)), seed=seed)
+    codebooks = pq_fit(
+        ds,
+        m=m,
+        n_centroids=n_centroids,
+        sample_stride=sample_stride,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cref = ray.put(_normalize(coarse.astype(np.float64)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cref)
+        df = df.copy()
+        if len(df):
+            mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+            df["ivf_cluster"] = np.argmax(mat @ cents.T, axis=1).astype("int64")
+        else:
+            df["ivf_cluster"] = pd.Series([], dtype="int64")
+        return df
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    encoded = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=("ivf_cluster",),
+    )
+    encoded.write_parquet(out_dir, partition_cols=["ivf_cluster"])
+    os.makedirs(os.path.join(out_dir, "_meta"), exist_ok=True)
+    np.save(os.path.join(out_dir, "_meta", "coarse.npy"), coarse)
+    np.save(os.path.join(out_dir, "_meta", "codebooks.npy"), codebooks)
+    with open(os.path.join(out_dir, "_meta", "meta.json"), "w") as f:
+        json.dump({"id_col": id_col, "vec_col": vec_col}, f)
+    return IvfPqIndexOnDisk(out_dir)
+
+
+class IvfPqIndexOnDisk:
+    """Persisted IVF-PQ: probe the coarse quantizer on the driver
+    (k×d floats), read ONLY the probed clusters' code files, ADC-scan
+    those codes.  File-system-level pruning × PQ compression is the
+    100 TB read: ``n_probe/n_clusters`` of ``corpus/compression``."""
+
+    def __init__(self, path: str) -> None:
+        import json
+        import os
+
+        self.path = path
+        self.coarse = np.load(os.path.join(path, "_meta", "coarse.npy"))
+        self.codebooks = np.load(os.path.join(path, "_meta", "codebooks.npy"))
+        with open(os.path.join(path, "_meta", "meta.json")) as f:
+            meta = json.load(f)
+        self.id_col = meta["id_col"]
+
+    def probe_files(self, queries: np.ndarray, n_probe: int) -> list:
+        import glob
+        import os
+
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        probe = np.argsort(-(q @ _normalize(self.coarse).T), axis=1)[:, :n_probe]
+        clusters = sorted(set(probe.flatten().tolist()))
+        return [
+            f
+            for c in clusters
+            for f in sorted(
+                glob.glob(os.path.join(self.path, f"ivf_cluster={c}", "*.parquet"))
+            )
+        ]
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, n_probe: int = 4
+    ) -> pd.DataFrame:
+        files = self.probe_files(queries, n_probe)
+        if not files:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    self.id_col: pd.Series([], dtype="int64"),
+                    "sim_e6": pd.Series([], dtype="int64"),
+                }
+            )
+        codes = ray.data.read_parquet(files, columns=[self.id_col, "pq_code"])
+        return pq_search(
+            codes, self.codebooks, queries, k=k, id_col=self.id_col
+        )

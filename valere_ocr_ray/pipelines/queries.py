@@ -5598,6 +5598,71 @@ def emb_pq_recall(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def emb_pq_persisted(sf_dir: str):
+    """Persisted-index ANN serving shape (VERDICT r4 item 5): PQ codes
+    written to a bucketed parquet layout (+ codebooks sidecar), then a
+    search that OPENS the persisted shards — no re-encode, no float
+    read — must value-match the in-memory ADC path row-for-row; and an
+    IVF-PQ compose (coarse quantizer routes probes, shared-codebook
+    ADC scans within cells, FAISS ``by_residual=False``) whose
+    full-probe search must also agree, while a 2-probe search reads a
+    strict subset of the cluster files.  All reported as integer
+    agreement columns so the value hash pins the equivalences; fully
+    deterministic (stride samples + seeded Lloyd), rows-only by design
+    (approximation op, no SQL analog)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from valere_ocr_ray.ops.similarity import (
+        ivfpq_build,
+        pq_encode,
+        pq_fit,
+        pq_persist,
+        pq_search,
+    )
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q_df = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.stack(q_df["embedding"].to_numpy()).astype(np.float64)
+
+    cb = pq_fit(ds, m=16, n_centroids=256)
+    codes = pq_encode(ds, cb)
+    mem = pq_search(codes, cb, queries, k=10)
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    pq_dir = f"/tmp/valere_pq_idx/{tag}/pq"
+    ivf_dir = f"/tmp/valere_pq_idx/{tag}/ivfpq"
+    _sh.rmtree(pq_dir, ignore_errors=True)
+    _sh.rmtree(ivf_dir, ignore_errors=True)
+    idx = pq_persist(codes, cb, pq_dir)
+    disk = idx.search(queries, k=10)
+
+    ivf = ivfpq_build(ds, ivf_dir, n_clusters=8, m=16, n_centroids=256)
+    full = ivf.search(queries, k=10, n_probe=8)  # all cells == exhaustive ADC
+    probed_files = len(ivf.probe_files(queries, 2))
+    all_files = len(ivf.probe_files(queries, 8))
+
+    key = ["query_id", "vec_id", "sim_e6"]
+    mem_s = mem[key].sort_values(key).reset_index(drop=True)
+    disk_s = disk[key].sort_values(key).reset_index(drop=True)
+    full_s = full[key].sort_values(key).reset_index(drop=True)
+    rows = []
+    for qi in range(len(queries)):
+        m_q = mem_s[mem_s["query_id"] == qi].reset_index(drop=True)
+        d_q = disk_s[disk_s["query_id"] == qi].reset_index(drop=True)
+        f_q = full_s[full_s["query_id"] == qi].reset_index(drop=True)
+        rows.append(
+            {
+                "query_id": np.int64(qi),
+                "n_results": np.int64(len(d_q)),
+                "persisted_eq_memory": np.int64(int(d_q.equals(m_q))),
+                "ivfpq_fullprobe_eq_memory": np.int64(int(f_q.equals(m_q))),
+                "probe2_reads_subset": np.int64(int(probed_files < all_files)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def events_distinct_users_hll(sf_dir: str):
     """HyperLogLog register state over event users, SQL-ORACLED at the
     SKETCH level: the 64 registers (top-6-bit index, max leading-zero

@@ -15,6 +15,7 @@ receipt demonstrates the three properties a long-running ingest needs:
 
 Usage:  python tools/stream_demo.py [n_shards] [rows_per_shard]
         python tools/stream_demo.py --dedup [n_shards] [rows_per_shard]
+        python tools/stream_demo.py --watermark [sf_dir]
 
 ``--dedup`` runs the incremental-exact-dedup leg instead
 (``ops/incremental.dedup_against_state``): each shard carries ~50%
@@ -185,8 +186,150 @@ def run_dedup(n_shards: int, rows: int) -> None:
     ray.shutdown()
 
 
+def run_watermark(sf_dir: str) -> None:
+    """Continuous-deployment shape of ``queries.events_watermark_hourly``
+    (VERDICT r4 item 6): the 16 arrival shards fold one at a time —
+    hourly windows + late-data routing go through
+    ``ops/incremental.update_keyed_state`` (persisted, bucket-versioned)
+    and the 16-int watermark table checkpoints as JSON between shards,
+    exactly what a long-running streaming job restarts from.  Receipt:
+    per-shard cost flat as state accumulates, and the final persisted
+    windows VALUE-EQUAL the one-shot batch replay."""
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+
+    from valere_ocr_ray.ops.incremental import read_state, update_keyed_state
+    from valere_ocr_ray.pipelines.queries import events_watermark_hourly
+
+    N_SHARDS = 16
+    LATENESS_US = 3_600_000_000
+    HOUR_US = 3_600_000_000
+    ORIGIN_US = 1_704_067_200_000_000
+    SPAN_US = 172_800_000_000
+    NEG_INF = int(np.iinfo(np.int64).min)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        from valere_ocr_ray.ops.sketch import _value_hashes64
+
+        tsu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        base = np.minimum((tsu - ORIGIN_US) // SPAN_US, N_SHARDS - 2)
+        bump = (_value_hashes64(df["event_id"].astype(str)) % 8 == 0).astype(
+            "int64"
+        )
+        return pd.DataFrame(
+            {
+                "shard": np.minimum(base + bump, N_SHARDS - 1).astype("int64"),
+                "tsu": tsu,
+                "v_e2": np.floor(df["value"].to_numpy() * 100.0).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "value"],
+    )
+    arrivals = events.map_batches(prep, batch_format="pandas").materialize()
+
+    root = tempfile.mkdtemp(prefix="vor_watermark_")
+    state_dir = os.path.join(root, "hourly_state")
+    ckpt_path = os.path.join(root, "watermark.json")
+    shard_secs = []
+    t_all = time.perf_counter()
+    for s in range(N_SHARDS):
+        t0 = time.perf_counter()
+        # restart-from-checkpoint per shard: the watermark table is read
+        # back from disk, never carried in process state
+        if os.path.exists(ckpt_path):
+            with open(ckpt_path) as f:
+                ck = json.load(f)
+        else:
+            ck = {"run_max": NEG_INF, "next_shard": 0}
+        assert ck["next_shard"] == s, "shards must commit in order"
+        wmark = (
+            NEG_INF if ck["run_max"] == NEG_INF else ck["run_max"] - LATENESS_US
+        )
+        shard_ds = arrivals.filter(expr=f"shard == {s}")
+
+        def classify(df: pd.DataFrame, _wm=wmark) -> pd.DataFrame:
+            late = df["tsu"].to_numpy() < _wm
+            return pd.DataFrame(
+                {
+                    "hour": df["tsu"].to_numpy() // HOUR_US,
+                    "n_ontime": (~late).astype("int64"),
+                    "sum_value_e2": np.where(late, 0, df["v_e2"].to_numpy()),
+                    "n_late": late.astype("int64"),
+                }
+            )
+
+        update_keyed_state(
+            state_dir,
+            shard_ds.map_batches(classify, batch_format="pandas"),
+            ["hour"],
+            ["n_ontime", "sum_value_e2", "n_late"],
+        )
+        mx = shard_ds.max("tsu", ignore_nulls=True)
+        mx = NEG_INF if mx is None else int(mx)
+        with open(ckpt_path, "w") as f:
+            json.dump(
+                {"run_max": max(ck["run_max"], mx), "next_shard": s + 1}, f
+            )
+        shard_secs.append(round(time.perf_counter() - t0, 3))
+    total_s = time.perf_counter() - t_all
+
+    final = (
+        read_state(state_dir)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    batch = (
+        events_watermark_hourly(sf_dir)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    cols = ["hour", "n_ontime", "sum_value_e2", "n_late"]
+    equal = final[cols].astype("int64").equals(batch[cols].astype("int64"))
+    half = len(shard_secs) // 2
+    print(
+        json.dumps(
+            {
+                "metric": "continuous watermark ingest receipt",
+                "sf_dir": sf_dir,
+                "n_shards": N_SHARDS,
+                "shard_secs": shard_secs,
+                "first_half_mean_s": round(float(np.mean(shard_secs[:half])), 3),
+                "second_half_mean_s": round(
+                    float(np.mean(shard_secs[half:])), 3
+                ),
+                "total_sec": round(total_s, 2),
+                "n_hours": int(len(final)),
+                "n_late_total": int(final["n_late"].sum()),
+                "windows_equal_batch_replay": bool(equal),
+            }
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--dedup"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--watermark" in sys.argv[1:]:
+        run_watermark(args[0] if args else "/root/testdata/sf0.01")
+        return
     if "--dedup" in sys.argv[1:]:
         run_dedup(
             int(args[0]) if args else 16,

@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximation op; pinned bit-exact vs a numpy twin in pytest)
         "emb_pq_recall": q.emb_pq_recall,
         "emb_pq_persisted": q.emb_pq_persisted,
+        "pages_db_sink_counts": q.pages_db_sink_counts,
         # HyperLogLog distinct sketch — the 64-register STATE itself is
         # SQL-oracled (same md5 hash as the KMV estimator; rho via exact
         # integer bit-length on both sides)
@@ -1404,6 +1405,32 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE 'UNKNOWN' END AS doc_type FROM idx) "
             f"SELECT doc_type, CAST(count(*) AS BIGINT) AS n FROM c "
             f"GROUP BY doc_type ORDER BY doc_type"
+        ),
+        "pages_db_sink_counts": (
+            # the T6 chain verified from the input alone: same schedule
+            # derivation as pages_doc_type_counts, class table names are
+            # the lowercased doc_type
+            f"WITH idx AS (SELECT CAST(regexp_extract(url, '([0-9]{{8}})', 1) "
+            f"AS BIGINT) AS i FROM read_parquet('{_PAGES_GLOB}')), "
+            f"c AS (SELECT CASE "
+            f"WHEN i % 5000 = 4237 THEN 'unknown' "
+            f"WHEN i % 200 = 199 THEN 'unknown' "
+            f"WHEN i % 100 = 94 THEN 'signed_agreement' "
+            f"WHEN i % 100 < 25 THEN 'unknown' "
+            f"WHEN i % 100 < 40 THEN 'insurance_card' "
+            f"WHEN i % 100 < 55 THEN 'face_sheet' "
+            f"WHEN i % 100 < 75 THEN 'prescription' "
+            f"WHEN i % 100 < 85 THEN 'signed_agreement' "
+            f"WHEN i % 100 < 90 THEN CASE "
+            f"CAST(md5_number_upper('valere:42:' || CAST(i AS VARCHAR)) "
+            f"% 4294967296 % 6 AS BIGINT) "
+            f"WHEN 0 THEN 'insurance_card' WHEN 1 THEN 'prescription' "
+            f"WHEN 2 THEN 'signed_agreement' WHEN 3 THEN 'possible_prescription' "
+            f"WHEN 4 THEN 'possible_agreement' ELSE 'unknown' END "
+            f"WHEN i % 100 = 95 THEN 'insurance_card' "
+            f"ELSE 'unknown' END AS class_table FROM idx) "
+            f"SELECT class_table, CAST(count(*) AS BIGINT) AS n FROM c "
+            f"GROUP BY class_table ORDER BY class_table"
         ),
         "pages_ocr_stats": (
             # the OCR-leg expectation stated from the INPUT alone: every

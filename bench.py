@@ -145,6 +145,7 @@ def _run_benchmarks() -> dict:
         timed("doc_bm25_search", q.doc_bm25_search)
         timed("events_watermark_hourly", q.events_watermark_hourly)
         timed("emb_cluster_balanced_sample", q.emb_cluster_balanced_sample)
+        timed("emb_pq_persisted", q.emb_pq_persisted)
 
     ray.shutdown()
     return {

@@ -52,3 +52,42 @@ def test_cli_curate(tmp_path):
     )
     assert s["n_docs_out"] > 0 and s["n_sequences"] > 0
     assert os.path.isdir(d_out)
+
+
+def test_db_sink_class_tables(ray_session, tmp_path):
+    """T6 surface: a flagship run's doc_type partitions bulk-load into
+    per-class DB tables (document_key, json, confidence_score); counts
+    match the parquet and a spot row carries the extracted JSON."""
+    import json as _json
+
+    import duckdb
+    import ray.data as rd
+
+    from valere_ocr_ray.pipelines.db_sink import write_class_tables
+    from valere_ocr_ray.pipelines.extract import run_resumable
+    from valere_ocr_ray.sources.synth import synth_pages
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    synth_pages(pages, 200)
+    run_resumable(pages, out, concurrency=2, group_size=4)
+    db = str(tmp_path / "classes.duckdb")
+    counts = write_class_tables(out, db)
+    assert sum(counts.values()) == 200
+    df = rd.read_parquet(out).to_pandas()
+    want = df.groupby("doc_type").size()
+    for doc_type, n in want.items():
+        assert counts[doc_type.lower()] == n, doc_type
+    con = duckdb.connect(db)
+    try:
+        key, js, conf = con.execute(
+            "SELECT document_key, json, confidence_score FROM insurance_card "
+            "ORDER BY document_key LIMIT 1"
+        ).fetchone()
+        row = df[df["url"] == key].iloc[0]
+        assert js == row["fields_json"] and _json.loads(js)
+        assert abs(conf - float(row["confidence"])) < 1e-9
+        # idempotent: a second load replaces, never duplicates
+        assert write_class_tables(out, db) == counts
+    finally:
+        con.close()

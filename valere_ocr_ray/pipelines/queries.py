@@ -5598,6 +5598,36 @@ def emb_pq_recall(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def pages_db_sink_counts(sf_dir: str):
+    """T6 surface, SQL-ORACLED end-to-end: the flagship run's
+    ``doc_type=…`` partitions bulk-load into per-class DB tables
+    ``(document_key, json, confidence_score)`` (DuckDB standing in for
+    the reference's Postgres, ``IDD/finalcodes/Facesheet.py:195-196``),
+    and the per-table row counts are returned — the oracle recomputes
+    the same counts from the INPUT alone via the deterministic synth
+    schedule (the ``pages_doc_type_counts`` derivation, lowercased), so
+    the whole extract → classify → partition → DB-load chain is
+    value-verified."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from valere_ocr_ray.pipelines.db_sink import write_class_tables
+    from valere_ocr_ray.pipelines.extract import run_resumable
+
+    pages_dir = ensure_pages(sf_dir)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/valere_db_sink/{tag}/run"
+    _sh.rmtree(out_dir, ignore_errors=True)
+    run_resumable(pages_dir, out_dir, group_size=64)
+    counts = write_class_tables(out_dir, f"/tmp/valere_db_sink/{tag}/cls.duckdb")
+    return pd.DataFrame(
+        {
+            "class_table": list(counts),
+            "n": np.array(list(counts.values()), dtype=np.int64),
+        }
+    ).sort_values("class_table").reset_index(drop=True)
+
+
 def emb_pq_persisted(sf_dir: str):
     """Persisted-index ANN serving shape (VERDICT r4 item 5): PQ codes
     written to a bucketed parquet layout (+ codebooks sidecar), then a

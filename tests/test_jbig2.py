@@ -132,9 +132,13 @@ def test_unsupported_segments_route_not_crash():
     # truncated segment data
     with pytest.raises(ImageFormatError):
         decode_jbig2_embedded(struct.pack(">IBBBI", 0, 38, 0, 1, 99), 10, 10)
-    # non-nominal AT layout is refused loudly (encoder never emits it)
+    # a NON-CAUSAL AT pixel (current row, at-or-right-of x) is refused
+    # loudly — no conformant encoder emits one
     with pytest.raises(ImageFormatError):
-        decode_generic_region(b"\x00", 4, 4, at=((1, -1),) * 4)
+        decode_generic_region(b"\x00", 4, 4, at=((1, 0),) * 4)
+    # unknown template id
+    with pytest.raises(ImageFormatError):
+        decode_generic_region(b"\x00", 4, 4, template=7)
 
 
 def test_mmr_generic_region_decodes():
@@ -154,3 +158,54 @@ def test_mmr_generic_region_decodes():
         + struct.pack(">IBBBI", 1, 38, 0, 1, len(region)) + region
     )
     assert np.array_equal(decode_jbig2_embedded(stream, w, h), ink)
+
+
+def test_generic_template_path_equals_fast_path():
+    """The template-list decoder on (template 0, nominal AT) must agree
+    with the pinned incremental-window fast path on the same stream —
+    this anchors the generic construction (sorted-by-(y,x), MSB-first)
+    to the layout the published SLTP context 0x9B25 validates."""
+    from valere_ocr_ray.extract.jbig2 import (
+        _NOMINAL_AT0,
+        _decode_generic_template,
+    )
+
+    for name, ink in _cases().items():
+        h, w = ink.shape
+        enc = encode_generic_region(ink)
+        fast = decode_generic_region(enc, w, h)
+        slow = _decode_generic_template(enc, w, h, 0, _NOMINAL_AT0, False)
+        assert np.array_equal(slow, fast) and np.array_equal(slow, ink), name
+
+
+def test_generic_templates_1_to_3_roundtrip():
+    """Templates 1-3 (nominal single-AT layouts) and a non-nominal AT
+    variant round-trip through the template-list encoder/decoder."""
+    from valere_ocr_ray.extract.jbig2 import (
+        _NOMINAL_AT,
+        _encode_generic_template,
+    )
+
+    rng = np.random.RandomState(5)
+    cases = {
+        "text": render_text_image(CARD_LINES)[:, :, 0] < 128,
+        "noise": rng.rand(31, 59) < 0.4,
+        "sparse": rng.rand(20, 120) < 0.03,
+    }
+    for template in (1, 2, 3):
+        at = _NOMINAL_AT[template]
+        for name, ink in cases.items():
+            h, w = ink.shape
+            data = _encode_generic_template(ink, template, at)
+            back = decode_generic_region(
+                data, w, h, template=template, at=at
+            )
+            assert np.array_equal(back, ink), (template, name)
+    # non-nominal (but causal) AT on template 2
+    at = ((-1, -2),)
+    ink = cases["noise"]
+    h, w = ink.shape
+    data = _encode_generic_template(ink, 2, at)
+    assert np.array_equal(
+        decode_generic_region(data, w, h, template=2, at=at), ink
+    )

@@ -12,8 +12,10 @@ scanner-default subset:
   Annex C) — 47-state Qe table, decoder AND encoder, with the 0xFF
   byte-stuffing rules; reading past the end of data feeds 0xFF bytes
   per the spec's marker convention.
-* **Generic region decoding** (T.88 §6.2) — arithmetic template 0
-  with nominal AT pixels (the layout every scanner encoder emits),
+* **Generic region decoding** (T.88 §6.2) — all four arithmetic
+  templates: template 0 with nominal AT pixels (the layout every
+  scanner encoder emits) on a fast incremental-context path, and
+  templates 0-3 with ANY causal AT layout on a template-list path;
   TPGDON (typical-prediction) row-copy supported; ``MMR=1`` regions
   route to the existing T.6 decoder (``extract/ccitt.decode_g4``).
 * **PDF-embedded segment stream** (T.88 Annex, "embedded organization"
@@ -236,6 +238,125 @@ class MQEncoder:
 
 _NOMINAL_AT0 = ((3, -1), (-3, -1), (2, -2), (-2, -2))
 
+# fixed (non-AT) context pixels per template (T.88 Figures 4-7); the
+# context label is the sorted-by-(y,x) template read MSB-first — the
+# ordering under which template 0's SLTP context is the published
+# 0x9B25 (validated against the fast path below), and the same generic
+# construction the field-proven readers use for every template.
+_FIXED_TEMPLATE = {
+    0: (
+        (-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0),
+    ),
+    1: (
+        (-1, -2), (0, -2), (1, -2), (2, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-3, 0), (-2, 0), (-1, 0),
+    ),
+    2: (
+        (-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-2, 0), (-1, 0),
+    ),
+    3: (
+        (-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0),
+    ),
+}
+_NOMINAL_AT = {
+    0: _NOMINAL_AT0,
+    1: ((3, -1),),
+    2: ((2, -1),),
+    3: ((2, -1),),
+}
+
+
+def _sorted_template(template: int, at: tuple) -> list:
+    pix = list(_FIXED_TEMPLATE[template]) + [tuple(p) for p in at]
+    pix.sort(key=lambda p: (p[1], p[0]))
+    return pix
+
+
+def _decode_generic_template(
+    data: bytes,
+    width: int,
+    height: int,
+    template: int,
+    at: tuple,
+    tpgdon: bool,
+) -> np.ndarray:
+    """Template-list generic decode: any GBTEMPLATE 0-3 with ANY AT
+    layout (current row's AT pixels must be left of x, which every
+    conformant encoder satisfies — enforced).  Slower than the pinned
+    template-0 window path; used for the non-default layouts."""
+    pix = _sorted_template(template, at)
+    for dx, dy in pix:
+        if dy > 0 or (dy == 0 and dx >= 0):
+            raise ImageFormatError("JBIG2 AT pixel not strictly causal")
+    nbits = len(pix)
+    dec = MQDecoder(data)
+    icx = [0] * (1 << nbits)
+    mpscx = [0] * (1 << nbits)
+    out = np.zeros((height, width), dtype=np.uint8)
+    ltp = 0
+    sltp_cx = _SLTP_CTX[template]
+    decode = dec.decode
+    rows: list[bytes] = []
+    zeros = bytes(width)
+    for y in range(height):
+        if tpgdon:
+            ltp ^= decode(icx, mpscx, sltp_cx)
+            if ltp:
+                prev = rows[-1] if rows else zeros
+                rows.append(prev)
+                out[y] = np.frombuffer(prev, dtype=np.uint8)
+                continue
+        row = bytearray(width)
+        for x in range(width):
+            cx = 0
+            for dx, dy in pix:
+                xx, yy = x + dx, y + dy
+                if yy < 0 or xx < 0 or xx >= width:
+                    bit = 0
+                elif yy == y:
+                    bit = row[xx]
+                else:
+                    bit = rows[yy][xx]
+                cx = (cx << 1) | bit
+            row[x] = decode(icx, mpscx, cx)
+        rows.append(bytes(row))
+        out[y] = np.frombuffer(rows[-1], dtype=np.uint8)
+    return out.astype(bool)
+
+
+def _encode_generic_template(
+    ink: np.ndarray, template: int, at: tuple
+) -> bytes:
+    """Template-list twin of :func:`_decode_generic_template` (used by
+    tests to pin the non-default layouts by round-trip)."""
+    pix = _sorted_template(template, at)
+    ink = np.asarray(ink, dtype=bool).astype(np.uint8)
+    height, width = ink.shape
+    enc = MQEncoder()
+    nbits = len(pix)
+    icx = [0] * (1 << nbits)
+    mpscx = [0] * (1 << nbits)
+    encode = enc.encode
+    for y in range(height):
+        for x in range(width):
+            cx = 0
+            for dx, dy in pix:
+                xx, yy = x + dx, y + dy
+                bit = (
+                    0
+                    if yy < 0 or xx < 0 or xx >= width or (yy == y and xx >= x)
+                    else int(ink[yy, xx])
+                )
+                cx = (cx << 1) | bit
+            encode(icx, mpscx, cx, int(ink[y, x]))
+    return enc.flush()
+
 
 def decode_generic_region(
     data: bytes,
@@ -247,14 +368,15 @@ def decode_generic_region(
     tpgdon: bool = False,
 ) -> np.ndarray:
     """Arithmetic generic-region decode → boolean ink (True = black).
-    Template 0 with nominal AT pixels (the scanner-encoder default) has
-    the fast incremental-context path; any other layout raises."""
-    if template != 0 or tuple(at) != _NOMINAL_AT0:
-        raise ImageFormatError(
-            f"unsupported generic template {template} / AT {tuple(at)!r}"
-        )
+    Template 0 with nominal AT pixels (the scanner-encoder default)
+    takes the fast incremental-context path; templates 1-3 and
+    non-nominal AT layouts go through the template-list path."""
+    if template not in _FIXED_TEMPLATE:
+        raise ImageFormatError(f"unsupported generic template {template}")
     if width <= 0 or height <= 0 or width * height > 64_000_000:
         raise ImageFormatError("bad JBIG2 region geometry")
+    if template != 0 or tuple(at) != _NOMINAL_AT0:
+        return _decode_generic_template(data, width, height, template, at, tpgdon)
     dec = MQDecoder(data)
     icx = [0] * (1 << 16)
     mpscx = [0] * (1 << 16)

@@ -59,7 +59,12 @@ def _auto_partitions(total_bytes: int) -> int:
     fan out into near-empty gather tasks)."""
     total_bytes = int(total_bytes)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    fine = -(-total_bytes // (8 * 2**20))  # ≥ ~8 MiB per partition
+    # ≥ ~2 MiB per partition: the per-partition combine is CPU-bound
+    # pandas work, so a small exchange should still fan out to the
+    # cluster (measured: an 8 MiB grain capped a 40 MB exchange at 5
+    # gathers and held 8→32 efficiency to 0.48); 2 MiB keeps toy
+    # inputs narrow while mid-size exchanges reach the CPU count
+    fine = -(-total_bytes // (2 * 2**20))
     floor = max(2, min(cpus, 64, fine))
     by_bytes = -(-total_bytes // TARGET_PARTITION_BYTES)
     return min(max(floor, by_bytes), MAX_PARTITIONS)

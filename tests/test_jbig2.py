@@ -209,3 +209,111 @@ def test_generic_templates_1_to_3_roundtrip():
     assert np.array_equal(
         decode_generic_region(data, w, h, template=2, at=at), ink
     )
+
+
+def test_arith_int_roundtrip():
+    """Annex-A integer coder: every range boundary, negatives, OOB."""
+    from valere_ocr_ray.extract.jbig2 import (
+        _decode_int,
+        _encode_int,
+        _new_int_ctx,
+    )
+
+    vals = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 123456,
+            -1, -4, -20, -84, -340, -4436, -999999, None, 7, None, -7]
+    enc = MQEncoder()
+    ctx = _new_int_ctx()
+    for v in vals:
+        _encode_int(enc, ctx, v)
+    data = enc.flush()
+    dec = MQDecoder(data)
+    ctx = _new_int_ctx()
+    assert [_decode_int(dec, ctx) for _ in vals] == vals
+
+
+def test_symbol_page_pixel_identical():
+    """The symbol-coded page (dictionary + text region) decodes
+    pixel-identically to the glyph renderer's raster."""
+    from valere_ocr_ray.extract.jbig2 import encode_jbig2_symbol_page
+
+    for lines in (
+        CARD_LINES,
+        ["A"],
+        ["SPACES  AND   GAPS", "", "LAST LINE 123"],
+    ):
+        ink = render_text_image(lines)[:, :, 0] < 128
+        h, w = ink.shape
+        emb = encode_jbig2_symbol_page(lines)
+        assert np.array_equal(decode_jbig2_embedded(emb, w, h), ink), lines
+
+
+def test_symbol_dict_multiple_height_classes():
+    """A dictionary with two height classes decodes (the encoder twin
+    emits one class; this exercises the class loop directly)."""
+    import struct
+
+    from valere_ocr_ray.extract.jbig2 import (
+        _SD_AT_NOMINAL,
+        _encode_generic_bitmap,
+        _encode_int,
+        _new_int_ctx,
+        decode_symbol_dict,
+    )
+
+    rng = np.random.RandomState(6)
+    short = [rng.rand(4, 3) < 0.5, rng.rand(4, 6) < 0.5]
+    tall = [rng.rand(9, 5) < 0.5]
+    enc = MQEncoder()
+    iadh, iadw, iaex = _new_int_ctx(), _new_int_ctx(), _new_int_ctx()
+    gb_icx = [0] * (1 << 16)
+    gb_mps = [0] * (1 << 16)
+    _encode_int(enc, iadh, 4)  # class 1: height 4
+    wprev = 0
+    for bm in short:
+        _encode_int(enc, iadw, bm.shape[1] - wprev)
+        wprev = bm.shape[1]
+        _encode_generic_bitmap(enc, gb_icx, gb_mps, bm)
+    _encode_int(enc, iadw, None)
+    _encode_int(enc, iadh, 5)  # class 2: height 9
+    wprev = 0
+    for bm in tall:
+        _encode_int(enc, iadw, bm.shape[1] - wprev)
+        wprev = bm.shape[1]
+        _encode_generic_bitmap(enc, gb_icx, gb_mps, bm)
+    _encode_int(enc, iadw, None)
+    _encode_int(enc, iaex, 0)
+    _encode_int(enc, iaex, 3)
+    payload = (
+        struct.pack(">H", 0) + _SD_AT_NOMINAL + struct.pack(">II", 3, 3)
+        + enc.flush()
+    )
+    out = decode_symbol_dict(payload)
+    assert len(out) == 3
+    for got, want in zip(out, short + tall):
+        assert np.array_equal(got, want)
+
+
+def test_scanned_pdf_symbol_jbig2_ocr():
+    """A symbol-coded /JBIG2Decode XObject OCRs byte-exact — the
+    jbig2enc-shape PDF reads like its generic-coded and BMP twins."""
+    from valere_ocr_ray.extract.pdf_images import ocr_pdf_images
+    from valere_ocr_ray.sources.synth import build_scanned_pdf_bytes
+
+    pdf = build_scanned_pdf_bytes(CARD_LINES, codec="jbig2_sym")
+    text, n_found, n_decoded = ocr_pdf_images(pdf, ocr_image)
+    assert (n_found, n_decoded) == (1, 1)
+    assert text == canonical_text(CARD_LINES)
+
+
+def test_huffman_and_refinement_still_route():
+    import struct
+
+    # huffman symbol dict (flags bit0) raises, never decodes junk
+    payload = struct.pack(">H", 1) + b"\x00" * 16
+    hdr = struct.pack(">IBBBI", 0, 0, 0, 1, len(payload))
+    with pytest.raises(ImageFormatError):
+        decode_jbig2_embedded(hdr + payload, 10, 10)
+    # refinement region (type 40) raises
+    hdr = struct.pack(">IBBBI", 0, 40, 0, 1, 4) + b"\x00" * 4
+    with pytest.raises(ImageFormatError):
+        decode_jbig2_embedded(hdr, 10, 10)

@@ -18,10 +18,17 @@ scanner-default subset:
   templates 0-3 with ANY causal AT layout on a template-list path;
   TPGDON (typical-prediction) row-copy supported; ``MMR=1`` regions
   route to the existing T.6 decoder (``extract/ccitt.decode_g4``).
+* **Symbol coding** (§6.4/§6.5) — what SOFTWARE encoders
+  (jbig2enc/pdfbox) emit for text pages: symbol dictionaries
+  (arithmetic, height classes, shared generic-coding state across the
+  dict's bitmaps) and text regions (Annex-A integer decoding for
+  DT/FS/DS, IAID symbol-id trees, strip placement, left reference
+  corners), plus the encoder twin ``encode_jbig2_symbol_page``.
 * **PDF-embedded segment stream** (T.88 Annex, "embedded organization"
-  — no file header): segment headers, page info, immediate generic
-  region (types 36/38/39), end-of-page/stripe/file skipped.  Symbol /
-  text / halftone / refinement segments raise ``ImageFormatError`` —
+  — no file header): segment headers, page info, generic regions
+  (36/38/39), symbol dictionaries (0), text regions (4/6/7),
+  end-of-page/stripe/file skipped.  Huffman-coded / halftone /
+  refinement segments raise ``ImageFormatError`` —
   found-but-undecodable routes to the OCR seam's skip status, it is
   never mistaken for a blank page.
 
@@ -380,12 +387,27 @@ def decode_generic_region(
     dec = MQDecoder(data)
     icx = [0] * (1 << 16)
     mpscx = [0] * (1 << 16)
+    return _decode_generic_bitmap(dec, icx, mpscx, width, height, tpgdon)
+
+
+def _decode_generic_bitmap(
+    dec: MQDecoder,
+    icx: list,
+    mpscx: list,
+    width: int,
+    height: int,
+    tpgdon: bool = False,
+) -> np.ndarray:
+    """Template-0-nominal generic decode on a CALLER-OWNED decoder and
+    GB context arrays — symbol dictionaries decode every symbol bitmap
+    with one continuing arithmetic state and one shared context set
+    (T.88 §6.5.8.1), so the state must outlive a single bitmap."""
     out = np.zeros((height, width), dtype=np.uint8)
     zeros = bytes(width)
     prev2: bytes = zeros  # row y-2 as 0/1 bytes
     prev1: bytes = zeros  # row y-1
     ltp = 0
-    sltp_cx = _SLTP_CTX[template]
+    sltp_cx = _SLTP_CTX[0]
     decode = dec.decode
     for y in range(height):
         if tpgdon:
@@ -421,11 +443,20 @@ def decode_generic_region(
 def encode_generic_region(ink: np.ndarray) -> bytes:
     """Boolean ink → MQ-coded generic-region body (template 0, nominal
     AT, TPGDON off) — the fixture twin of :func:`decode_generic_region`."""
-    ink = np.asarray(ink, dtype=bool)
-    height, width = ink.shape
     enc = MQEncoder()
     icx = [0] * (1 << 16)
     mpscx = [0] * (1 << 16)
+    _encode_generic_bitmap(enc, icx, mpscx, ink)
+    return enc.flush()
+
+
+def _encode_generic_bitmap(
+    enc: MQEncoder, icx: list, mpscx: list, ink: np.ndarray
+) -> None:
+    """Shared-state twin of :func:`_decode_generic_bitmap` (no flush —
+    the caller owns the arithmetic stream)."""
+    ink = np.asarray(ink, dtype=bool)
+    height, width = ink.shape
     zeros = bytes(width)
     prev2: bytes = zeros
     prev1: bytes = zeros
@@ -449,7 +480,6 @@ def encode_generic_region(ink: np.ndarray) -> bytes:
             w0 = ((w0 << 1) | px) & 0xF
         prev2 = prev1
         prev1 = row
-    return enc.flush()
 
 
 # ------------------------------------------------------------- segments
@@ -515,8 +545,8 @@ def _parse_segment_headers(data: bytes):
 
 
 # segment types that carry coding machinery this subset doesn't decode
-# (symbol dictionaries, text/halftone/refinement regions)
-_UNSUPPORTED_TYPES = {0, 4, 5, 6, 7, 16, 20, 22, 23, 40, 42, 43}
+# (huffman tables, halftone/refinement regions)
+_UNSUPPORTED_TYPES = {16, 20, 22, 23, 40, 42, 43, 53}
 
 
 def decode_jbig2_embedded(data: bytes, width: int, height: int) -> np.ndarray:
@@ -526,8 +556,30 @@ def decode_jbig2_embedded(data: bytes, width: int, height: int) -> np.ndarray:
     so the caller routes found-but-undecodable, never blank."""
     page = np.zeros((height, width), dtype=bool)
     saw_region = False
-    for seg_type, payload in _parse_segment_headers(data):
+    symbols: list = []  # exported symbols from every dict seen, in order
+    try:
+        segs = list(_parse_segment_headers(data))
+    except struct.error as exc:
+        raise ImageFormatError(f"malformed JBIG2 segment header: {exc}") from exc
+    for seg_type, payload in segs:
         if seg_type in (48, 49, 50, 51, 62):  # page info / EOP / EOS / EOF / ext
+            continue
+        if seg_type == 0:  # symbol dictionary
+            try:
+                symbols.extend(decode_symbol_dict(payload))
+            except (struct.error, IndexError) as exc:
+                raise ImageFormatError(f"malformed symbol dict: {exc}") from exc
+            continue
+        if seg_type in (4, 6, 7):  # (intermediate/immediate) text region
+            try:
+                ink, rx, ry = decode_text_region(payload, symbols)
+            except (struct.error, IndexError) as exc:
+                raise ImageFormatError(f"malformed text region: {exc}") from exc
+            rh, rw = ink.shape
+            ye, xe = min(ry + rh, height), min(rx + rw, width)
+            if ye > ry and xe > rx:
+                page[ry:ye, rx:xe] |= ink[: ye - ry, : xe - rx]
+            saw_region = True
             continue
         if seg_type in (36, 38, 39):  # (intermediate/immediate) generic region
             if len(payload) < 18:
@@ -578,4 +630,367 @@ __all__ = [
     "encode_generic_region",
     "decode_jbig2_embedded",
     "encode_jbig2_embedded",
+    "decode_symbol_dict",
+    "decode_text_region",
+    "encode_jbig2_symbol_page",
 ]
+
+
+# ----------------------------------------------------------- symbol coding
+#
+# The symbol-coded shape (T.88 §6.4/§6.5) is what SOFTWARE JBIG2
+# encoders (jbig2enc, pdfbox) emit for text pages — a dictionary of
+# glyph bitmaps plus a text region that places dictionary symbols by
+# id — while hardware scanners emit generic regions.  Scope here is
+# the arithmetic non-refinement subset (SDHUFF=0, SDREFAGG=0,
+# SBHUFF=0, SBREFINE=0, TRANSPOSED=0, left reference corners);
+# everything outside it raises to the routed seam.
+
+
+def _new_int_ctx() -> tuple:
+    """One IAx register: a 512-entry context tree (T.88 Annex A)."""
+    return ([0] * 512, [0] * 512)
+
+
+def _decode_int(dec: MQDecoder, ctx: tuple) -> int | None:
+    """Arithmetic integer decoding procedure (T.88 §A.2).  Returns the
+    signed value, or ``None`` for OOB (sign=1, magnitude 0)."""
+    icx, mpscx = ctx
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(icx, mpscx, prev)
+        prev = (
+            ((prev << 1) | b)
+            if prev < 256
+            else ((((prev << 1) | b) & 511) | 256)
+        )
+        return b
+
+    s = bit()
+    if not bit():
+        n, off = 2, 0
+    elif not bit():
+        n, off = 4, 4
+    elif not bit():
+        n, off = 6, 20
+    elif not bit():
+        n, off = 8, 84
+    elif not bit():
+        n, off = 12, 340
+    else:
+        n, off = 32, 4436
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def _encode_int(enc: MQEncoder, ctx: tuple, value: int | None) -> None:
+    """Twin of :func:`_decode_int` (``None`` encodes OOB)."""
+    icx, mpscx = ctx
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(icx, mpscx, prev, b)
+        prev = (
+            ((prev << 1) | b)
+            if prev < 256
+            else ((((prev << 1) | b) & 511) | 256)
+        )
+
+    if value is None:
+        s, v = 1, 0
+    else:
+        s, v = (1, -value) if value < 0 else (0, value)
+    bit(s)
+    if v < 4:
+        prefix, n, off = (0,), 2, 0
+    elif v < 20:
+        prefix, n, off = (1, 0), 4, 4
+    elif v < 84:
+        prefix, n, off = (1, 1, 0), 6, 20
+    elif v < 340:
+        prefix, n, off = (1, 1, 1, 0), 8, 84
+    elif v < 4436:
+        prefix, n, off = (1, 1, 1, 1, 0), 12, 340
+    else:
+        prefix, n, off = (1, 1, 1, 1, 1), 32, 4436
+    for b in prefix:
+        bit(b)
+    rest = v - off
+    for k in reversed(range(n)):
+        bit((rest >> k) & 1)
+
+
+def _symcodelen(n_syms: int) -> int:
+    return max(1, (max(n_syms - 1, 1)).bit_length())
+
+
+def _decode_iaid(dec: MQDecoder, ctx: tuple, symcodelen: int) -> int:
+    icx, mpscx = ctx
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(icx, mpscx, prev)
+    return prev - (1 << symcodelen)
+
+
+def _encode_iaid(
+    enc: MQEncoder, ctx: tuple, symcodelen: int, sid: int
+) -> None:
+    icx, mpscx = ctx
+    prev = 1
+    for k in reversed(range(symcodelen)):
+        b = (sid >> k) & 1
+        enc.encode(icx, mpscx, prev, b)
+        prev = (prev << 1) | b
+
+
+_SD_AT_NOMINAL = b"\x03\xff\xfd\xff\x02\xfe\xfe\xfe"
+
+
+def decode_symbol_dict(
+    payload: bytes, input_syms: list | None = None
+) -> list:
+    """Symbol-dictionary segment data → exported symbol bitmaps
+    (T.88 §6.5, arithmetic, no refinement/aggregation)."""
+    if len(payload) < 2:
+        raise ImageFormatError("short symbol dictionary")
+    flags = struct.unpack_from(">H", payload, 0)[0]
+    if flags & 0x1:
+        raise ImageFormatError("huffman symbol dictionary unsupported")
+    if flags & 0x2:
+        raise ImageFormatError("refinement/aggregation unsupported")
+    template = (flags >> 10) & 3
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = payload[pos : pos + 2 * n_at]
+    pos += 2 * n_at
+    if template != 0 or at != _SD_AT_NOMINAL:
+        raise ImageFormatError("symbol dict template/AT layout unsupported")
+    n_ex, n_new = struct.unpack_from(">II", payload, pos)
+    pos += 8
+    if n_new > 100_000:
+        raise ImageFormatError("implausible symbol count")
+    dec = MQDecoder(payload[pos:])
+    iadh, iadw, iaex = _new_int_ctx(), _new_int_ctx(), _new_int_ctx()
+    gb_icx = [0] * (1 << 16)
+    gb_mps = [0] * (1 << 16)
+    hcheight = 0
+    new_syms: list = []
+    while len(new_syms) < n_new:
+        dh = _decode_int(dec, iadh)
+        if dh is None:
+            raise ImageFormatError("OOB in IADH")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = _decode_int(dec, iadw)
+            if dw is None:
+                break  # height class done
+            symwidth += dw
+            if hcheight <= 0 or symwidth <= 0 or len(new_syms) >= n_new:
+                raise ImageFormatError("bad symbol geometry")
+            new_syms.append(
+                _decode_generic_bitmap(dec, gb_icx, gb_mps, symwidth, hcheight)
+            )
+    all_syms = list(input_syms or []) + new_syms
+    exported: list = []
+    cur = 0
+    i = 0
+    while i < len(all_syms):
+        run = _decode_int(dec, iaex)
+        if run is None or run < 0:
+            raise ImageFormatError("bad IAEX run")
+        if cur:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != n_ex:
+        raise ImageFormatError("export count mismatch")
+    return exported
+
+
+def decode_text_region(payload: bytes, symbols: list):
+    """Text-region segment data → ``(ink, rx, ry)`` (T.88 §6.4,
+    arithmetic, no refinement, not transposed, left corners)."""
+    if len(payload) < 23:
+        raise ImageFormatError("short text region")
+    rw, rh, rx, ry, _op = struct.unpack_from(">IIIIB", payload, 0)
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    pos = 19
+    if flags & 0x1:
+        raise ImageFormatError("huffman text region unsupported")
+    if flags & 0x2:
+        raise ImageFormatError("refinement text region unsupported")
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    if transposed:
+        raise ImageFormatError("transposed text region unsupported")
+    if refcorner & 2:
+        raise ImageFormatError("right reference corners unsupported")
+    if not symbols:
+        raise ImageFormatError("text region with no symbol dictionary")
+    n_inst = struct.unpack_from(">I", payload, pos)[0]
+    pos += 4
+    strips = 1 << log_strips
+    symcodelen = _symcodelen(len(symbols))
+    dec = MQDecoder(payload[pos:])
+    iadt, iafs, iads, iait = (
+        _new_int_ctx(), _new_int_ctx(), _new_int_ctx(), _new_int_ctx(),
+    )
+    iaid = ([0] * (1 << (symcodelen + 1)), [0] * (1 << (symcodelen + 1)))
+    if rw * rh > 64_000_000 or n_inst > 10_000_000:
+        raise ImageFormatError("implausible text region")
+    region = np.zeros((rh, rw), dtype=bool)
+    v = _decode_int(dec, iadt)
+    if v is None:
+        raise ImageFormatError("OOB in IADT")
+    stript = -v * strips
+    firsts = 0
+    inst = 0
+    while inst < n_inst:
+        dt = _decode_int(dec, iadt)
+        if dt is None:
+            raise ImageFormatError("OOB in IADT")
+        stript += dt * strips
+        first = True
+        while True:
+            if first:
+                dfs = _decode_int(dec, iafs)
+                if dfs is None:
+                    raise ImageFormatError("OOB in IAFS")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = _decode_int(dec, iads)
+                if ids is None:
+                    break  # strip done
+                curs += ids + ds_offset
+            curt = 0 if strips == 1 else _decode_int(dec, iait)
+            ti = stript + (curt or 0)
+            sid = _decode_iaid(dec, iaid, symcodelen)
+            if not 0 <= sid < len(symbols):
+                raise ImageFormatError("symbol id out of range")
+            bm = symbols[sid]
+            hi, wi = bm.shape
+            y = ti if (refcorner & 1) else ti - hi + 1
+            x = curs
+            y0, x0 = max(y, 0), max(x, 0)
+            y1, x1 = min(y + hi, rh), min(x + wi, rw)
+            if y1 > y0 and x1 > x0:
+                region[y0:y1, x0:x1] |= bm[y0 - y : y1 - y, x0 - x : x1 - x]
+            curs += wi - 1
+            inst += 1
+            if inst == n_inst:
+                break
+    return region, rx, ry
+
+
+def encode_jbig2_symbol_page(lines: list) -> bytes:
+    """Glyph-rendered ``lines`` → PDF-embedded SYMBOL-CODED JBIG2
+    stream (page info + symbol dictionary + immediate text region +
+    EOP) whose decode is pixel-identical to
+    ``glyph_font.render_text_image(lines)`` — the software-encoder
+    (jbig2enc-class) twin of :func:`encode_jbig2_embedded`."""
+    from valere_ocr_ray.extract.glyph_font import (
+        _GLYPHS,
+        GLYPH_H,
+        GLYPH_W,
+        MARGIN,
+        PITCH_X,
+        PITCH_Y,
+        canonical_text,
+    )
+
+    canon = canonical_text(list(lines)).split("\n")
+    n_cols = max((len(l) for l in canon), default=0) or 1
+    h = max(2 * MARGIN + len(canon) * PITCH_Y - 3, 1)
+    w = max(2 * MARGIN + n_cols * PITCH_X - 1, 1)
+    chars = sorted({ch for line in canon for ch in line if ch != " "})
+    if not chars:
+        raise ImageFormatError("symbol page needs at least one glyph")
+    sym_of = {ch: i for i, ch in enumerate(chars)}
+
+    # ---- symbol dictionary: one height class (all glyphs 5x7)
+    enc = MQEncoder()
+    iadh, iadw, iaex = _new_int_ctx(), _new_int_ctx(), _new_int_ctx()
+    gb_icx = [0] * (1 << 16)
+    gb_mps = [0] * (1 << 16)
+    _encode_int(enc, iadh, GLYPH_H)  # HCHEIGHT 0 -> 7
+    width_prev = 0
+    for ch in chars:
+        _encode_int(enc, iadw, GLYPH_W - width_prev)
+        width_prev = GLYPH_W
+        _encode_generic_bitmap(enc, gb_icx, gb_mps, _GLYPHS[ch])
+    _encode_int(enc, iadw, None)  # OOB ends the height class
+    _encode_int(enc, iaex, 0)  # run of 0 not-exported
+    _encode_int(enc, iaex, len(chars))  # run exporting every symbol
+    sd_body = enc.flush()
+    sd = (
+        struct.pack(">H", 0x0000)  # arith, template 0, no refagg
+        + _SD_AT_NOMINAL
+        + struct.pack(">II", len(chars), len(chars))
+        + sd_body
+    )
+
+    # ---- text region: one strip per text line, TOPLEFT corners
+    enc = MQEncoder()
+    iadt, iafs, iads = _new_int_ctx(), _new_int_ctx(), _new_int_ctx()
+    symcodelen = _symcodelen(len(chars))
+    iaid = ([0] * (1 << (symcodelen + 1)), [0] * (1 << (symcodelen + 1)))
+    _encode_int(enc, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    n_inst = 0
+    for li, line in enumerate(canon):
+        xs = [
+            (MARGIN + ci * PITCH_X, ch)
+            for ci, ch in enumerate(line)
+            if ch != " "
+        ]
+        if not xs:
+            continue
+        y = MARGIN + li * PITCH_Y
+        _encode_int(enc, iadt, y - stript)
+        stript = y
+        first = True
+        curs = 0
+        for x, ch in xs:
+            if first:
+                _encode_int(enc, iafs, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                _encode_int(enc, iads, x - curs)
+                curs = x
+            _encode_iaid(enc, iaid, symcodelen, sym_of[ch])
+            curs += GLYPH_W - 1
+            n_inst += 1
+        _encode_int(enc, iads, None)  # OOB ends the strip
+    tr_body = enc.flush()
+    tr = (
+        struct.pack(">IIIIB", w, h, 0, 0, 0)
+        + struct.pack(">H", (1 << 4))  # arith, SBSTRIPS=1, TOPLEFT
+        + struct.pack(">I", n_inst)
+        + tr_body
+    )
+
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = bytearray()
+    out += _segment_header(0, 48, 1, len(page_info)) + page_info
+    out += _segment_header(1, 0, 1, len(sd)) + sd  # symbol dictionary
+    out += _segment_header(2, 6, 1, len(tr)) + tr  # immediate text region
+    out += _segment_header(3, 49, 1, 0)
+    return bytes(out)

@@ -480,9 +480,17 @@ def build_scanned_pdf_bytes(lines: list[str], *, codec: str = "jpeg") -> bytes:
 
         body, cs = encode_jbig2_embedded(img[:, :, 0] < 128), b"/DeviceGray"
         filt = b" /Filter /JBIG2Decode"
+    elif codec == "jbig2_sym":
+        # SYMBOL-coded (jbig2enc-class software encoder shape): glyph
+        # dictionary + text region, not in the corpus rotation — the
+        # fixture for the §6.4/§6.5 decode path
+        from valere_ocr_ray.extract.jbig2 import encode_jbig2_symbol_page
+
+        body, cs = encode_jbig2_symbol_page(lines), b"/DeviceGray"
+        filt = b" /Filter /JBIG2Decode"
     else:
         raise ValueError(f"unknown scanned-pdf codec {codec!r}")
-    bpc = b"1" if codec.startswith("ccitt") or codec == "jbig2" else b"8"
+    bpc = b"1" if codec.startswith("ccitt") or codec.startswith("jbig2") else b"8"
     img_obj = (
         b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
         + b" /Height " + str(h).encode()
